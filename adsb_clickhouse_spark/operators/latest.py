@@ -1,0 +1,98 @@
+"""Keyed latest-row semantics and sampling operators.
+
+``latest_per_key`` is the single Spark operator that subsumes the
+reference's three-layer construct: ReplacingMergeTree merge-time argmax
+(schema/schema-local.sql:370-372) + read-time ``FINAL`` + ``LIMIT 1 BY``
+(schema/schema-local.sql:455-460). SURVEY.md §2.5 W1 / §2.4 A1.
+
+Scale notes:
+- the window/max_by shuffles once on the key; with ~12k live aircraft and
+  AQE the shuffle is tiny. For 100 TB history scans, apply the freshness
+  filter FIRST so partition pruning (scrape_date) cuts the scan before the
+  shuffle — `latest_view` does this.
+- `max_by(struct(*), version_col)` is a hash aggregate with map-side
+  partial aggregation — strictly less shuffle traffic than the
+  row_number window (which must shuffle every row). We use it by default
+  and keep the window variant for tie-break-pinned tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    key: str | list[str] = "icao24",
+    version: str = "scrape_time",
+    *,
+    tiebreak: str | None = "ingestion_time",
+    strategy: str = "agg",
+) -> DataFrame:
+    """Newest row per key.
+
+    ClickHouse keeps the max-`version` row per key, ties broken by insert
+    order (last inserted wins). We pin ties deterministically with
+    ``tiebreak`` (documented superset — SURVEY.md §4 "merge-time dedup").
+
+    strategy="agg": groupBy(key).agg(max_by(struct(cols), (version, tiebreak)))
+      — partial-aggregates map-side, minimal shuffle. Preferred at scale.
+    strategy="window": row_number() over (partition by key order by
+      version desc, tiebreak desc) == 1 — same result, full-row shuffle.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    order_cols = [version] + ([tiebreak] if tiebreak and tiebreak in df.columns else [])
+
+    if strategy == "window":
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    payload = [c for c in df.columns if c not in keys]
+    ver = F.struct(*[F.col(c) for c in order_cols])
+    agg = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), ver).alias("__row")
+    )
+    return agg.select(*keys, *[F.col(f"__row.{c}").alias(c) for c in payload])
+
+
+def recency_filter(df: DataFrame, window: str, *, now: Column | None = None, ts: str = "scrape_time") -> Column | DataFrame:
+    """P3: ``WHERE scrape_time > now() - INTERVAL <window>``
+    (schema/schema-local.sql:458). ``now`` injectable for deterministic
+    tests (SURVEY.md §7.3 hard part (b))."""
+    now_col = now if now is not None else F.current_timestamp()
+    return df.filter(F.col(ts) > now_col - F.expr(f"INTERVAL {window}"))
+
+
+def latest_view(
+    history: DataFrame,
+    *,
+    freshness: str,
+    key: str = "icao24",
+    version: str = "scrape_time",
+    now: Column | None = None,
+) -> DataFrame:
+    """The ``positions_*_latest`` view (schema/schema-local.sql:455-460):
+    recency filter first (partition pruning at scale), then keyed argmax."""
+    fresh = recency_filter(history, freshness, now=now, ts=version)
+    return latest_per_key(fresh, key, version)
+
+
+def stride_sample(df: DataFrame, n: int, order_by: str | list[str]) -> DataFrame:
+    """P5: keep every n-th row — subquery over rowNumberInAllBlocks() with
+    ``row_idx % n = 0`` (dashboards/examples/Current_Positions_Regional.json:321).
+
+    Exact-stride semantics need a global row numbering; at 100 TB prefer
+    ``df.sample(1/n)`` (no shuffle) when the exact stride is not required.
+    """
+    cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.orderBy(*cols)
+    return (
+        df.withColumn("row_idx", F.row_number().over(w) - 1)
+        .filter(F.col("row_idx") % n == 0)
+        .drop("row_idx")
+    )
