@@ -1,0 +1,72 @@
+"""Text primitives for the training-data pipeline operators — tokenize,
+shingle, cross-engine-stable hashing. All JVM builtins (no Python UDFs):
+these run inside WholeStageCodegen at parquet-scan speed, which is what
+makes the dedup/text operators viable at 100 TB.
+
+Hashing: we need a hash that the DuckDB oracle can reproduce exactly, so
+xxhash64/murmur (engine-specific seeds) are out. We use the first 15 hex
+digits of md5 as a 60-bit integer:
+
+    Spark : conv(substring(md5(s), 1, 15), 16, 10) :: long
+    DuckDB: CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+
+md5 is bytewise-identical everywhere; 15 hex digits keep it inside int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alnum tokens; RE2-compatible pattern so Spark (Java
+    regex) and DuckDB (RE2) agree."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def md5_long(s: Column) -> Column:
+    """60-bit integer hash, reproducible in DuckDB (see module doc)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def salted_md5_long(s: Column, salt: int) -> Column:
+    return md5_long(F.concat(F.lit(f"{salt}|"), s))
+
+
+def word_shingles(toks: Column, w: int = 3) -> Column:
+    """Distinct w-word shingles (space-joined)."""
+    raw = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+            lambda i: F.array_join(F.slice(toks, i, w), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return F.array_distinct(raw)
+
+
+# DuckDB twins of the helpers above, for composing oracle SQL strings.
+
+def duck_tokens(expr: str) -> str:
+    return f"regexp_extract_all(lower({expr}), '{TOKEN_RE}')"
+
+
+def duck_md5_long(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def duck_salted_md5_long(expr: str, salt: int) -> str:
+    return duck_md5_long(f"'{salt}|' || {expr}")
+
+
+def duck_word_shingles(toks_expr: str, w: int = 3) -> str:
+    """DuckDB list slicing is 1-based inclusive: toks[i : i+w-1] is w items."""
+    return (
+        f"list_distinct(CASE WHEN len({toks_expr}) >= {w} THEN "
+        f"list_transform(range(1, len({toks_expr}) - {w} + 2), "
+        f"i -> array_to_string({toks_expr}[i : i + {w - 1}], ' ')) "
+        f"ELSE [array_to_string({toks_expr}, ' ')] END)"
+    )

@@ -1,0 +1,200 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four families, each a DataFrame→DataFrame operator designed for the
+100 TB regime:
+
+- **exact** — md5-fingerprint groupBy. One shuffle on the 16-byte hash,
+  map-side partial agg; the canonical-id choice (min doc_id) is a plain
+  aggregate. Scales linearly.
+- **n-gram Jaccard** — shingle inverted index + self-join: only documents
+  sharing ≥1 shingle meet, so the candidate set is sparse (vs the O(n²)
+  cross join). At 100 TB the hot-shingle skew is the bottleneck → drop
+  top-frequency shingles (stopword shingles carry no dedup signal) via
+  ``max_shingle_freq``.
+- **MinHash + LSH** — k salted min-hashes per doc, banded into b buckets;
+  candidate pairs share a band bucket; exact Jaccard verifies. The band
+  join touches only ~n·b rows — this is the scale path when the shingle
+  index itself is too hot.
+- **SimHash** — 32-bit sign-fingerprint of token hashes; near-dups have
+  small Hamming distance. Emitted per-doc (join-on-band to pair up).
+
+All hashing is the cross-engine md5 scheme from
+:mod:`..functions.texttools`, so every operator has an exact DuckDB
+oracle (queries/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texttools import md5_long, salted_md5_long, tokens, word_shingles
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (fingerprint, n_docs,
+    canonical_id, doc_ids). Only groups with >1 member are returned."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingle_index(docs: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
+    """(id, shingle) inverted index — distinct shingles per doc."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(tokens(F.col(text_col)), w)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Candidate pairs by shared shingle, scored with exact Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    ``max_shingle_freq`` drops shingles appearing in more than that many
+    docs before the join (skew control at scale; exactness is preserved
+    only for pairs sharing at least one surviving shingle).
+    """
+    sh = _shingle_index(docs, text_col, id_col, w)
+    if max_shingle_freq is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_freq)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    w: int = 3,
+) -> DataFrame:
+    """(id, minhash_0..k-1): min over shingles of k salted 60-bit hashes.
+
+    One explode + one groupBy with k min() aggregates — map-side partials
+    make this a single cheap shuffle regardless of document size.
+    """
+    sh = _shingle_index(docs, text_col, id_col, w)
+    aggs = [
+        F.min(salted_md5_long(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(k)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    w: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Docs agreeing on all r=k/bands hashes of any band become candidates
+    (P[candidate] ≈ 1-(1-j^r)^b — the standard S-curve); candidates are
+    then verified with exact Jaccard so output = true pairs ≥ threshold
+    among LSH candidates.
+    """
+    r = k // bands
+    sig = minhash_signatures(docs, text_col=text_col, id_col=id_col, k=k, w=w).persist()
+    band_rows = None
+    for b in range(bands):
+        key = F.concat_ws("_", *[F.col(f"mh_{b * r + j}") for j in range(r)])
+        row = sig.select(
+            F.col("id"), F.lit(b).alias("band"), key.alias("band_key")
+        )
+        band_rows = row if band_rows is None else band_rows.unionByName(row)
+    x = band_rows.alias("x")
+    y = band_rows.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sh = _shingle_index(docs, text_col, id_col, w)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b2 = sh.alias("b")
+    common = (
+        a.join(b2, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        candidates.join(common, ["id_a", "id_b"])
+        .join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """(id, simhash): sign-aggregated token-hash fingerprint.
+
+    Single explode + one groupBy with `bits` conditional sums — near-dup
+    docs land within small Hamming distance. Token multiplicity is kept
+    (frequency-weighted SimHash).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", md5_long(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    fingerprint = None
+    for i in range(bits):
+        term = F.when(F.col(f"s_{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select("id", fingerprint.alias("simhash"))

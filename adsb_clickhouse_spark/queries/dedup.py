@@ -1,1 +1,160 @@
-"""Placeholder — populated in a later milestone."""
+"""Dedup-operator queries over the `documents` table, each with an exact
+DuckDB oracle (cross-engine md5 hashing — functions/texttools.py).
+
+The sf0.01 documents table has no byte-identical rows, so the exact-dedup
+query runs on a corpus salted with known copies (doc_id+100000) — the
+operator is exercised with non-empty output in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.texttools import (
+    duck_salted_md5_long,
+    duck_tokens,
+    duck_word_shingles,
+)
+from ..operators import dedup as D
+from . import load_table, register
+
+_K, _BANDS, _W = 16, 4, 3
+
+_DUCK_CORPUS = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20"
+)
+
+_DUCK_SHINGLES = (
+    f"WITH docs AS (SELECT doc_id AS id, {duck_tokens('text')} AS toks FROM documents), "
+    f"sh AS (SELECT id, unnest({duck_word_shingles('toks', _W)}) AS shingle FROM docs)"
+)
+
+
+def _spark_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH corpus AS ({_DUCK_CORPUS}),
+    fp AS (SELECT doc_id, md5(text) AS f FROM corpus),
+    g AS (SELECT f, count(*) AS n_docs, min(doc_id) AS canonical_id
+          FROM fp GROUP BY f HAVING count(*) > 1)
+    SELECT g.f AS fingerprint, g.n_docs AS n_docs,
+           g.canonical_id AS canonical_id, fp.doc_id AS dup_id
+    FROM g JOIN fp ON fp.f = g.f AND fp.doc_id != g.canonical_id
+    ORDER BY fingerprint, dup_id
+    """,
+    doc="Exact dedup: md5-fingerprint hash-groupBy, min-id canonical.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _spark_corpus(spark, sf_dir)
+    groups = D.exact_duplicates(corpus)
+    return (
+        groups.select("fingerprint", "n_docs", "canonical_id", F.explode("doc_ids").alias("dup_id"))
+        .filter(F.col("dup_id") != F.col("canonical_id"))
+        .orderBy("fingerprint", "dup_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    {_DUCK_SHINGLES},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+               GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(c / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+    WHERE round(c / (sa.n + sb.n - c), 4) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc=(
+        "Near-dup via 3-word-shingle inverted index + exact Jaccard ≥ 0.5. "
+        "Candidate join touches only docs sharing a shingle (no O(n²))."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, w=_W, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _duck_minhash_sql() -> str:
+    sig_aggs = ", ".join(
+        f"min({duck_salted_md5_long('shingle', i)}) AS mh_{i}" for i in range(_K)
+    )
+    r = _K // _BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band, ".format(b=b)
+        + "||'_'||".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
+        + " AS band_key FROM sig"
+        for b in range(_BANDS)
+    )
+    return f"""
+    {_DUCK_SHINGLES},
+    sig AS (SELECT id, {sig_aggs} FROM sh GROUP BY id),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.band_key = y.band_key AND x.id < y.id),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+               GROUP BY 1, 2)
+    SELECT cand.id_a AS id_a, cand.id_b AS id_b,
+           round(c / (sa.n + sb.n - c), 4) AS jaccard
+    FROM cand JOIN common ON cand.id_a = common.id_a AND cand.id_b = common.id_b
+         JOIN sizes sa ON cand.id_a = sa.id JOIN sizes sb ON cand.id_b = sb.id
+    WHERE round(c / (sa.n + sb.n - c), 4) >= 0.5
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    _duck_minhash_sql(),
+    doc=(
+        "MinHash(k=16) + LSH(4 bands × 4 rows) candidates, verified with "
+        "exact Jaccard ≥ 0.5. The scale path: band join touches ~n·b rows."
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, k=_K, bands=_BANDS, w=_W, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _duck_simhash_sql(bits: int = 32) -> str:
+    from ..functions.texttools import duck_md5_long
+
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s_{i} > 0 THEN {2 ** i}::BIGINT ELSE 0 END)" for i in range(bits))
+    return f"""
+    WITH tok AS (SELECT doc_id AS id, unnest({duck_tokens('text')}) AS t FROM documents),
+    h AS (SELECT id, {duck_md5_long('t')} AS h FROM tok),
+    s AS (SELECT id, {sums} FROM h GROUP BY id)
+    SELECT id, {fp} AS simhash FROM s ORDER BY id
+    """
+
+
+@register(
+    "dedup_simhash",
+    _duck_simhash_sql(),
+    doc="32-bit frequency-weighted SimHash fingerprint per document.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, bits=32).orderBy("id")

@@ -1,1 +1,193 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over `documents`, with DuckDB oracles:
+language-ID (stopword heuristic), quality scoring, token counting,
+document fingerprinting. All array-function built-ins — a single
+projection pass over the corpus, no shuffle except final sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.texttools import duck_tokens, tokens
+from . import load_table, register
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "on", "for", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "im", "für"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "dans"],
+}
+_LANGS = ["en", "es", "de", "fr"]  # tie precedence
+
+
+def _duck_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _spark_list(words: list[str]):
+    return F.array(*[F.lit(w) for w in words])
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({duck_tokens('text')}) AS n_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(list_distinct({duck_tokens('text')})) AS n_unique_tokens,
+           round(length(text) / greatest(len({duck_tokens('text')}), 1), 4)
+             AS chars_per_token
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting: regex tokens, whitespace tokens, uniques, ratio.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.size(toks).alias("n_tokens"),
+            F.size(F.split(F.col("text"), " ", -1)).alias("n_ws_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+            F.round(
+                F.length("text") / F.greatest(F.size(toks), F.lit(1)), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _duck_langid_sql() -> str:
+    scores = ", ".join(
+        f"len(list_intersect(toks, {_duck_list(STOPWORDS[lg])})) AS s_{lg}"
+        for lg in _LANGS
+    )
+    pred = (
+        "CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en' "
+        "WHEN s_es >= s_de AND s_es >= s_fr THEN 'es' "
+        "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {duck_tokens('text')} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {scores} FROM t)
+    SELECT doc_id, lang AS labeled_lang, {pred} AS predicted_lang,
+           s_en, s_es, s_de, s_fr
+    FROM s ORDER BY doc_id
+    """
+
+
+@register(
+    "text_langid",
+    _duck_langid_sql(),
+    doc=(
+        "Language ID: distinct-stopword-hit scores per language, argmax "
+        "with fixed precedence. n-gram-free heuristic, one projection pass."
+    ),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.col("lang").alias("labeled_lang"), tokens(F.col("text")).alias("toks"))
+    for lg in _LANGS:
+        t = t.withColumn(f"s_{lg}", F.size(F.array_intersect(F.col("toks"), _spark_list(STOPWORDS[lg]))))
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    return (
+        t.select("doc_id", "labeled_lang", pred.alias("predicted_lang"), "s_en", "s_es", "s_de", "s_fr")
+        .orderBy("doc_id")
+    )
+
+
+def _duck_quality_sql() -> str:
+    en = _duck_list(STOPWORDS["en"])
+    return f"""
+    WITH t AS (SELECT doc_id, {duck_tokens('text')} AS toks, text FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 length(text) AS n_chars,
+                 len(list_filter(toks, x -> list_contains({en}, x))) AS n_stop,
+                 len(list_distinct(toks)) AS n_uniq
+          FROM t)
+    SELECT doc_id,
+           round(n_stop / greatest(n_tokens, 1), 4) AS stopword_ratio,
+           round(n_uniq / greatest(n_tokens, 1), 4) AS unique_ratio,
+           round(n_chars / greatest(n_tokens, 1), 4) AS mean_token_len,
+           round(least(n_tokens / 100.0, 1.0) * (0.5 + 0.5 * (n_uniq / greatest(n_tokens, 1))), 4)
+             AS quality_score
+    FROM m ORDER BY doc_id
+    """
+
+
+@register(
+    "text_quality",
+    _duck_quality_sql(),
+    doc=(
+        "Quality scoring: stopword ratio, lexical diversity, length "
+        "signals composed into a [0,1] score (Gopher/C4-style heuristics)."
+    ),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    en = _spark_list(STOPWORDS["en"])
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.filter(toks, lambda x: F.array_contains(en, x))).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    nt = F.greatest(F.col("n_tokens"), F.lit(1))
+    return (
+        m.select(
+            "doc_id",
+            F.round(F.col("n_stop") / nt, 4).alias("stopword_ratio"),
+            F.round(F.col("n_uniq") / nt, 4).alias("unique_ratio"),
+            F.round(F.col("n_chars") / nt, 4).alias("mean_token_len"),
+            F.round(
+                F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+                * (0.5 + 0.5 * (F.col("n_uniq") / nt)),
+                4,
+            ).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({duck_tokens('text')})), ' '))
+             AS bag_fingerprint,
+           md5(text) AS exact_fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Document fingerprinting: order-insensitive bag-of-words md5 "
+        "(catches shuffled near-dups) + exact md5."
+    ),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("bag_fingerprint"),
+            F.md5("text").alias("exact_fingerprint"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,114 @@
+"""Training-data-pipeline operators: dedup family, similarity search,
+multimodal plumbing — planted-duplicate fixtures with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adsb_clickhouse_spark.operators import dedup as D
+from adsb_clickhouse_spark.operators import multimodal as M
+from adsb_clickhouse_spark.operators import similarity as S
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "completely different content about spark query engines and shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "tokenizer quality filters and language identification heuristics"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    out = D.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["canonical_id"] == 0 and out[0]["doc_ids"] == [0, 3]
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and (0, 3) in pairs and (1, 3) in pairs
+    assert all(2 not in p and 4 not in p for p in pairs)
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(spark, docs):
+    lsh = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # exact dup pairs always collide in every band
+    assert (0, 3) in lsh
+    # verified output is a subset of true-jaccard pairs
+    true = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert lsh <= true
+
+
+def test_simhash_near_dup_small_hamming(spark, docs):
+    fp = {r["id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert fp[0] == fp[3]                    # identical docs, identical fingerprint
+    assert ham(fp[0], fp[1]) <= 6            # near-dup: small distance
+    assert ham(fp[0], fp[2]) > ham(fp[0], fp[1])  # unrelated: farther
+
+
+@pytest.fixture()
+def vectors(spark):
+    import random
+
+    rng = random.Random(0)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(5)]
+    rows = []
+    for vid in range(40):
+        c = base[vid % 5]
+        rows.append((vid, [x + rng.uniform(-0.05, 0.05) for x in c]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_knn_bruteforce_finds_cluster_mates(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = S.knn_bruteforce(vectors, q, k=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    # nearest neighbors of vec 0 share its cluster (id % 5 == 0)
+    assert all(r["neighbor_id"] % 5 == 0 for r in out)
+
+
+def test_ann_lsh_recall_against_bruteforce(spark, vectors):
+    q = vectors.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in S.knn_bruteforce(vectors, q, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in S.ann_lsh(vectors, q, k=3, n_planes=4, dim=16).collect()}
+    # tight clusters + few planes → candidates land in the query's bucket
+    assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_cosine_near_dup_pairs_threshold(spark, vectors):
+    out = S.cosine_near_dup_pairs(vectors, threshold=0.95)
+    rows = out.collect()
+    assert all(r["cos_sim"] >= 0.95 for r in rows)
+    assert all(r["id_a"] % 5 == r["id_b"] % 5 for r in rows)  # same cluster only
+
+
+def test_multimodal_decode_batch_plumbing(spark):
+    rows = [(i, bytes([i + 1]) * (10 + i), "image", "fake") for i in range(20)]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.decode_media(media).collect()}
+    assert len(out) == 20
+    assert out[0]["n_bytes"] == 10 and out[0]["width"] == 7 and out[0]["height"] == 130 % 512
+    # null payload tolerated
+    null_media = spark.createDataFrame([(99, None, "image", "fake")], M.MEDIA_SCHEMA)
+    r = M.decode_media(null_media).first()
+    assert r["n_bytes"] == 0 and r["width"] == 0
+
+
+def test_multimodal_frame_sampling(spark):
+    media = spark.createDataFrame([(1, b"x" * 25, "video", "fake")], M.MEDIA_SCHEMA)
+    frames = M.sample_frames(media, every_n=10).collect()
+    assert [(f["frame_idx"], f["frame_bytes"]) for f in sorted(frames, key=lambda f: f["frame_idx"])] == [
+        (0, 10), (1, 10), (2, 5),
+    ]
+
+
+def test_pillow_backend_gated(spark):
+    with pytest.raises(NotImplementedError):
+        M.PillowBackend()
