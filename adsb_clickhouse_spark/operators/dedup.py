@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.texttools import md5_long, salted_md5_long, tokens, word_shingles
+from ..functions.texttools import md5_long, tokens, word_shingles
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -74,6 +74,9 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_freq)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    # the index feeds three consumers (sizes + both self-join sides):
+    # materialize once instead of re-running tokenize+shingle per consumer
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -94,6 +97,23 @@ def ngram_jaccard_pairs(
     )
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1; products stay < 2^63 in both engines
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) universal-hash constants, derived from md5 in
+    pure python so the DuckDB oracle can inline identical literals."""
+    import hashlib
+
+    params = []
+    for i in range(k):
+        h = hashlib.md5(f"minhash:{i}".encode()).hexdigest()
+        a = (int(h[:8], 16) % (MINHASH_PRIME - 1)) + 1
+        b = int(h[8:16], 16) % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,
@@ -102,14 +122,18 @@ def minhash_signatures(
     k: int = 16,
     w: int = 3,
 ) -> DataFrame:
-    """(id, minhash_0..k-1): min over shingles of k salted 60-bit hashes.
+    """(id, minhash_0..k-1): min over shingles of k universal hashes.
 
-    One explode + one groupBy with k min() aggregates — map-side partials
-    make this a single cheap shuffle regardless of document size.
+    md5 is computed ONCE per shingle (the expensive part); the k
+    permutations are cheap integer arithmetic h_i = (a_i·h + b_i) mod p —
+    one explode + one groupBy with k min() aggregates, map-side partials.
     """
-    sh = _shingle_index(docs, text_col, id_col, w)
+    sh = _shingle_index(docs, text_col, id_col, w).withColumn(
+        "h", md5_long(F.col("shingle")) % MINHASH_PRIME
+    )
     aggs = [
-        F.min(salted_md5_long(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(k)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
     ]
     return sh.groupBy("id").agg(*aggs)
 
@@ -132,7 +156,13 @@ def minhash_lsh_pairs(
     among LSH candidates.
     """
     r = k // bands
-    sig = minhash_signatures(docs, text_col=text_col, id_col=id_col, k=k, w=w).persist()
+    sh = _shingle_index(docs, text_col, id_col, w).persist()
+    hashed = sh.withColumn("h", md5_long(F.col("shingle")) % MINHASH_PRIME)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
+    sig = hashed.groupBy("id").agg(*aggs)
     band_rows = None
     for b in range(bands):
         key = F.concat_ws("_", *[F.col(f"mh_{b * r + j}") for j in range(r)])
@@ -152,7 +182,6 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sh = _shingle_index(docs, text_col, id_col, w)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b2 = sh.alias("b")

@@ -96,10 +96,19 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
-    """Bucket id: bit p = (dot(vec, plane_p) >= 0)."""
+    """Bucket id: bit p = (dot(vec, plane_p) >= 0).
+
+    Planes are ±1, so each dot is a plain signed sum of elements — an
+    explicit add chain that whole-stage codegen compiles, an order of
+    magnitude faster than a higher-order-function fold (and the exact
+    expression the DuckDB oracle uses, same left-to-right order)."""
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        dot = _dot(vec, F.array(*[F.lit(float(v)) for v in plane]))
+        dot = None
+        for d, w in enumerate(plane):
+            term = F.element_at(vec, d + 1)
+            term = term if w > 0 else -term
+            dot = term if dot is None else dot + term
         bucket = bucket + F.when(dot >= 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
 

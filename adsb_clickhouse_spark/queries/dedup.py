@@ -11,11 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.texttools import (
-    duck_salted_md5_long,
-    duck_tokens,
-    duck_word_shingles,
-)
+from ..functions.texttools import duck_md5_long, duck_tokens, duck_word_shingles
 from ..operators import dedup as D
 from . import load_table, register
 
@@ -89,8 +85,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_minhash_sql() -> str:
+    from ..operators.dedup import MINHASH_PRIME, minhash_params
+
     sig_aggs = ", ".join(
-        f"min({duck_salted_md5_long('shingle', i)}) AS mh_{i}" for i in range(_K)
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(_K))
     )
     r = _K // _BANDS
     band_selects = " UNION ALL ".join(
@@ -101,7 +100,8 @@ def _duck_minhash_sql() -> str:
     )
     return f"""
     {_DUCK_SHINGLES},
-    sig AS (SELECT id, {sig_aggs} FROM sh GROUP BY id),
+    hashed AS (SELECT id, {duck_md5_long('shingle')} % {MINHASH_PRIME} AS h FROM sh),
+    sig AS (SELECT id, {sig_aggs} FROM hashed GROUP BY id),
     bands AS ({band_selects}),
     cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
              FROM bands x JOIN bands y

@@ -1,0 +1,81 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology: one JVM warm-up action, then each headline query measured
+once end-to-end (plan → execute → collect). `value` is the sum of
+per-query wall times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference dashboard semantics (SURVEY §3.2/§3.3)
+    "adsb_latest_per_key",
+    "adsb_latest_view_freshness",
+    "adsb_stride_sample",
+    "adsb_union_fan_in",
+    "adsb_minute_rollup",
+    "adsb_sessionize",
+    # general relational engine
+    "q01_pricing_summary",
+    "q03_order_revenue",
+    "q05_region_revenue",
+    "q_top3_orders_per_customer",
+    "q_asof_last_error_before_purchase",
+    "q_rollup_order_priority",
+    # training-data pipeline
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_knn_bruteforce",
+    "sim_ann_lsh",
+    "text_quality",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from adsb_clickhouse_spark import queries as q
+    from adsb_clickhouse_spark.session import get_spark
+
+    q.load_all()
+    spark = get_spark("bench")
+    # JVM / codegen warm-up (excluded from timings)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = q.REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.spark(spark, sf_dir)
+        n = df.count() if name not in () else len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        del n
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
