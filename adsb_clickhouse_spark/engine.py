@@ -1,0 +1,161 @@
+"""AdsbEngine — the user-facing surface.
+
+A user of the reference talks to a ClickHouse database named ``adsb``
+whose tables/views are created by ``schema/*.sql`` and queried by the
+Grafana dashboards (``dashboards/examples/*.json``). This class
+reproduces that surface on Spark:
+
+- the same logical names (``positions_local``, ``positions_local_dist``,
+  ``positions_<source>_latest``, ``positions_global_combined_latest``)
+  registered as temp views, so the dashboards' rawSql runs through
+  ``spark.sql`` nearly verbatim (``_dist`` is an alias — every Spark
+  DataFrame is already distributed, SURVEY.md §2.1 S4);
+- ingestion entry points (batch and streaming) running the MV cascade;
+- the dashboard query set from §3.2/§3.3 as methods.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import SOURCES, SourceConfig
+from .operators.latest import latest_view, stride_sample
+from .plans import tables
+from .streaming.pipeline import IngestPipeline
+
+
+class AdsbEngine:
+    def __init__(self, spark: SparkSession, base_dir: str, *, now: datetime | None = None):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.now = now
+        self.pipelines: dict[str, IngestPipeline] = {
+            name: IngestPipeline(cfg, base_dir, now=now) for name, cfg in SOURCES.items()
+        }
+
+    # -- ingestion ---------------------------------------------------------
+
+    def ingest_batch(self, source: str, raw: DataFrame) -> None:
+        """One scraper batch through the full MV cascade."""
+        self.pipelines[source].process_batch(raw)
+
+    def start_stream(self, source: str, raw_stream: DataFrame):
+        pipe = self.pipelines[source]
+        return pipe.start(raw_stream, os.path.join(self.base_dir, source, "checkpoint"))
+
+    # -- the reference's database surface ----------------------------------
+
+    def register_views(self) -> list[str]:
+        """Register every reference table/view name that has data on disk."""
+        registered = []
+        now_col = F.lit(self.now).cast("timestamp") if self.now else None
+        for name, pipe in self.pipelines.items():
+            cfg = SOURCES[name]
+            if os.path.isdir(pipe.history_path):
+                hist = tables.read_history(self.spark, pipe.history_path)
+                hist.createOrReplaceTempView(f"positions_{name}")
+                hist.createOrReplaceTempView(f"positions_{name}_dist")
+                registered += [f"positions_{name}", f"positions_{name}_dist"]
+            if os.path.isdir(pipe.state_path):
+                state = tables.read_state(self.spark, pipe.state_path)
+                state.createOrReplaceTempView(f"positions_{name}_replacing")
+                lv = latest_view(state, freshness=cfg.freshness, now=now_col)
+                lv.createOrReplaceTempView(f"positions_{name}_latest")
+                registered += [f"positions_{name}_replacing", f"positions_{name}_latest"]
+        combined_path = os.path.join(self.base_dir, "combined", "state")
+        if os.path.isdir(combined_path):
+            comb = tables.read_state(self.spark, combined_path)
+            comb.createOrReplaceTempView("positions_global_combined_test")
+            latest_view(comb, freshness="5 minutes", now=now_col).createOrReplaceTempView(
+                "positions_global_combined_latest"
+            )
+            registered += ["positions_global_combined_test", "positions_global_combined_latest"]
+        return registered
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # -- dashboard query set (SURVEY §3.2/§3.3) ----------------------------
+
+    def current_positions(self, source: str = "global_stream", *, moving_only: bool = True) -> DataFrame:
+        """Geomap panel query (Current_Positions_Global_Stream.json rawSql):
+        latest per aircraft, optionally moving only, z-ordered by altitude."""
+        cfg = SOURCES[source]
+        pipe = self.pipelines[source]
+        now_col = F.lit(self.now).cast("timestamp") if self.now else None
+        state = tables.read_state(self.spark, pipe.state_path)
+        lv = latest_view(state, freshness=cfg.freshness, now=now_col)
+        if moving_only:
+            lv = lv.filter(F.col("ground_speed") > 0)
+        return lv.orderBy("alt_baro")
+
+
+    def nearest_aircraft(self, *, source: str = "local") -> DataFrame:
+        """Nearest-aircraft table (Current_Positions_Local.json:526):
+        ORDER BY distance ASC over the latest view."""
+        cfg = SOURCES[source]
+        pipe = self.pipelines[source]
+        now_col = F.lit(self.now).cast("timestamp") if self.now else None
+        state = tables.read_state(self.spark, pipe.state_path)
+        return (
+            latest_view(state, freshness=cfg.freshness, now=now_col)
+            .select(
+                F.col("distance").alias("Distance"),
+                F.col("direction").alias("Direction"),
+                F.col("callsign").alias("Callsign"),
+                F.col("alt_baro").alias("Altitude"),
+                F.col("ground_speed").alias("Knots"),
+                F.col("track").alias("Heading"),
+                F.col("registration").alias("Registration"),
+                F.col("aircraft_type").alias("Type"),
+                F.col("description").alias("Description"),
+            )
+            .orderBy("Distance")
+        )
+
+    def trajectory(
+        self,
+        *,
+        source: str = "local",
+        time_from: datetime,
+        time_to: datetime,
+        stride: int | None = None,
+        moving_only: bool = False,
+    ) -> DataFrame:
+        """Flight-history time-range scan (§3.3): the $__timeFilter range
+        hits the scrape_date partition column first → partition pruning,
+        then parquet min/max skipping on scrape_time within partitions."""
+        pipe = self.pipelines[source]
+        hist = tables.read_history(self.spark, pipe.history_path)
+        out = hist.filter(
+            (F.col("scrape_date") >= F.lit(time_from.date().isoformat()))
+            & (F.col("scrape_date") <= F.lit(time_to.date().isoformat()))
+            & (F.col("scrape_time") >= F.lit(time_from))
+            & (F.col("scrape_time") <= F.lit(time_to))
+        )
+        if moving_only:
+            out = out.filter(F.col("ground_speed") > 0)
+        out = out.select(
+            F.col("scrape_time").alias("time"), "icao24", "lat", "lon", "alt_baro"
+        ).orderBy("time")
+        if stride:
+            out = stride_sample(out, stride, ["time", "icao24"])
+        return out
+
+    # -- maintenance (SURVEY §4: TTL + compaction jobs) --------------------
+
+    def run_maintenance(self) -> dict[str, list[str]]:
+        dropped = {}
+        for name, pipe in self.pipelines.items():
+            cfg = SOURCES[name]
+            dropped[name] = tables.expire_history(
+                self.spark,
+                pipe.history_path,
+                ttl_days=cfg.history_ttl_days,
+                now=self.now.date() if self.now else None,
+            )
+        return dropped

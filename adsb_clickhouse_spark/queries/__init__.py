@@ -60,5 +60,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all() -> None:
     """Import every query module so REGISTRY is fully populated."""
-    for mod in ("relational", "adsb", "dedup", "similarity", "text", "multimodal"):
+    for mod in (
+        "relational",
+        "relational2",
+        "adsb",
+        "dedup",
+        "similarity",
+        "text",
+        "multimodal",
+    ):
         importlib.import_module(f"{__name__}.{mod}")

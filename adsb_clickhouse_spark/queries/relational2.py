@@ -1,0 +1,296 @@
+"""Relational corpus, batch 2: ranking windows, subquery shapes, scalar
+function families (string/date/conditional), cube grouping, ordered array
+aggregation, argmin/argmax. Completes the general-SQL-engine surface that
+ClickHouse gave the reference for free (SURVEY.md §2.3-§2.8 notes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load_table, register
+
+
+@register(
+    "q_rank_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="rank / dense_rank / ntile ranking windows.",
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderpriority", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w2).alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "q_lead_first_last",
+    """
+    SELECT o_custkey, o_orderkey,
+           lead(o_orderkey) OVER w AS next_order,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="lead / first_value / last_value analytics with explicit frames.",
+)
+def q_lead_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lead("o_orderkey").over(w).alias("next_order"),
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(wfull).alias("last_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "q_cube_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="CUBE grouping sets.",
+)
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+    doc="Uncorrelated scalar subquery in a predicate.",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_o = load_table(spark, sf_dir, "orders")
+    spark_o.createOrReplaceTempView("__orders_scalar")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM __orders_scalar
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM __orders_scalar)
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 50
+        """
+    )
+
+
+@register(
+    "q_correlated_exists",
+    """
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > 0 AND EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > c.c_acctbal * 100)
+    ORDER BY c.c_custkey
+    """,
+    doc="Correlated EXISTS with a non-equi inner predicate.",
+)
+def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__cust_ce")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__ord_ce")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_acctbal
+        FROM __cust_ce c
+        WHERE c.c_acctbal > 0 AND EXISTS (
+            SELECT 1 FROM __ord_ce o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > c.c_acctbal * 100)
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@register(
+    "q_string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 5) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_snake,
+           concat(p_brand, ':', p_type) AS brand_type,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS is_green,
+           split_part(p_type, ' ', 1) AS type_head,
+           reverse(p_brand) AS brand_rev,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+    FROM part
+    ORDER BY p_partkey
+    """,
+    doc="String scalar-function family (F2/F3 generalized).",
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_name", 1, 5).alias("name_prefix"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("is_green"),
+            F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+            F.reverse("p_brand").alias("brand_rev"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q_date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="Date/interval scalar family (F8-F10/F18 generalized). DuckDB dayofweek is Sunday=0, Spark Sunday=1 — the oracle adds 1.",
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias("qtr_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("date").alias("due_date"),
+            F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")).alias("days_to_y2k"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_argmax_argmin",
+    """
+    SELECT o_custkey,
+           max_by(o_orderkey, o_totalprice ORDER BY o_orderkey) AS biggest_order,
+           min_by(o_orderkey, o_totalprice ORDER BY o_orderkey) AS smallest_order,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    doc="max_by/min_by argmax aggregates — the A1 dedup primitive as plain SQL.",
+)
+def q_argmax_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # deterministic under price ties: arg carries (price, orderkey) pairs
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.expr("max_by(o_orderkey, struct(o_totalprice, -o_orderkey))").alias("biggest_order"),
+            F.expr("min_by(o_orderkey, struct(o_totalprice, -o_orderkey))").alias("smallest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "q_ordered_array_agg",
+    """
+    SELECT user_id,
+           list(event_type ORDER BY ts, event_id) AS event_seq,
+           array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Order-preserving array aggregation (funnel/path analysis shape).",
+)
+def q_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type").isin("signup", "purchase"))
+    seq = F.expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(seq.alias("event_seq"))
+        .select("user_id", "event_seq", F.array_join("event_seq", ">").alias("path"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_conditional_agg_having",
+    """
+    SELECT event_type,
+           round(avg(CASE WHEN value > 100 THEN value END), 4) AS avg_big,
+           round(coalesce(sum(CASE WHEN value <= 100 THEN value END), 0), 2) AS sum_small,
+           count(CASE WHEN value IS NULL THEN 1 END) AS n_null
+    FROM events
+    GROUP BY event_type
+    HAVING count(*) > 10
+    ORDER BY event_type
+    """,
+    doc="Conditional aggregation + HAVING (F1/F5 shapes inside aggregates).",
+)
+def q_conditional_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.when(F.col("value") > 100, F.col("value"))), 4).alias("avg_big"),
+            F.round(
+                F.coalesce(F.sum(F.when(F.col("value") <= 100, F.col("value"))), F.lit(0)), 2
+            ).alias("sum_small"),
+            F.count(F.when(F.col("value").isNull(), 1)).alias("n_null"),
+            F.count("*").alias("__n"),
+        )
+        .filter(F.col("__n") > 10)
+        .drop("__n")
+        .orderBy("event_type")
+    )

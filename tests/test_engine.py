@@ -1,0 +1,88 @@
+"""AdsbEngine facade: the reference's database surface on Spark — view
+names from schema/*.sql, dashboard rawSql via spark.sql, maintenance."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from adsb_clickhouse_spark.config import SOURCES
+from adsb_clickhouse_spark.engine import AdsbEngine
+from adsb_clickhouse_spark.sources.fixtures import raw_batch
+
+NOW = datetime(2026, 1, 15, 12, 0, 0)
+
+
+@pytest.fixture()
+def engine(spark, tmp_base):
+    eng = AdsbEngine(spark, tmp_base, now=NOW)
+    for name, cfg in SOURCES.items():
+        eng.ingest_batch(name, raw_batch(spark, cfg, n_aircraft=15, n_scrapes=2))
+    eng.register_views()
+    return eng
+
+
+def test_reference_view_names_queryable(engine):
+    for view in [
+        "positions_local",
+        "positions_local_dist",
+        "positions_local_latest",
+        "positions_regional_latest",
+        "positions_global_stream_latest",
+        "positions_global_opensky_latest",
+        "positions_global_combined_latest",
+    ]:
+        assert engine.sql(f"SELECT count(*) AS n FROM {view}").first()["n"] >= 0
+
+
+def test_dashboard_rawsql_runs_verbatim(engine):
+    """The geomap panel SQL from Current_Positions_Global_Stream.json
+    (minus the ClickHouse db qualifier) must run unchanged."""
+    out = engine.sql(
+        """
+        SELECT icao24, lat, lon, scrape_time, callsign, alt_baro, track, ground_speed
+        FROM positions_global_stream_latest
+        WHERE ground_speed > 0
+        ORDER BY alt_baro ASC
+        """
+    ).collect()
+    assert len(out) > 0
+    alts = [r["alt_baro"] for r in out]
+    assert alts == sorted(alts)
+
+
+def test_current_positions_one_row_per_aircraft(engine):
+    out = engine.current_positions("global_stream").collect()
+    keys = [r["icao24"] for r in out]
+    assert len(keys) == len(set(keys)) > 0
+
+
+def test_nearest_aircraft_sorted_by_distance(engine):
+    out = engine.nearest_aircraft(source="local").collect()
+    d = [r["Distance"] for r in out]
+    assert d == sorted(d)
+
+
+def test_trajectory_time_range_and_stride(engine):
+    full = engine.trajectory(
+        source="local",
+        time_from=NOW - timedelta(minutes=5),
+        time_to=NOW,
+    ).collect()
+    assert len(full) > 0
+    assert all(NOW - timedelta(minutes=5) <= r["time"] <= NOW for r in full)
+    sampled = engine.trajectory(
+        source="local",
+        time_from=NOW - timedelta(minutes=5),
+        time_to=NOW,
+        stride=4,
+    ).collect()
+    assert len(sampled) == (len(full) + 3) // 4
+
+
+def test_maintenance_respects_per_source_ttl(engine, spark):
+    dropped = engine.run_maintenance()
+    # all fixture data is recent → nothing dropped anywhere
+    assert all(v == [] for v in dropped.values())
