@@ -146,6 +146,31 @@ class AdsbEngine:
             out = stride_sample(out, stride, ["time", "icao24"])
         return out
 
+    # -- system/metadata scans (SURVEY §2.1 S7) ----------------------------
+
+    def table_stats(self) -> DataFrame:
+        """Per-table row/partition/file/byte counts — the
+        `system.parts` validation queries of the deploy playbook
+        (adsb-ansible/playbooks/07-validate-deployment.yml:85-110)."""
+        rows = []
+        for name, pipe in self.pipelines.items():
+            for kind, path in [("history", pipe.history_path), ("state", pipe.state_path)]:
+                n_rows = n_parts = n_files = n_bytes = 0
+                if os.path.isdir(path):
+                    df = self.spark.read.parquet(path)
+                    n_rows = df.count()
+                    for root, _dirs, files in os.walk(path):
+                        pq = [f for f in files if f.endswith(".parquet")]
+                        n_files += len(pq)
+                        n_bytes += sum(os.path.getsize(os.path.join(root, f)) for f in pq)
+                    n_parts = len(
+                        [e for e in os.listdir(path) if e.startswith(tables.PARTITION_COL + "=")]
+                    )
+                rows.append((f"positions_{name}", kind, n_rows, n_parts, n_files, n_bytes))
+        return self.spark.createDataFrame(
+            rows, "table string, kind string, rows long, partitions int, files int, bytes long"
+        )
+
     # -- maintenance (SURVEY §4: TTL + compaction jobs) --------------------
 
     def run_maintenance(self) -> dict[str, list[str]]:

@@ -54,6 +54,15 @@ def _shingle_index(docs: DataFrame, text_col: str, id_col: str, w: int) -> DataF
     )
 
 
+def _shingle_sizes(docs: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
+    """|shingle-set| per doc straight from the array length — no explode,
+    no shuffle (shingles are already distinct within a doc)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(word_shingles(tokens(F.col(text_col)), w)).alias("n"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,
@@ -74,10 +83,9 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_freq)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    # the index feeds three consumers (sizes + both self-join sides):
-    # materialize once instead of re-running tokenize+shingle per consumer
+    # the index feeds both self-join sides: materialize once
     sh = sh.persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    sizes = _shingle_sizes(docs, text_col, id_col, w)
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -182,7 +190,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    sizes = _shingle_sizes(docs, text_col, id_col, w)
     a = sh.alias("a")
     b2 = sh.alias("b")
     common = (

@@ -294,3 +294,35 @@ def q_conditional_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__n")
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_approx_aggregates",
+    None,  # sketch internals are engine-specific — rows-only check by design
+    doc=(
+        "Approximate aggregates (HLL distinct, quantile sketch): "
+        "approx_count_distinct within 5% of exact, percentile_approx "
+        "bracketing the exact median. No oracle: DuckDB's sketches differ "
+        "bit-wise; the query instead asserts its own error bounds "
+        "(approx vs exact computed in the same plan) and returns the "
+        "violations — correct output is the empty violation set plus a "
+        "summary row."
+    ),
+)
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5).alias("approx_p50"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    return agg.select(
+        "event_type",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users") <= 0.05)
+        .alias("hll_within_5pct"),
+        ((F.col("approx_p50") >= F.col("lo")) & (F.col("approx_p50") <= F.col("hi")))
+        .alias("p50_in_range"),
+    ).orderBy("event_type")

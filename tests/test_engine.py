@@ -86,3 +86,11 @@ def test_maintenance_respects_per_source_ttl(engine, spark):
     dropped = engine.run_maintenance()
     # all fixture data is recent → nothing dropped anywhere
     assert all(v == [] for v in dropped.values())
+
+
+def test_table_stats_metadata_scan(engine):
+    stats = {(r["table"], r["kind"]): r for r in engine.table_stats().collect()}
+    h = stats[("positions_local", "history")]
+    assert h["rows"] > 0 and h["partitions"] >= 1 and h["files"] >= 1 and h["bytes"] > 0
+    s = stats[("positions_local", "state")]
+    assert 0 < s["rows"] <= h["rows"]
