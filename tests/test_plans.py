@@ -1,0 +1,62 @@
+"""Plan-quality regression tests: the physical plans we shipped are the
+plans we keep — filter pushdown, column pruning, broadcast joins, no
+Python eval on hot paths, partition pruning on history scans."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from adsb_clickhouse_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    Q.load_all()
+    return Q.REGISTRY[name].spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushed_and_columns_pruned(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # only the 7 needed columns are read, not all 11
+    read = plan.split("ReadSchema: struct<")[1].split(">")[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_q05_joins_are_broadcast(spark):
+    plan = _plan(spark, "q05_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_python_eval_on_relational_paths(spark):
+    for name in ["q01_pricing_summary", "q03_order_revenue", "adsb_latest_per_key",
+                 "dedup_simhash", "text_quality", "sim_knn_bruteforce"]:
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, name
+
+
+def test_latest_per_key_uses_partial_aggregation(spark):
+    plan = _plan(spark, "adsb_latest_per_key")
+    # max_by strategy → two-phase hash aggregate (partial + final), so the
+    # shuffle carries one row per key per map task, not the raw stream
+    assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2
+
+
+def test_history_scan_prunes_partitions(spark, tmp_base):
+    from adsb_clickhouse_spark.plans import tables
+
+    now = datetime(2026, 1, 15, 12, 0, 0)
+    rows = [("a", now - timedelta(days=d), d) for d in range(5)]
+    df = spark.createDataFrame(rows, "icao24 string, scrape_time timestamp, v int")
+    tables.append_history(df, tmp_base + "/hist")
+    scan = tables.read_history(spark, tmp_base + "/hist").filter(
+        F.col("scrape_date") == "2026-01-15"
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(scrape_date" in plan
+    # pruned scan reads exactly one of the five day-partitions
+    assert scan.count() == 1
