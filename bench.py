@@ -64,6 +64,28 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         del n
     total = round(sum(timings.values()), 3)
+
+    # ingest throughput through the full MV cascade (history + state +
+    # combined), comparable to the reference's ~550-830 rows/s envelope
+    # (BASELINE.md "Sustained ingest volume")
+    import tempfile
+
+    from adsb_clickhouse_spark.config import GLOBAL_STREAM
+    from adsb_clickhouse_spark.sources.fixtures import raw_batch
+    from adsb_clickhouse_spark.streaming.pipeline import IngestPipeline
+
+    raw = raw_batch(
+        spark, GLOBAL_STREAM, n_aircraft=12000, n_scrapes=2, with_edges=False
+    ).persist()
+    n_rows = raw.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        pipe = IngestPipeline(GLOBAL_STREAM, tmp)
+        t0 = time.perf_counter()
+        pipe.process_batch(raw)
+        ingest_s = time.perf_counter() - t0
+    raw.unpersist()
+    ingest_rate = round(n_rows / ingest_s, 1)
+
     print(
         json.dumps(
             {
@@ -72,6 +94,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest_rows_per_sec": ingest_rate,
+                "ingest_rows": n_rows,
             }
         )
     )
