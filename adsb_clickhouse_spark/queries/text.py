@@ -191,3 +191,83 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _duck_winnow_sql(k: int = 8, w: int = 4) -> str:
+    from ..functions.texttools import duck_md5_long
+
+    grams = f"list_transform(range(1, greatest(length(text) - {k} + 1, 1) + 1), i -> substr(text, i, {k}))"
+    hashes = f"list_transform({grams}, g -> {duck_md5_long('g')})"
+    minima = (
+        f"list_transform(range(1, greatest(len(h) - {w} + 1, 1) + 1), "
+        f"i -> list_aggregate(h[i : i + {w - 1}], 'min'))"
+    )
+    return f"""
+    WITH g AS (SELECT doc_id, {hashes} AS h FROM documents),
+    fp AS (SELECT doc_id, list_sort(list_distinct({minima})) AS fps FROM g)
+    SELECT doc_id, unnest(fps) AS fingerprint FROM fp
+    ORDER BY doc_id, fingerprint
+    """
+
+
+@register(
+    "text_winnow_fingerprint",
+    _duck_winnow_sql(),
+    doc=(
+        "Winnowing document fingerprint (Schleimer et al.): rolling "
+        "character 8-gram hashes, minimum per 4-hash window, distinct "
+        "minima as the fingerprint set. Local-alignment near-dup "
+        "detection that survives insertions/reorderings; array builtins "
+        "only, one projection pass."
+    ),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texttools import md5_long
+
+    k, w = 8, 4
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
+        lambda i: F.substring(F.col("text"), i, k),
+    )
+    hashes = F.transform(grams, lambda g: md5_long(g))
+    h = d.select("doc_id", hashes.alias("h"))
+    minima = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("h") - (w - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("h"), i, w)),
+    )
+    return (
+        h.select("doc_id", F.explode(F.array_sort(F.array_distinct(minima))).alias("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
+@register(
+    "text_bpe_ish_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
+           len(regexp_extract_all(text, '[^a-z0-9\s]')) AS n_symbol_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc=(
+        "BPE-ish pre-tokenization counts: alpha runs, digit runs, and "
+        "single symbols as separate tokens (GPT-2-style pre-tokenizer "
+        "shape), pure regex — the token-budget estimator for corpus "
+        "planning."
+    ),
+)
+def text_bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bpe = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe), 0)).alias("n_bpe_tokens"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias("n_number_tokens"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9\s]"), 0)).alias("n_symbol_tokens"),
+        )
+        .orderBy("doc_id")
+    )
