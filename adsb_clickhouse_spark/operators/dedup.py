@@ -54,6 +54,19 @@ def _shingle_index(docs: DataFrame, text_col: str, id_col: str, w: int) -> DataF
     )
 
 
+def _hashed_shingle_index(docs: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
+    """(id, h) inverted index over 60-bit shingle hashes. The self-join
+    shuffles 8-byte longs instead of ~20-byte strings; 2^60 keyspace makes
+    collisions negligible (and the DuckDB oracle hashes identically, so
+    any collision would affect both engines the same way)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(word_shingles(tokens(F.col(text_col)), w), md5_long)
+        ).alias("h"),
+    )
+
+
 def _shingle_sizes(docs: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
     """|shingle-set| per doc straight from the array length — no explode,
     no shuffle (shingles are already distinct within a doc)."""
@@ -79,17 +92,17 @@ def ngram_jaccard_pairs(
     docs before the join (skew control at scale; exactness is preserved
     only for pairs sharing at least one surviving shingle).
     """
-    sh = _shingle_index(docs, text_col, id_col, w)
+    sh = _hashed_shingle_index(docs, text_col, id_col, w)
     if max_shingle_freq is not None:
-        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_freq)
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+        hot = sh.groupBy("h").count().filter(F.col("count") > max_shingle_freq)
+        sh = sh.join(F.broadcast(hot.select("h")), "h", "left_anti")
     # the index feeds both self-join sides: materialize once
     sh = sh.persist()
     sizes = _shingle_sizes(docs, text_col, id_col, w)
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("common"))
     )
@@ -164,8 +177,8 @@ def minhash_lsh_pairs(
     among LSH candidates.
     """
     r = k // bands
-    sh = _shingle_index(docs, text_col, id_col, w).persist()
-    hashed = sh.withColumn("h", md5_long(F.col("shingle")) % MINHASH_PRIME)
+    sh = _hashed_shingle_index(docs, text_col, id_col, w).persist()
+    hashed = sh.withColumn("h", F.col("h") % MINHASH_PRIME)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_params(k))
@@ -194,7 +207,7 @@ def minhash_lsh_pairs(
     a = sh.alias("a")
     b2 = sh.alias("b")
     common = (
-        a.join(b2, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b2, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("common"))
     )

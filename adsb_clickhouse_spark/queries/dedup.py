@@ -24,7 +24,8 @@ _DUCK_CORPUS = (
 
 _DUCK_SHINGLES = (
     f"WITH docs AS (SELECT doc_id AS id, {duck_tokens('text')} AS toks FROM documents), "
-    f"sh AS (SELECT id, unnest({duck_word_shingles('toks', _W)}) AS shingle FROM docs)"
+    f"sh AS (SELECT id, unnest(list_transform({duck_word_shingles('toks', _W)}, "
+    f"s -> {duck_md5_long('s')})) AS h FROM docs)"
 )
 
 
@@ -66,7 +67,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_DUCK_SHINGLES},
     sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
     common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+               FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id
                GROUP BY 1, 2)
     SELECT id_a, id_b,
            round(c / (sa.n + sb.n - c), 4) AS jaccard
@@ -100,7 +101,7 @@ def _duck_minhash_sql() -> str:
     )
     return f"""
     {_DUCK_SHINGLES},
-    hashed AS (SELECT id, {duck_md5_long('shingle')} % {MINHASH_PRIME} AS h FROM sh),
+    hashed AS (SELECT id, h % {MINHASH_PRIME} AS h FROM sh),
     sig AS (SELECT id, {sig_aggs} FROM hashed GROUP BY id),
     bands AS ({band_selects}),
     cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
@@ -108,7 +109,7 @@ def _duck_minhash_sql() -> str:
                ON x.band = y.band AND x.band_key = y.band_key AND x.id < y.id),
     sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
     common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+               FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id
                GROUP BY 1, 2)
     SELECT cand.id_a AS id_a, cand.id_b AS id_b,
            round(c / (sa.n + sb.n - c), 4) AS jaccard
