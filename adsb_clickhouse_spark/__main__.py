@@ -1,0 +1,84 @@
+"""CLI: `python -m adsb_clickhouse_spark <cmd>`.
+
+Commands:
+  demo      fixtures → full MV cascade ×4 sources → reference views →
+            dashboard queries, printed
+  maintain  TTL partition drops + state expiry for a data dir
+  stats     table_stats() for a data dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+from datetime import datetime, timedelta
+
+
+def _engine(base_dir: str, now=None):
+    from .engine import AdsbEngine
+    from .session import get_spark
+
+    return AdsbEngine(get_spark("adsb-cli"), base_dir, now=now)
+
+
+def cmd_demo(args) -> int:
+    from .config import SOURCES
+    from .sources.fixtures import raw_batch
+
+    base = args.data_dir or tempfile.mkdtemp(prefix="adsb_demo_")
+    now = datetime(2026, 1, 15, 12, 0, 0)
+    eng = _engine(base, now=now)
+    print(f"# ingesting fixture batches into {base}")
+    for name, cfg in SOURCES.items():
+        raw = raw_batch(eng.spark, cfg, n_aircraft=200, n_scrapes=3)
+        eng.ingest_batch(name, raw)
+        print(f"  {name}: ingested")
+    views = eng.register_views()
+    print(f"# registered views: {', '.join(views)}")
+    print("# current positions (global_stream, geomap panel query):")
+    eng.current_positions("global_stream").show(10, truncate=False)
+    print("# combined latest (4-source fused world picture):")
+    eng.sql(
+        "SELECT icao24, lat, lon, source, scrape_time "
+        "FROM positions_global_combined_latest ORDER BY icao24 LIMIT 10"
+    ).show(truncate=False)
+    print("# trajectory scan (last 5 minutes, stride 4):")
+    eng.trajectory(
+        source="local", time_from=now - timedelta(minutes=5), time_to=now, stride=4
+    ).show(5, truncate=False)
+    return 0
+
+
+def cmd_maintain(args) -> int:
+    eng = _engine(args.data_dir)
+    dropped = eng.run_maintenance()
+    for src, parts in dropped.items():
+        print(f"{src}: dropped {len(parts)} partitions {parts}")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    eng = _engine(args.data_dir)
+    eng.table_stats().show(truncate=False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="adsb_clickhouse_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p_demo = sub.add_parser("demo", help="end-to-end fixture demo")
+    p_demo.add_argument("--data-dir", default=None)
+    p_demo.set_defaults(fn=cmd_demo)
+    p_m = sub.add_parser("maintain", help="TTL maintenance")
+    p_m.add_argument("data_dir")
+    p_m.set_defaults(fn=cmd_maintain)
+    p_s = sub.add_parser("stats", help="table stats")
+    p_s.add_argument("data_dir")
+    p_s.set_defaults(fn=cmd_stats)
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
