@@ -33,7 +33,7 @@ Transform kinds (reference citation for each semantic):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

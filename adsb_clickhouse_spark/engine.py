@@ -22,7 +22,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .config import SOURCES, SourceConfig
+from .config import SOURCES
 from .operators.latest import latest_view, stride_sample
 from .plans import tables
 from .streaming.pipeline import IngestPipeline

@@ -4,15 +4,13 @@ tolerance.
 The reference consumes topics as ``JSONEachRow`` with
 ``kafka_skip_broken_messages`` (manifests/adsb-clickhouse/
 30-clickhouse-local.yaml.example:46-47): malformed lines are skipped, not
-fatal. Spark equivalent: PERMISSIVE parse with a corrupt-record column,
-filter + count the rejects (ST5).
+fatal. Spark equivalent: explicit raw schema + DROPMALFORMED mode (ST5).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
 
 from ..config import SourceConfig
 from ..schemas import raw_schema
@@ -42,5 +40,4 @@ def parse_kafka_value(raw: DataFrame, cfg: SourceConfig) -> DataFrame:
     parsed = raw.select(
         F.from_json(F.col("value").cast("string"), raw_schema(cfg)).alias("j")
     )
-    key = cfg.raw_key
-    return parsed.filter(F.col(f"j.{key}").isNotNull() | F.col("j").isNotNull()).select("j.*")
+    return parsed.filter(F.col("j").isNotNull()).select("j.*")

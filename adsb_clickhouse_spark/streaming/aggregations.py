@@ -10,7 +10,7 @@ guarantees batch/streaming semantic parity for these operators).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

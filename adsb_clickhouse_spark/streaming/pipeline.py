@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..config import COMBINED_COLUMNS, SourceConfig
+from ..config import SourceConfig
 from ..functions.cleanse import cleanse
 from ..operators.combined import to_combined
 from ..plans import tables
