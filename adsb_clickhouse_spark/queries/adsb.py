@@ -222,3 +222,34 @@ def adsb_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.sum("new_session").alias("n_sessions"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "adsb_sliding_rollup",
+    """
+    WITH w AS (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS window_start,
+             event_type, value
+      FROM events)
+    SELECT window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM w
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    doc=(
+        "ST3 sliding-window aggregation: 2-hour windows sliding hourly — "
+        "each event contributes to exactly two windows. Batch twin of the "
+        "streaming positions_per_window(slide=...) operator; the oracle "
+        "materializes the two window starts per row."
+    ),
+)
+def adsb_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
