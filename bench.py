@@ -52,8 +52,11 @@ def main() -> None:
 
     q.load_all()
     spark = get_spark("bench")
-    # JVM / codegen warm-up (excluded from timings)
+    # JVM / codegen / page-cache warm-up (excluded from timings): one scan
+    # per input table so measured queries reflect steady-state execution
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in q.TABLES:
+        q.load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
