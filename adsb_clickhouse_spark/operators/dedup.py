@@ -248,3 +248,76 @@ def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", 
         term = F.when(F.col(f"s_{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
         fingerprint = term if fingerprint is None else fingerprint + term
     return agg.select("id", fingerprint.alias("simhash"))
+
+
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard pairs via prefix filtering (AllPairs/PPJoin family).
+
+    Same output as :func:`ngram_jaccard_pairs`, quadratically cheaper
+    candidate generation: shingles are globally ordered by (frequency,
+    hash); a doc only indexes its first |S| - ceil(t·|S|) + 1 shingles.
+    Two docs with J ≥ t MUST share a prefix shingle (pigeonhole on the
+    common canonical order), so the candidate join runs on the ~(1-t)
+    prefix of the index — and the rarest shingles at that, which is where
+    the join fan-out is smallest. A size-ratio filter (|B| ≥ t·|A|)
+    prunes further before verification against the full index.
+
+    Crossover note: at bench scale (sf0.1, ~27k distinct shingles, max
+    frequency 25) the naive inverted-index join is still faster — prefix
+    filtering adds a frequency groupBy, a per-doc ranking window, and a
+    3-way verify join whose fixed costs exceed the candidate savings.
+    It wins when hot-shingle fan-out grows (web-scale corpora where the
+    naive pair blowup is quadratic in shingle frequency).
+    """
+    from pyspark.sql import Window
+
+    sh = _hashed_shingle_index(docs, text_col, id_col, w).persist()
+    freq = sh.groupBy("h").agg(F.count("*").alias("freq"))
+    wnd = Window.partitionBy("id").orderBy("freq", "h")
+    ranked = (
+        sh.join(freq, "h")
+        .withColumn("rn", F.row_number().over(wnd))
+        .withColumn("n", F.count("*").over(Window.partitionBy("id")))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("id", "h", "n")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n") * F.lit(threshold) <= F.col("a.n"))
+            & (F.col("a.n") * F.lit(threshold) <= F.col("b.n")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    fa = sh.withColumnsRenamed({"id": "id_a"})
+    fb = sh.withColumnsRenamed({"id": "idb2", "h": "hb"})
+    common = (
+        candidates.join(fa, "id_a")
+        .join(fb, (F.col("id_b") == F.col("idb2")) & (F.col("h") == F.col("hb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sizes = _shingle_sizes(docs, text_col, id_col, w)
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -159,3 +159,48 @@ def _duck_simhash_sql(bits: int = 32) -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash(docs, bits=32).orderBy("id")
+
+
+def _duck_prefix_jaccard_sql(t: float = 0.5) -> str:
+    return f"""
+    {_DUCK_SHINGLES},
+    freq AS (SELECT h, count(*) AS freq FROM sh GROUP BY h),
+    ranked AS (
+      SELECT sh.id, sh.h,
+             row_number() OVER (PARTITION BY sh.id ORDER BY freq, sh.h) AS rn,
+             count(*) OVER (PARTITION BY sh.id) AS n
+      FROM sh JOIN freq ON sh.h = freq.h),
+    prefix AS (SELECT id, h, n FROM ranked WHERE rn <= n - ceil({t} * n) + 1),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.h = b.h AND a.id < b.id
+       AND b.n * {t} <= a.n AND a.n * {t} <= b.n),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS c
+      FROM cand c JOIN sh fa ON fa.id = c.id_a
+                  JOIN sh fb ON fb.id = c.id_b AND fb.h = fa.h
+      GROUP BY c.id_a, c.id_b),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id)
+    SELECT common.id_a AS id_a, common.id_b AS id_b,
+           round(c / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common JOIN sizes sa ON common.id_a = sa.id
+                JOIN sizes sb ON common.id_b = sb.id
+    WHERE round(c / (sa.n + sb.n - c), 4) >= {t}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "dedup_ngram_prefix_filter",
+    _duck_prefix_jaccard_sql(),
+    doc=(
+        "Exact Jaccard >= 0.5 pairs via prefix filtering (AllPairs/PPJoin): "
+        "docs index only the |S|-ceil(t|S|)+1 globally-rarest shingles; "
+        "J>=t pairs must collide there. Identical output to "
+        "dedup_ngram_jaccard with a quadratically smaller candidate join."
+    ),
+)
+def dedup_ngram_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs_prefix(docs, w=_W, threshold=0.5).orderBy("id_a", "id_b")
