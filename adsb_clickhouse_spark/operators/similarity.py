@@ -170,3 +170,35 @@ def cosine_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def cosine_near_dup_pairs_lsh(
+    vectors: DataFrame,
+    *,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs with LSH pre-bucketing — the scale path
+    for :func:`cosine_near_dup_pairs`.
+
+    Candidates must share a hyperplane bucket: with p planes the pairwise
+    work drops ~2^p-fold while high-cosine pairs (small angle) rarely
+    straddle a plane. Recall is tunable by p (fewer planes → higher
+    recall). Returns (id_a, id_b, cos_sim) within-bucket, cos ≥ threshold.
+    """
+    planes = hyperplanes(n_planes, dim)
+    h = vectors.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    a = h.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = h.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -326,3 +326,36 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("approx_p50") >= F.col("lo")) & (F.col("approx_p50") <= F.col("hi")))
         .alias("p50_in_range"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_value_histogram",
+    """
+    SELECT CASE WHEN value < 0 THEN 0
+                WHEN value >= 200 THEN 11
+                ELSE CAST(floor(value / 20) AS BIGINT) + 1 END AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="Equi-width histogram (width_bucket semantics via floor arithmetic — DuckDB has no width_bucket).",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 0, F.lit(0))
+        .when(F.col("value") >= 200, F.lit(11))
+        .otherwise(F.floor(F.col("value") / 20).cast("long") + 1)
+    )
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

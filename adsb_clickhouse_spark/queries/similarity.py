@@ -113,3 +113,43 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return S.cosine_near_dup_pairs(e, threshold=0.45).orderBy("id_a", "id_b")
+
+
+def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) -> str:
+    planes = S.hyperplanes(n_planes, dim)
+
+    def plane_dot(vexpr: str, plane: list[int]) -> str:
+        terms = [f"{'+' if w > 0 else '-'} {vexpr}[{d + 1}]" for d, w in enumerate(plane)]
+        return "(" + " ".join(terms).lstrip("+ ") + ")"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {plane_dot('v', p)} >= 0 THEN {2 ** i}::BIGINT ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    hashed AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_DUCK_COS.format(a='a.v', b='b.v')}, 4) AS cos_sim
+      FROM hashed a JOIN hashed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM pairs
+    WHERE cos_sim >= {t}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "sim_cosine_near_dup_lsh",
+    _duck_lsh_near_dup_sql(),
+    doc=(
+        "Embedding near-dup with LSH pre-bucketing (4 deterministic "
+        "hyperplanes -> 16 buckets): the scale path for "
+        "sim_cosine_near_dup — pairwise work drops ~2^p-fold, high-cosine "
+        "pairs rarely straddle a plane."
+    ),
+)
+def sim_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs_lsh(e, threshold=0.45, n_planes=4).orderBy("id_a", "id_b")
