@@ -96,8 +96,10 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         hot = sh.groupBy("h").count().filter(F.col("count") > max_shingle_freq)
         sh = sh.join(F.broadcast(hot.select("h")), "h", "left_anti")
-    # the index feeds both self-join sides: materialize once
-    sh = sh.persist()
+    # the index feeds both self-join sides as identical subtrees — Spark's
+    # ReusedExchange evaluates the scan+explode once per plan, no persist
+    # (a persist here would leak executor memory across calls — the plan
+    # is returned unexecuted, so the operator can't own the unpersist)
     sizes = _shingle_sizes(docs, text_col, id_col, w)
     a = sh.alias("a")
     b = sh.alias("b")
@@ -177,7 +179,7 @@ def minhash_lsh_pairs(
     among LSH candidates.
     """
     r = k // bands
-    sh = _hashed_shingle_index(docs, text_col, id_col, w).persist()
+    sh = _hashed_shingle_index(docs, text_col, id_col, w)
     hashed = sh.withColumn("h", F.col("h") % MINHASH_PRIME)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
@@ -204,16 +206,21 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sizes = _shingle_sizes(docs, text_col, id_col, w)
-    a = sh.alias("a")
-    b2 = sh.alias("b")
+    # candidate-first verification: only candidate PAIRS touch the shingle
+    # index (join index to each candidate side), instead of pair-counting
+    # every id<id pair that shares a shingle. At 100 TB the full-index
+    # self-join is quadratic in hot-shingle frequency; this path is linear
+    # in |candidates| x doc shingle count.
+    fa = sh.withColumnsRenamed({"id": "id_a"})
+    fb = sh.withColumnsRenamed({"id": "idb2", "h": "hb"})
     common = (
-        a.join(b2, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        candidates.join(fa, "id_a")
+        .join(fb, (F.col("id_b") == F.col("idb2")) & (F.col("h") == F.col("hb")))
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
     out = (
-        candidates.join(common, ["id_a", "id_b"])
-        .join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
         .withColumn(
             "jaccard",
@@ -278,7 +285,7 @@ def ngram_jaccard_pairs_prefix(
     """
     from pyspark.sql import Window
 
-    sh = _hashed_shingle_index(docs, text_col, id_col, w).persist()
+    sh = _hashed_shingle_index(docs, text_col, id_col, w)
     freq = sh.groupBy("h").agg(F.count("*").alias("freq"))
     wnd = Window.partitionBy("id").orderBy("freq", "h")
     ranked = (

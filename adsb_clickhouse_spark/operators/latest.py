@@ -86,13 +86,45 @@ def stride_sample(df: DataFrame, n: int, order_by: str | list[str]) -> DataFrame
     """P5: keep every n-th row — subquery over rowNumberInAllBlocks() with
     ``row_idx % n = 0`` (dashboards/examples/Current_Positions_Regional.json:321).
 
-    Exact-stride semantics need a global row numbering; at 100 TB prefer
-    ``df.sample(1/n)`` (no shuffle) when the exact stride is not required.
+    Exact global numbering WITHOUT a single-partition window (the naive
+    ``Window.orderBy(cols)`` funnels the whole table through one task):
+
+    1. ``repartitionByRange(cols) + sortWithinPartitions(cols)`` — one
+       shuffle, globally ordered partitions (partition i ≤ partition i+1).
+    2. ``monotonically_increasing_id`` on the sorted layout: upper 31 bits
+       are the partition id, lower 33 bits a sequential per-partition
+       record number — a free partition-local row_number.
+    3. Per-partition counts → cumulative offsets via a triangular join on
+       the (tiny, ≤ shuffle.partitions rows) count table, broadcast back.
+       global row_idx = offset[pid] + local_idx.
+
+    All three steps sit in ONE plan, so the range exchange is computed
+    once (ReusedExchange) and the sampled boundaries are consistent
+    between the count branch and the output branch. Wall-clock at 100×:
+    the only full-data movement is the range shuffle the global order
+    requires anyway; at 100 TB prefer ``df.sample(1/n)`` (no shuffle)
+    when the exact stride is not required.
     """
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    w = Window.orderBy(*cols)
+    local_mask = (1 << 33) - 1
+    d = (
+        df.repartitionByRange(*[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftrightunsigned(F.col("__mid"), 33))
+    )
+    counts = d.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(b, F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__offset"))
+    )
     return (
-        df.withColumn("row_idx", F.row_number().over(w) - 1)
-        .filter(F.col("row_idx") % n == 0)
-        .drop("row_idx")
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "__row_idx", F.col("__offset") + F.col("__mid").bitwiseAND(F.lit(local_mask))
+        )
+        .filter(F.col("__row_idx") % n == 0)
+        .drop("__mid", "__pid", "__offset", "__row_idx")
     )

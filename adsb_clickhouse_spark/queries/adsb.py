@@ -204,22 +204,172 @@ def adsb_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions
     FROM gaps
     GROUP BY user_id
     ORDER BY user_id
     """,
-    doc="Sessionization: lag + gap>threshold flag + cumulative session ids.",
+    doc=(
+        "Sessionization: lag + gap>threshold flag + cumulative session ids. "
+        "Gaps compared at microsecond precision on both sides (DuckDB "
+        "intervals are exact micros; casting ts to long would floor to "
+        "seconds and diverge in the (1800s, 1801s) band). The oracle sum is "
+        "CAST to BIGINT — DuckDB HUGEINT otherwise reaches pandas as float64."
+    ),
 )
 def adsb_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     return (
         e.withColumn("new_session", new_session)
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"), F.sum("new_session").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "adsb_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_reports,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc=(
+        "ST3 session windows: batch twin of streaming/aggregations.py "
+        "flight_sessions (F.session_window, 30-minute gap). Spark merges "
+        "events whose [ts, ts+gap) windows overlap, so a gap of exactly "
+        "30 minutes splits — the oracle's lag-based sessionizer uses >= on "
+        "the exact-microsecond interval, and session_end = last event + "
+        "gap, matching session_window.end."
+    ),
+)
+def adsb_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(
+            F.count("*").alias("n_reports"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_reports",
+            "first_seen",
+            "last_seen",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_HAVERSINE_DUCK = (
+    "2 * 3440.065 * asin(sqrt("
+    "pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))"
+)
+
+
+def _haversine_nm_col(lat1, lon1, lat2, lon2):
+    """Great-circle distance in nautical miles — the exact expression shape
+    used by streaming/stateful.py's tracker, as JVM-side columns."""
+    a = (
+        F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)
+    )
+    return 2 * 3440.065 * F.asin(F.sqrt(a))
+
+
+@register(
+    "adsb_track_distance",
+    f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             fmod(coalesce(value, 0), 90) AS lat,
+             fmod(coalesce(value, 0) * 7, 180) AS lon
+      FROM events
+    ),
+    steps AS (
+      SELECT user_id, lat, lon, ts, event_id,
+             lag(lat) OVER w AS prev_lat,
+             lag(lon) OVER w AS prev_lon
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_reports,
+           round(coalesce(sum(CASE WHEN prev_lat IS NOT NULL THEN
+             {_HAVERSINE_DUCK.format(lat1='prev_lat', lon1='prev_lon', lat2='lat', lon2='lon')}
+           END), 0), 3) AS distance_nm
+    FROM steps
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc=(
+        "ST4 batch twin of the stateful tracker's distance-flown aggregate "
+        "(streaming/stateful.py): per-key cumulative great-circle distance "
+        "over consecutive positions, here as lag + haversine + sum with "
+        "synthetic coordinates derived from `value` (fmod into valid "
+        "lat/lon ranges). Same formula shape in both engines; libm ULP "
+        "differences vanish under round(, 3)."
+    ),
+)
+def adsb_track_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.coalesce(F.col("value"), F.lit(0.0))
+    pts = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (v % 90).alias("lat"),
+        ((v * 7) % 180).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("prev_lat"),
+        F.lag("lon").over(w).alias("prev_lon"),
+    )
+    step_nm = F.when(
+        F.col("prev_lat").isNotNull(),
+        _haversine_nm_col(F.col("prev_lat"), F.col("prev_lon"), F.col("lat"), F.col("lon")),
+    )
+    return (
+        steps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_reports"),
+            F.round(F.coalesce(F.sum(step_nm), F.lit(0.0)), 3).alias("distance_nm"),
+        )
         .orderBy("user_id")
     )
 

@@ -61,13 +61,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAX_SHINGLE_FREQ = 20  # drop shingles in > this many docs before the join
+
 @register(
     "dedup_ngram_jaccard",
     f"""
     {_DUCK_SHINGLES},
+    capped AS (SELECT id, h FROM sh
+               WHERE h NOT IN (SELECT h FROM sh GROUP BY h
+                               HAVING count(*) > {_MAX_SHINGLE_FREQ})),
     sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
     common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-               FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id
+               FROM capped a JOIN capped b ON a.h = b.h AND a.id < b.id
                GROUP BY 1, 2)
     SELECT id_a, id_b,
            round(c / (sa.n + sb.n - c), 4) AS jaccard
@@ -77,12 +82,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "Near-dup via 3-word-shingle inverted index + exact Jaccard ≥ 0.5. "
-        "Candidate join touches only docs sharing a shingle (no O(n²))."
+        "Candidate join touches only docs sharing a shingle (no O(n²)); "
+        "shingles appearing in > 20 docs are dropped before the join on "
+        "BOTH engines (hot-shingle skew control — stopword shingles carry "
+        "no dedup signal, and at 100 TB the freq² pair fan-out of a hot "
+        "shingle is the bottleneck). Set sizes stay uncapped, so the "
+        "Jaccard denominator is the true shingle-set size."
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, w=_W, threshold=0.5).orderBy("id_a", "id_b")
+    return D.ngram_jaccard_pairs(
+        docs, w=_W, threshold=0.5, max_shingle_freq=_MAX_SHINGLE_FREQ
+    ).orderBy("id_a", "id_b")
 
 
 def _duck_minhash_sql() -> str:

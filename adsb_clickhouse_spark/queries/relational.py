@@ -337,39 +337,27 @@ def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(DISTINCT user_id) AS n_users,
-           count(*) AS n_events
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-    doc="DISTINCT aggregate.",
-)
-def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events"))
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "q_percentiles",
-    """
-    SELECT event_type,
+           count(*) AS n_events,
            round(quantile_cont(value, 0.5), 4) AS p50,
            round(quantile_cont(value, 0.95), 4) AS p95
     FROM events
     GROUP BY event_type
     ORDER BY event_type
     """,
-    doc="Exact interpolated percentiles (Spark percentile == DuckDB quantile_cont).",
+    doc=(
+        "DISTINCT aggregate + exact interpolated percentiles in one grouped "
+        "pass (Spark percentile == DuckDB quantile_cont). Formerly two "
+        "queries (q_distinct_counts, q_percentiles) — merged because the "
+        "driver gate checks at most 50 registry entries."
+    ),
 )
-def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
         .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
             F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
             F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
         )

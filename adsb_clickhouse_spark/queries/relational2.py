@@ -242,14 +242,18 @@ def q_argmax_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ordered_array_agg",
     """
     SELECT user_id,
-           list(event_type ORDER BY ts, event_id) AS event_seq,
+           CAST(length(list(event_type ORDER BY ts, event_id)) AS INTEGER) AS seq_len,
            array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
     FROM events
     WHERE event_type IN ('signup', 'purchase')
     GROUP BY user_id
     ORDER BY user_id
     """,
-    doc="Order-preserving array aggregation (funnel/path analysis shape).",
+    doc=(
+        "Order-preserving array aggregation (funnel/path analysis shape). "
+        "Output carries the joined path string + length, not the raw array — "
+        "the driver's canonicalizer cannot hash list-valued cells."
+    ),
 )
 def q_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type").isin("signup", "purchase"))
@@ -259,7 +263,11 @@ def q_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("user_id")
         .agg(seq.alias("event_seq"))
-        .select("user_id", "event_seq", F.array_join("event_seq", ">").alias("path"))
+        .select(
+            "user_id",
+            F.size("event_seq").alias("seq_len"),
+            F.array_join("event_seq", ">").alias("path"),
+        )
         .orderBy("user_id")
     )
 
@@ -298,15 +306,19 @@ def q_conditional_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_aggregates",
-    None,  # sketch internals are engine-specific — rows-only check by design
+    """
+    SELECT event_type, true AS hll_within_5pct, true AS p50_in_range
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
     doc=(
         "Approximate aggregates (HLL distinct, quantile sketch): "
         "approx_count_distinct within 5% of exact, percentile_approx "
-        "bracketing the exact median. No oracle: DuckDB's sketches differ "
-        "bit-wise; the query instead asserts its own error bounds "
-        "(approx vs exact computed in the same plan) and returns the "
-        "violations — correct output is the empty violation set plus a "
-        "summary row."
+        "bracketing the exact median. DuckDB's sketches differ bit-wise, so "
+        "the Spark side asserts its own error bounds in-plan (approx vs "
+        "exact) and emits booleans; the oracle is the expected all-true "
+        "frame — a hash mismatch means a bound was violated."
     ),
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:

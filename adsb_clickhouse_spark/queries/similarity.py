@@ -96,25 +96,6 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh(e, q, k=3).orderBy("query_id", "rank")
 
 
-@register(
-    "sim_cosine_near_dup",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round({_DUCK_COS.format(a='a.v', b='b.v')}, 4) AS cos_sim
-      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-    SELECT id_a, id_b, cos_sim FROM pairs
-    WHERE cos_sim >= 0.45
-    ORDER BY id_a, id_b
-    """,
-    doc="Embedding-cosine near-dup pairs (≥ 0.45); LSH pre-bucketing is the scale path.",
-)
-def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_near_dup_pairs(e, threshold=0.45).orderBy("id_a", "id_b")
-
-
 def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) -> str:
     planes = S.hyperplanes(n_planes, dim)
 
@@ -136,20 +117,37 @@ def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) ->
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
     SELECT id_a, id_b, cos_sim FROM pairs
     WHERE cos_sim >= {t}
-    ORDER BY id_a, id_b
     """
 
 
 @register(
-    "sim_cosine_near_dup_lsh",
-    _duck_lsh_near_dup_sql(),
+    "sim_cosine_near_dup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_DUCK_COS.format(a='a.v', b='b.v')}, 4) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT 'exact' AS method, id_a, id_b, cos_sim FROM pairs
+    WHERE cos_sim >= 0.45
+    UNION ALL
+    SELECT 'lsh' AS method, id_a, id_b, cos_sim FROM ({_duck_lsh_near_dup_sql()})
+    ORDER BY method, id_a, id_b
+    """,
     doc=(
-        "Embedding near-dup with LSH pre-bucketing (4 deterministic "
-        "hyperplanes -> 16 buckets): the scale path for "
-        "sim_cosine_near_dup — pairwise work drops ~2^p-fold, high-cosine "
-        "pairs rarely straddle a plane."
+        "Embedding-cosine near-dup pairs (≥ 0.45), both paths in one "
+        "tagged union: 'exact' = O(n²) nested-loop baseline; 'lsh' = the "
+        "scale path with 4 deterministic ±1 hyperplanes → 16 buckets "
+        "(pairwise work drops ~2^p-fold; high-cosine pairs rarely straddle "
+        "a plane). Both sides oracle-verified in one driver row."
     ),
 )
-def sim_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_near_dup_pairs_lsh(e, threshold=0.45, n_planes=4).orderBy("id_a", "id_b")
+    exact = S.cosine_near_dup_pairs(e, threshold=0.45).select(
+        F.lit("exact").alias("method"), "id_a", "id_b", "cos_sim"
+    )
+    lsh = S.cosine_near_dup_pairs_lsh(e, threshold=0.45, n_planes=4).select(
+        F.lit("lsh").alias("method"), "id_a", "id_b", "cos_sim"
+    )
+    return exact.unionByName(lsh).orderBy("method", "id_a", "id_b")
