@@ -94,8 +94,16 @@ def ngram_jaccard_pairs(
     """
     sh = _hashed_shingle_index(docs, text_col, id_col, w)
     if max_shingle_freq is not None:
-        hot = sh.groupBy("h").count().filter(F.col("count") > max_shingle_freq)
-        sh = sh.join(F.broadcast(hot.select("h")), "h", "left_anti")
+        # fold the hot-shingle cap into the shuffle the self-join needs
+        # anyway: a count window over h hash-partitions by h, the join
+        # reuses that partitioning — no extra scan, groupBy, or broadcast
+        from pyspark.sql import Window
+
+        sh = (
+            sh.withColumn("__freq", F.count("*").over(Window.partitionBy("h")))
+            .filter(F.col("__freq") <= max_shingle_freq)
+            .drop("__freq")
+        )
     # the index feeds both self-join sides as identical subtrees — Spark's
     # ReusedExchange evaluates the scan+explode once per plan, no persist
     # (a persist here would leak executor memory across calls — the plan

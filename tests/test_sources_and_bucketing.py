@@ -73,6 +73,126 @@ def test_http_poller_gives_up_after_max_errors():
         list(p.batches(max_batches=1))
 
 
+def _token_post(responses, calls):
+    def post(url, data, timeout_s):
+        calls.append(dict(data))
+        return json.dumps(responses.pop(0)).encode()
+
+    return post
+
+
+def test_oauth2_token_cached_until_expiry_margin():
+    from adsb_clickhouse_spark.sources.http_poll import OAuth2ClientCredentials
+
+    now = {"t": 1000.0}
+    calls: list[dict] = []
+    auth = OAuth2ClientCredentials(
+        "http://auth.invalid/token", "cid", "secret",
+        expiry_margin_s=300.0,
+        post=_token_post(
+            [{"access_token": "tok1", "expires_in": 1800},
+             {"access_token": "tok2", "expires_in": 1800}],
+            calls,
+        ),
+        clock=lambda: now["t"],
+    )
+    assert auth.token() == "tok1"
+    assert calls[0]["grant_type"] == "client_credentials"
+    # still cached just before the margin (1800 - 300 = 1500 s window)
+    now["t"] = 1000.0 + 1499.0
+    assert auth.token() == "tok1" and len(calls) == 1
+    # past the margin → refresh
+    now["t"] = 1000.0 + 1501.0
+    assert auth.token() == "tok2" and len(calls) == 2
+
+
+def test_oauth2_poller_sends_bearer_and_retries_on_401():
+    import urllib.error
+
+    from adsb_clickhouse_spark.sources.http_poll import OAuth2ClientCredentials
+
+    calls: list[dict] = []
+    auth = OAuth2ClientCredentials(
+        "http://auth.invalid/token", "cid", "secret",
+        post=_token_post(
+            [{"access_token": "stale"}, {"access_token": "fresh"}], calls
+        ),
+        clock=lambda: 0.0,
+    )
+    seen_headers = []
+
+    def fetch(url, timeout_s, headers):
+        seen_headers.append(headers)
+        if headers["Authorization"] == "Bearer stale":
+            raise urllib.error.HTTPError(url, 401, "revoked", None, None)
+        return _payload([{"hex": "abc", "lat": 1.0, "lon": 2.0}])
+
+    p = HttpPoller(
+        "http://example.invalid/data", source_name="opensky", extract=_extract,
+        fetch=fetch, clock=CLOCK, sleep=lambda s: None, auth=auth,
+    )
+    rows = p.poll_once()
+    assert len(rows) == 1
+    # first attempt used the stale token, the 401 forced a refresh
+    assert [h["Authorization"] for h in seen_headers] == ["Bearer stale", "Bearer fresh"]
+    assert len(calls) == 2
+
+
+def test_oauth2_poller_non_401_errors_propagate_to_backoff():
+    import urllib.error
+
+    from adsb_clickhouse_spark.sources.http_poll import OAuth2ClientCredentials
+
+    auth = OAuth2ClientCredentials(
+        "http://auth.invalid/token", "cid", "secret",
+        post=_token_post([{"access_token": "tok"}], []),
+        clock=lambda: 0.0,
+    )
+
+    def fetch(url, timeout_s, headers):
+        raise urllib.error.HTTPError(url, 503, "unavailable", None, None)
+
+    p = HttpPoller(
+        "http://example.invalid/data", source_name="opensky", extract=_extract,
+        fetch=fetch, clock=CLOCK, sleep=lambda s: None, auth=auth,
+    )
+    with pytest.raises(urllib.error.HTTPError):
+        p.poll_once()
+
+
+def test_opensky_poller_end_to_end_offline():
+    """The 4th source family polls live: OAuth2 + positional state-vector
+    decode, fully injected (no network)."""
+    from adsb_clickhouse_spark.sources.http_poll import opensky_poller
+
+    states = {
+        "time": 1760000000,
+        "states": [
+            # icao24 callsign country t_pos t_con lon lat baro ground vel trk vr sens geo squawk spi src
+            ["ab1234", "SWR123 ", "Switzerland", 1760000000, 1760000001,
+             8.55, 47.45, 11582.4, False, 250.0, 90.0, -2.6, None, 11887.2, "1000", False, 0],
+            ["cd5678", None, "Germany", None, 1760000002,
+             None, None, None, True, 0.0, None, None, None, None, None, False, 0],  # dropped: no position
+        ],
+    }
+
+    def fetch(url, timeout_s, headers):
+        assert headers["Authorization"] == "Bearer tok"
+        return json.dumps(states).encode()
+
+    p = opensky_poller(
+        client_id="cid", client_secret="sec",
+        post=lambda url, data, t: json.dumps({"access_token": "tok"}).encode(),
+        fetch=fetch, clock=CLOCK, sleep=lambda s: None,
+    )
+    rows = p.poll_once()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["icao24"] == "ab1234" and r["lat"] == 47.45 and r["lon"] == 8.55
+    assert r["source"] == "global_opensky"
+    assert r["scrape_time"] == "2026-01-15 12:00:00"
+
+
 def test_producer_roundtrip_through_json_source(spark, tmp_base):
     """S6→S1 loop: rows → to_json 'value' lines → raw-schema reader."""
     raw = spark.createDataFrame(

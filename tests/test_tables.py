@@ -76,6 +76,47 @@ def test_state_ttl_expires_old_keys(spark, tmp_base):
     assert [r["icao24"] for r in out] == ["live"]
 
 
+def test_state_commit_is_versioned_snapshot_plus_pointer(spark, tmp_base):
+    """The commit protocol: every upsert writes a new v_* snapshot and
+    repoints _CURRENT; superseded snapshots survive the GC grace period so
+    a reader holding the old pointer never loses files mid-scan."""
+    path = os.path.join(tmp_base, "state")
+    tables.upsert_state(_df(spark, [("a", NOW, 1)]), path, ttl=None, now=NOW)
+    old_snap = tables._current_snapshot_dir(path)
+    # a long-lived reader (registered view) resolves the current snapshot
+    old_reader = spark.read.parquet(old_snap)
+    tables.upsert_state(_df(spark, [("a", NOW + timedelta(minutes=1), 2)]), path, ttl=None, now=NOW)
+    new_snap = tables._current_snapshot_dir(path)
+    assert new_snap != old_snap
+    # new readers see the new state; the old snapshot is still scannable
+    assert tables.read_state(spark, path).collect()[0]["v"] == 2
+    assert old_reader.collect()[0]["v"] == 1
+    assert os.path.isdir(old_snap)  # within GC grace
+    snaps = [e for e in os.listdir(path) if e.startswith("v_")]
+    assert len(snaps) == 2
+    # zero-grace GC removes the superseded snapshot on the next commit
+    tables.upsert_state(
+        _df(spark, [("a", NOW + timedelta(minutes=2), 3)]), path, ttl=None, now=NOW,
+        gc_grace_s=0.0,
+    )
+    snaps = [e for e in os.listdir(path) if e.startswith("v_")]
+    assert len(snaps) == 1
+
+
+def test_state_writer_lock_serializes(tmp_base):
+    path = os.path.join(tmp_base, "state")
+    os.makedirs(path, exist_ok=True)
+    import pytest
+
+    with tables._WriterLock(path, timeout_s=0.2):
+        with pytest.raises(TimeoutError):
+            with tables._WriterLock(path, timeout_s=0.2):
+                pass
+    # released — can acquire again
+    with tables._WriterLock(path, timeout_s=0.2):
+        pass
+
+
 def test_compact_partition(spark, tmp_base):
     path = os.path.join(tmp_base, "hist")
     for i in range(3):
