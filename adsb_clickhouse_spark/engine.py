@@ -155,6 +155,10 @@ class AdsbEngine:
         rows = []
         for name, pipe in self.pipelines.items():
             for kind, path in [("history", pipe.history_path), ("state", pipe.state_path)]:
+                if kind == "state":
+                    # stats reflect the CURRENT snapshot, not superseded
+                    # ones awaiting GC (versioned commit, plans/tables.py)
+                    path = tables._current_snapshot_dir(path) or path
                 n_rows = n_parts = n_files = n_bytes = 0
                 if os.path.isdir(path):
                     df = self.spark.read.parquet(path)

@@ -293,6 +293,11 @@ def ngram_jaccard_pairs_prefix(
     """
     from pyspark.sql import Window
 
+    # the index feeds several plan branches; recomputing the (cheap,
+    # codegen'd) explode+hash per branch measures FASTER than
+    # materializing it (persist leaks CacheManager entries across calls —
+    # r1 advisor; localCheckpoint measured 1.7x slower by blocking
+    # column-pruning into the branches)
     sh = _hashed_shingle_index(docs, text_col, id_col, w)
     freq = sh.groupBy("h").agg(F.count("*").alias("freq"))
     wnd = Window.partitionBy("id").orderBy("freq", "h")

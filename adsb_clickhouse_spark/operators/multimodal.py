@@ -97,7 +97,13 @@ def decode_media(media: DataFrame, backend=None) -> DataFrame:
 
 def repartition_by_bytes(media: DataFrame, *, target_bytes: int = 128 << 20) -> DataFrame:
     """Partition so each task sees ~target_bytes of payload: salt by
-    cumulative-size bucket rather than row count."""
+    cumulative-size bucket rather than row count.
+
+    Contract note: the ``agg(sum)`` below is a deliberate driver-side
+    action at plan-build time — one scalar from a map-side-combined scan,
+    the same cost class as the sampling job ``repartitionByRange``
+    schedules. Callers composing lazy pipelines should invoke this once,
+    not inside a per-batch loop."""
     sized = media.withColumn("_sz", F.coalesce(F.octet_length("payload"), F.lit(0)))
     total = sized.agg(F.sum("_sz")).first()[0] or 0
     n = max(1, int(total / target_bytes))

@@ -121,6 +121,51 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
     return planes
 
 
+def _bucketize(
+    df: DataFrame,
+    planes,
+    *,
+    vec: str,
+    with_norm: bool = False,
+    norm_col: str = "n",
+) -> DataFrame:
+    """Arrow-batched hyperplane signature (+ optional norm) per row.
+
+    Plane dots and norms accumulate dimension-by-dimension — the same
+    association as the oracle's explicit add chain / left fold, so signs
+    (and therefore buckets) and norms are bit-identical to the SQL twin.
+    """
+    import numpy as np
+
+    p_mat = np.asarray(planes, dtype=np.float64)
+    other = [c for c in df.columns]
+    schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in df.dtypes
+    ) + ", bucket long" + (f", {norm_col} double" if with_norm else "")
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec].to_numpy())
+            bucket = np.zeros(len(mat), dtype=np.int64)
+            for p in range(p_mat.shape[0]):
+                acc = mat[:, 0] * p_mat[p, 0]
+                for i in range(1, mat.shape[1]):
+                    acc = acc + mat[:, i] * p_mat[p, i]
+                bucket += (acc >= 0).astype(np.int64) << p
+            out = pdf[other].copy()
+            out["bucket"] = bucket
+            if with_norm:
+                nacc = mat[:, 0] * mat[:, 0]
+                for i in range(1, mat.shape[1]):
+                    nacc = nacc + mat[:, i] * mat[:, i]
+                out[norm_col] = np.sqrt(nacc)
+            yield out
+
+    return df.mapInPandas(assign, schema)
+
+
 def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     """Bucket id: bit p = (dot(vec, plane_p) >= 0).
 
@@ -159,15 +204,31 @@ def ann_lsh(
 
     dim = dim if dim is not None else _infer_dim(corpus, vec_col)
     planes = hyperplanes(n_planes, dim)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes)).withColumn(
-        "cn", _norm(F.col("cv"), dim)
+    # signatures + norms via one Arrow pass: a p-plane × dim-term column
+    # expression is a ~12k-node Catalyst tree — driver-side optimization
+    # alone costs seconds per query, and the generated method blows the
+    # JIT limit (measured: 5 s steady-state JVM vs ~1 s this way). The
+    # numpy plane dots accumulate dimension-by-dimension, matching the
+    # oracle's explicit add chain bit-for-bit, so buckets agree exactly.
+    c = _bucketize(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id").cast("long"),
+            as_double(F.col(vec_col)).alias("cv"),
+        ),
+        planes,
+        vec="cv",
+        with_norm=True,
+        norm_col="cn",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes)).withColumn(
-        "qn", _norm(F.col("qv"), dim)
+    q = _bucketize(
+        queries.select(
+            F.col(id_col).alias("query_id").cast("long"),
+            as_double(F.col(vec_col)).alias("qv"),
+        ),
+        planes,
+        vec="qv",
+        with_norm=True,
+        norm_col="qn",
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -255,6 +316,147 @@ def cosine_near_dup_pairs(
     return src.mapInPandas(score_block, "id_a long, id_b long, cos_sim double")
 
 
+def ivf_build(
+    vectors: DataFrame,
+    *,
+    n_lists: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: deterministic Lloyd k-means over the corpus.
+
+    Returns ``(assignments, centroids)`` — `assignments` is a DataFrame
+    (id, list_id) and `centroids` an (n_lists × dim) numpy array. The
+    inverted-file layout is the third ANN scale path next to
+    brute-force and hyperplane LSH: at 100 TB the corpus is written
+    partitioned by ``list_id`` so a probe reads only nprobe/n_lists of
+    the data (partition pruning does the candidate selection).
+
+    Distributed pattern: assignment + per-list partial sums run as one
+    Arrow-batched ``mapInPandas`` pass per iteration; the driver reduces
+    only the (partitions × n_lists) partial-sum rows — the classic
+    small-aggregate reduce, not a data collect. Determinism: centroids
+    seeded from the n_lists ids with the smallest md5(id); argmin ties
+    take the lowest list id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    src = vectors.select(
+        F.col(id_col).alias("id").cast("long"), as_double(F.col(vec_col)).alias("v")
+    )
+    seeds = (
+        src.withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h")
+        .limit(n_lists)
+        .collect()
+    )
+    cent = np.stack([np.asarray(r["v"], dtype=np.float64) for r in seeds])
+
+    partial_schema = "list_id int, n long, s array<double>"
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partials(batches):
+            c = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.stack(pdf["v"].to_numpy())
+                d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                lists = d2.argmin(axis=1)  # ties -> lowest index
+                rows = []
+                for li in np.unique(lists):
+                    sel = mat[lists == li]
+                    rows.append((int(li), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["list_id", "n", "s"])
+
+        stats = src.mapInPandas(partials, partial_schema).collect()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(n_lists, dtype=np.int64)
+        for r in stats:
+            sums[r["list_id"]] += np.asarray(r["s"])
+            counts[r["list_id"]] += r["n"]
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["v"].to_numpy())
+            d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "list_id": d2.argmin(axis=1).astype("int32")}
+            )
+
+    assignments = src.mapInPandas(assign, "id long, list_id int")
+    return assignments, cent
+
+
+def ivf_search(
+    corpus: DataFrame,
+    assignments: DataFrame,
+    centroids,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: each query scores only the nprobe nearest inverted
+    lists, exactly like the LSH probe but with learned (k-means) cells —
+    better recall per candidate at the same fan-in on clustered data.
+
+    Returns (query_id, neighbor_id, rank, cos_sim). Queries are small by
+    contract (probe vectors), so their list selection happens driver-side
+    on the collected query rows; candidates stream through one join on
+    ``list_id`` (at scale: a partition-pruned scan of the IVF layout).
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    cent = np.asarray(centroids, dtype=np.float64)
+    qrows = queries.select(
+        F.col(id_col).alias("query_id").cast("long"), as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        d2 = ((cent - qv[None, :]) ** 2).sum(axis=1)
+        for li in np.argsort(d2, kind="stable")[:nprobe]:
+            probe_rows.append((r["query_id"], r["qv"], int(li)))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, list_id int"
+    )
+    dim = cent.shape[1]
+    cand = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id").cast("long"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .join(assignments.withColumnsRenamed({"id": "neighbor_id"}), "neighbor_id")
+        .join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv"), dim))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
 def cosine_near_dup_pairs_lsh(
     vectors: DataFrame,
     *,
@@ -272,22 +474,45 @@ def cosine_near_dup_pairs_lsh(
     straddle a plane. Recall is tunable by p (fewer planes → higher
     recall). Returns (id_a, id_b, cos_sim) within-bucket, cos ≥ threshold.
     """
+    import numpy as np
+    import pandas as pd
+
     dim = dim if dim is not None else _infer_dim(vectors, vec_col)
     planes = hyperplanes(n_planes, dim)
-    h = vectors.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes)).withColumn(
-        "n", _norm(F.col("v"), dim)
+
+    # pass 1: hyperplane bucket per vector (shared Arrow-batched helper —
+    # bucket signs bit-match the oracle's explicit add chain)
+    bucketed = _bucketize(
+        vectors.select(
+            F.col(id_col).alias("id").cast("long"), as_double(F.col(vec_col)).alias("v")
+        ),
+        planes,
+        vec="v",
     )
-    a = h.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket")
-    b = h.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "bucket")
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim",
-            F.round(_dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 4),
+
+    # pass 2 (applyInPandas per bucket): exact in-cell block scoring —
+    # one shuffle on bucket (at scale, bucket is the storage partition
+    # key, so this is a partition-local pass), numpy block product with
+    # fold-order parity as in cosine_near_dup_pairs.
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        mat = np.stack(pdf["v"].to_numpy())
+        nacc = mat[:, 0] * mat[:, 0]
+        acc = np.outer(mat[:, 0], mat[:, 0])
+        for i in range(1, mat.shape[1]):
+            nacc = nacc + mat[:, i] * mat[:, i]
+            acc = acc + np.outer(mat[:, i], mat[:, i])
+        norms = np.sqrt(nacc)
+        cos = np.round(acc / np.outer(norms, norms), 4)
+        keep_a, keep_b = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[keep_a], "id_b": ids[keep_b], "cos_sim": cos[keep_a, keep_b]}
         )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        score, "id_a long, id_b long, cos_sim double"
     )

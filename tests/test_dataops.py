@@ -74,6 +74,29 @@ def test_knn_bruteforce_finds_cluster_mates(spark, vectors):
     assert all(r["neighbor_id"] % 5 == 0 for r in out)
 
 
+def test_ivf_full_probe_matches_bruteforce(spark, vectors):
+    """nprobe = n_lists degrades IVF to an exact scan — results must
+    equal brute force (same scoring, same tie-break)."""
+    assignments, cent = S.ivf_build(vectors, n_lists=4, iters=2)
+    q = vectors.filter(F.col("vec_id") < 2)
+    exact = S.knn_bruteforce(vectors, q, k=3).collect()
+    ivf = S.ivf_search(vectors, assignments, cent, q, k=3, nprobe=4).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, exact))
+
+
+def test_ivf_narrow_probe_finds_cluster_mates(spark, vectors):
+    """The fixture has 5 planted clusters; with a narrow probe the
+    k-means cells keep cluster mates together."""
+    assignments, cent = S.ivf_build(vectors, n_lists=5, iters=3)
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = S.ivf_search(vectors, assignments, cent, q, k=3, nprobe=1).collect()
+    assert len(out) == 3
+    assert all(r["neighbor_id"] % 5 == 0 for r in out)
+    # deterministic: rebuild gives identical assignments
+    a2, c2 = S.ivf_build(vectors, n_lists=5, iters=3)
+    assert sorted(map(tuple, assignments.collect())) == sorted(map(tuple, a2.collect()))
+
+
 def test_ann_lsh_recall_against_bruteforce(spark, vectors):
     q = vectors.filter(F.col("vec_id") < 5)
     exact = {(r["query_id"], r["neighbor_id"]) for r in S.knn_bruteforce(vectors, q, k=3).collect()}

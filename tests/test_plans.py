@@ -39,6 +39,16 @@ def test_no_python_eval_on_relational_paths(spark):
         assert "EvalPython" not in plan, name
 
 
+def test_stride_sample_has_no_single_partition_window(spark):
+    """The exact-stride global numbering must not funnel the table
+    through one task (r1's scale-killer). The two-pass implementation
+    has NO window operator at all — ordering flows through a parallel
+    range-partitioned exchange."""
+    plan = _plan(spark, "adsb_stride_sample")
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan
+
+
 def test_latest_per_key_uses_partial_aggregation(spark):
     plan = _plan(spark, "adsb_latest_per_key")
     # max_by strategy → two-phase hash aggregate (partial + final), so the
