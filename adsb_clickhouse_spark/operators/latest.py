@@ -94,34 +94,51 @@ def stride_sample(df: DataFrame, n: int, order_by: str | list[str]) -> DataFrame
     2. ``monotonically_increasing_id`` on the sorted layout: upper 31 bits
        are the partition id, lower 33 bits a sequential per-partition
        record number — a free partition-local row_number.
-    3. Per-partition counts → cumulative offsets via a triangular join on
-       the (tiny, ≤ shuffle.partitions rows) count table, broadcast back.
+    3. Per-partition counts (tiny: ≤ shuffle.partitions rows) collected to
+       the driver → cumulative offsets broadcast back.
        global row_idx = offset[pid] + local_idx.
 
-    All three steps sit in ONE plan, so the range exchange is computed
-    once (ReusedExchange) and the sampled boundaries are consistent
-    between the count branch and the output branch. Wall-clock at 100×:
-    the only full-data movement is the range shuffle the global order
-    requires anyway; at 100 TB prefer ``df.sample(1/n)`` (no shuffle)
-    when the exact stride is not required.
+    The numbered layout is ``localCheckpoint``-ed before the count pass:
+    ``repartitionByRange`` picks its range boundaries by SAMPLING, so two
+    evaluations of the same lineage can land rows in different partitions
+    — the count branch and the output branch would then disagree and the
+    numbering silently breaks (observed intermittently at sf0.1, e.g.
+    25003 rows from a 100000-row stride-4). Checkpointing truncates the
+    lineage, so the second pass can only read the already-materialized
+    blocks — inconsistency becomes impossible (block loss fails the job
+    rather than silently renumbering). This is the same two-job contract
+    as RDD ``zipWithIndex``. Wall-clock at 100×: one range shuffle (which
+    the global order requires anyway) + one materialization; on a real
+    cluster use ``persist(DISK_ONLY)``/reliable checkpoint instead of
+    memory, and prefer ``df.sample(1/n)`` (no shuffle, no barrier) when
+    the exact stride is not required.
     """
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
     local_mask = (1 << 33) - 1
+    # Explicit partition count: a user-numbered repartition is an
+    # AQE-preserved contract (no post-shuffle coalescing), so partition
+    # ids match monotonically_increasing_id's upper bits exactly.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     d = (
-        df.repartitionByRange(*[F.col(c) for c in cols])
+        df.repartitionByRange(n_parts, *[F.col(c) for c in cols])
         .sortWithinPartitions(*cols)
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__pid", F.shiftrightunsigned(F.col("__mid"), 33))
+        .localCheckpoint(eager=False)
     )
-    counts = d.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    a, b = counts.alias("a"), counts.alias("b")
-    offsets = (
-        a.join(b, F.col("b.__pid") < F.col("a.__pid"), "left")
-        .groupBy(F.col("a.__pid").alias("__pid"))
-        .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__offset"))
+    counts = sorted(
+        (r["__pid"], r["__cnt"])
+        for r in d.groupBy("__pid").agg(F.count("*").alias("__cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid long, __offset long"
     )
     return (
-        d.join(F.broadcast(offsets), "__pid")
+        d.join(F.broadcast(off_df), "__pid")
         .withColumn(
             "__row_idx", F.col("__offset") + F.col("__mid").bitwiseAND(F.lit(local_mask))
         )

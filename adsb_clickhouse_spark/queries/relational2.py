@@ -324,7 +324,10 @@ def q_conditional_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+        # rsd=1% sketch asserted against a 5% bound: ~5 sigma of margin,
+        # so the all-true oracle holds at every SF (default rsd=5% missed
+        # the bound for one group at sf0.1)
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", 0.5).alias("approx_p50"),
         F.expr("percentile(value, 0.5)").alias("exact_p50"),

@@ -67,3 +67,41 @@ def test_session_window_streaming(spark, tmp_base):
     assert not multi
     for r in rows:
         assert r["session_start"] <= r["first_seen"] <= r["last_seen"]
+
+
+def test_session_window_streaming_equals_batch_twin(spark, tmp_base):
+    """Spark guarantees batch/streaming semantic parity for
+    session_window; pin it — the batch shape here is exactly the oracled
+    `adsb_session_windows` query, so the driver's hash check transitively
+    covers the streaming operator."""
+    from pyspark.sql import functions as F
+
+    clean_stream = _cleaned_stream(spark, tmp_base)
+    sessions = flight_sessions(clean_stream, gap="5 minutes", watermark="1 hour")
+    q = sessions.writeStream.outputMode("complete").format("memory").queryName("sess_parity").start()
+    q.processAllAvailable()
+    q.stop()
+    streamed = sorted(map(tuple, spark.sql("SELECT * FROM sess_parity").collect()))
+
+    batch = cleanse(
+        raw_batch(spark, GLOBAL_STREAM, n_aircraft=25, n_scrapes=4, cadence_s=30),
+        GLOBAL_STREAM,
+        ingestion_time=F.lit(NOW),
+    )
+    twin = (
+        batch.groupBy(F.session_window("scrape_time", "5 minutes").alias("s"), "icao24")
+        .agg(
+            F.count("*").alias("n_reports"),
+            F.min("scrape_time").alias("first_seen"),
+            F.max("scrape_time").alias("last_seen"),
+        )
+        .select(
+            "icao24",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_reports",
+            "first_seen",
+            "last_seen",
+        )
+    )
+    assert streamed == sorted(map(tuple, twin.collect()))
