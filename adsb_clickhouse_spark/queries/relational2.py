@@ -307,14 +307,15 @@ def q_conditional_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_approx_aggregates",
     """
-    SELECT event_type, true AS hll_within_5pct, true AS p50_in_range
+    SELECT event_type, true AS hll_within_10pct, true AS p50_in_range
     FROM events
     GROUP BY event_type
     ORDER BY event_type
     """,
     doc=(
         "Approximate aggregates (HLL distinct, quantile sketch): "
-        "approx_count_distinct within 5% of exact, percentile_approx "
+        "approx_count_distinct within 10% of exact (rsd=2% sketch → 5 "
+        "sigma of margin, holds at every SF), percentile_approx "
         "bracketing the exact median. DuckDB's sketches differ bit-wise, so "
         "the Spark side asserts its own error bounds in-plan (approx vs "
         "exact) and emits booleans; the oracle is the expected all-true "
@@ -323,21 +324,27 @@ def q_conditional_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    agg = e.groupBy("event_type").agg(
-        # rsd=1% sketch asserted against a 5% bound: ~5 sigma of margin,
-        # so the all-true oracle holds at every SF (default rsd=5% missed
-        # the bound for one group at sf0.1)
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    # The HLL sketch and the exact countDistinct live in their OWN
+    # aggregation, joined to the percentile aggregation on the group key:
+    # countDistinct rewrites to an Expand (×2 rows), and a combined plan
+    # would drag the multi-hundred-word HLL buffer through that Expand —
+    # at rsd=1% the flattened buffer is ~2.7k agg attributes and the
+    # whole-stage codegen alone took ~9 s to JIT (measured at sf0.1).
+    # Split, each aggregate stays lean; the join is 5 rows.
+    users = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    p50 = e.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5).alias("approx_p50"),
-        F.expr("percentile(value, 0.5)").alias("exact_p50"),
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+    agg = users.join(p50, "event_type")
     return agg.select(
         "event_type",
-        (F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users") <= 0.05)
-        .alias("hll_within_5pct"),
+        (F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users") <= 0.10)
+        .alias("hll_within_10pct"),
         ((F.col("approx_p50") >= F.col("lo")) & (F.col("approx_p50") <= F.col("hi")))
         .alias("p50_in_range"),
     ).orderBy("event_type")

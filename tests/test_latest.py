@@ -76,3 +76,30 @@ def test_stride_sample_exact(spark):
     df = spark.range(100).withColumnRenamed("id", "n")
     out = stride_sample(df, 4, "n").collect()
     assert sorted(r["n"] for r in out) == list(range(0, 100, 4))
+
+
+def test_stride_sample_deterministic_on_shuffled_input(spark):
+    """Regression for the r2 intermittent renumbering: repartitionByRange
+    samples its boundaries, so without the localCheckpoint barrier the
+    count pass and the output pass could disagree on partition layout,
+    yielding wrong stride sets (25003 rows from a 100000-row stride-4 was
+    observed once at sf0.1). Shuffled, skew-partitioned input + repeated
+    trials exercise exactly that window; the result must be the exact
+    stride set every time."""
+    df = (
+        spark.range(20_000)
+        .withColumn("n", F.xxhash64("id") % 20_000)  # scrambled order
+        .select((F.col("id")).alias("n"))
+        .repartition(7, F.col("n") % 3)  # skewed, order-destroying layout
+    )
+    want = list(range(0, 20_000, 7))
+    for _ in range(3):
+        got = sorted(r["n"] for r in stride_sample(df, 7, "n").collect())
+        assert got == want
+
+
+def test_stride_sample_empty_and_tiny(spark):
+    empty = spark.range(0).withColumnRenamed("id", "n")
+    assert stride_sample(empty, 4, "n").collect() == []
+    one = spark.range(1).withColumnRenamed("id", "n")
+    assert [r["n"] for r in stride_sample(one, 4, "n").collect()] == [0]
