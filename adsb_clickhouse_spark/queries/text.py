@@ -223,8 +223,14 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape runs in ~3 s). The w-window minima become a frame-bounded
     window min over pos; rows past len-w+1 are dropped to match the
     oracle's slice semantics. The explode→project pipeline never
-    materializes the duplicated text column — only (doc_id, pos, h)
-    reaches the window shuffle."""
+    materializes the duplicated text column — only (doc_id, pos, h, lim)
+    reaches the window shuffle. The window-count pass and the distinct
+    shuffle were both eliminated: the last valid window position is
+    derivable from length(text) before the explode (no unbounded count
+    frame buffering whole partitions), and per-doc dedup runs as a
+    collect_set groupBy on the window's existing doc_id partitioning
+    (partial agg, zero extra exchange) instead of a full
+    (doc_id, fingerprint) distinct shuffle."""
     from pyspark.sql import Window
 
     from ..functions.texttools import md5_long
@@ -237,19 +243,18 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1)))
         ).alias("pos"),
         "text",
+        F.greatest(F.length("text") - (k - 1) - (w - 1), F.lit(1)).alias("lim"),
     ).select(
-        "doc_id", "pos", md5_long(F.expr(f"substr(text, pos, {k})")).alias("h")
+        "doc_id", "pos", md5_long(F.expr(f"substr(text, pos, {k})")).alias("h"), "lim"
     )
     wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    wcnt = Window.partitionBy("doc_id")
-    minima = (
-        g.withColumn("m", F.min("h").over(wmin))
-        .withColumn("n", F.count("*").over(wcnt))
-        .filter(F.col("pos") <= F.greatest(F.col("n") - (w - 1), F.lit(1)))
+    minima = g.withColumn("m", F.min("h").over(wmin)).filter(
+        F.col("pos") <= F.col("lim")
     )
     return (
-        minima.select("doc_id", F.col("m").alias("fingerprint"))
-        .distinct()
+        minima.groupBy("doc_id")
+        .agg(F.collect_set("m").alias("fps"))
+        .select("doc_id", F.explode("fps").alias("fingerprint"))
         .orderBy("doc_id", "fingerprint")
     )
 
