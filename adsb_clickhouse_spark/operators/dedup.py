@@ -67,6 +67,23 @@ def _hashed_shingle_index(docs: DataFrame, text_col: str, id_col: str, w: int) -
     )
 
 
+def _xx_shingle_index(docs: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
+    """(id, h) inverted index over xxhash64 shingle hashes.
+
+    Used ONLY where the hash never reaches the output (exact-Jaccard
+    candidate generation + common counts): xxhash64 is a codegen'd JVM
+    primitive — no hex-string materialization, ~10× cheaper than the md5
+    path — and the DuckDB oracle joins the raw shingle strings instead,
+    so outputs agree unless a 64-bit collision changes a Jaccard count
+    (P ≈ n²/2⁶⁵; any occurrence fails the gate's value hash loudly).
+    Shingles explode to rows BEFORE hashing so xxhash64 runs inside
+    whole-stage codegen, not as an interpreted array-lambda."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(tokens(F.col(text_col)), w)).alias("s"),
+    ).select("id", F.xxhash64("s").alias("h"))
+
+
 def _shingle_sizes(docs: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
     """|shingle-set| per doc straight from the array length — no explode,
     no shuffle (shingles are already distinct within a doc)."""
@@ -92,7 +109,7 @@ def ngram_jaccard_pairs(
     docs before the join (skew control at scale; exactness is preserved
     only for pairs sharing at least one surviving shingle).
     """
-    sh = _hashed_shingle_index(docs, text_col, id_col, w)
+    sh = _xx_shingle_index(docs, text_col, id_col, w)
     if max_shingle_freq is not None:
         # fold the hot-shingle cap into the shuffle the self-join needs
         # anyway: a count window over h hash-partitions by h, the join
@@ -298,7 +315,9 @@ def ngram_jaccard_pairs_prefix(
     # materializing it (persist leaks CacheManager entries across calls —
     # r1 advisor; localCheckpoint measured 1.7x slower by blocking
     # column-pruning into the branches)
-    sh = _hashed_shingle_index(docs, text_col, id_col, w)
+    # xxhash64 is safe here: prefix filtering is exact under ANY global
+    # shingle order, so the (freq, h) tie-break need not match the oracle's
+    sh = _xx_shingle_index(docs, text_col, id_col, w)
     freq = sh.groupBy("h").agg(F.count("*").alias("freq"))
     wnd = Window.partitionBy("id").orderBy("freq", "h")
     ranked = (
