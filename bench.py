@@ -7,8 +7,8 @@ each registered query measured once end-to-end (plan -> execute ->
 collect). `len(df.collect())` forces the full projection and ordering to
 execute (a bare .count() lets Catalyst prune projection-only work — the
 round-1 advisor flagged exactly that). `value` is the sum of per-query
-wall times; `delta_vs_r1` carries the round-1 numbers forward for the
-queries that existed then (negative = faster now).
+wall times; `delta_vs_r{N}` compares against the LATEST recorded
+BENCH_r*.json for the queries that existed then (negative = faster now).
 """
 
 from __future__ import annotations
@@ -70,18 +70,41 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     headline_total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
 
-    # per-query delta vs the recorded round-1 bench (if present)
+    # per-query delta vs the latest recorded round bench (if present).
+    # BENCH_r{N}.json may carry the timings as parsed JSON or only as the
+    # driver's 2000-char stdout tail (r2's line overflowed it) — fall back
+    # to scraping "name": seconds pairs from the tail's queries segment.
+    import glob
+    import re
+
     delta: dict[str, float] = {}
-    r1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
-    try:
-        with open(r1_path) as fh:
-            r1 = json.load(fh)
-        r1_q = r1.get("parsed", r1).get("queries", {})
-        delta = {
-            n: round(timings[n] - r1_q[n], 3) for n in timings if n in r1_q
-        }
-    except (OSError, ValueError, AttributeError):
-        pass
+    delta_key = "delta_vs_prev"
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if prev_benches:
+        latest = prev_benches[-1]
+        try:
+            with open(latest) as fh:
+                prev = json.load(fh)
+            parsed = prev.get("parsed")
+            if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+                prev_q = parsed["queries"]
+            else:  # truncated tail: pairs before the first '}' are queries
+                seg = prev.get("tail", "").split("}", 1)[0]
+                prev_q = {
+                    m.group(1): float(m.group(2))
+                    for m in re.finditer(r'"([A-Za-z0-9_]+)":\s*([0-9.]+)', seg)
+                }
+            delta = {
+                n: round(timings[n] - prev_q[n], 3) for n in timings if n in prev_q
+            }
+            rnum = int(re.search(r"BENCH_r(\d+)", latest).group(1))
+            delta_key = f"delta_vs_r{rnum}"
+        except (OSError, ValueError, AttributeError):
+            pass
 
     # ingest throughput through the full MV cascade (history + state +
     # combined), comparable to the reference's ~550-830 rows/s envelope
@@ -104,21 +127,31 @@ def main() -> None:
     raw.unpersist()
     ingest_rate = round(n_rows / ingest_s, 1)
 
-    print(
-        json.dumps(
-            {
-                "metric": "full_query_suite_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "headline_20_total": headline_total,
-                "delta_vs_r1": delta,
-                "ingest_rows_per_sec": ingest_rate,
-                "ingest_rows": n_rows,
-            }
+    # the driver keeps only the LAST 2000 chars of stdout and json-parses
+    # them — r2's ~3.4 KB line (full per-query delta dict) overflowed that
+    # window and was recorded unparsed. Keep the line compact: 2-decimal
+    # times, no spaces, delta summarized to its total; the full-precision
+    # timings + per-query delta go to BENCH_DELTA.json next to this file.
+    payload = {
+        "metric": "full_query_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "headline_20_total": headline_total,
+        delta_key.replace("delta_vs", "delta_total_vs"): round(sum(delta.values()), 2),
+        "ingest_rows_per_sec": ingest_rate,
+        "ingest_rows": n_rows,
+    }
+    with open(os.path.join(here, "BENCH_DELTA.json"), "w") as fh:
+        json.dump(
+            {"queries": timings, delta_key: delta, "total": total}, fh, indent=1
         )
-    )
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1950:  # never hand the driver an unparseable line again
+        payload["queries"] = {n: round(t, 2) for n, t in timings.items() if t >= 0.5}
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
