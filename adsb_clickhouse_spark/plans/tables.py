@@ -61,14 +61,32 @@ def with_partition_col(df: DataFrame, ts: str = "scrape_time") -> DataFrame:
     return df.withColumn(PARTITION_COL, F.to_date(F.col(ts)))
 
 
-def append_history(df: DataFrame, path: str, *, key: str = "icao24", ts: str = "scrape_time") -> None:
-    """S2: day-partitioned, key-ordered columnar append."""
+def append_history(
+    df: DataFrame,
+    path: str,
+    *,
+    key: str = "icao24",
+    ts: str = "scrape_time",
+    batch_id: int | str | None = None,
+) -> None:
+    """S2: day-partitioned, key-ordered columnar append.
+
+    Layout: ``<path>/batch_id=<b>/scrape_date=<d>/*.parquet``. Each
+    micro-batch owns its own ``batch_id=`` directory and is written with
+    OVERWRITE semantics, so a foreachBatch re-delivery (crash anywhere in
+    the cascade, including mid-append) simply rewrites the same directory
+    — exactly-once history counts with no commit-marker race. Ad-hoc
+    batch ingests (``batch_id=None``) get a fresh uuid directory, i.e.
+    plain append. Both ``batch_id`` and ``scrape_date`` surface as
+    partition columns; filters on ``scrape_date`` still prune directories
+    (tests/test_plans.py pins the pruned scan)."""
+    seg = f"b{batch_id}" if batch_id is not None else f"adhoc-{uuid.uuid4().hex[:12]}"
     (
         with_partition_col(df, ts)
         .sortWithinPartitions(PARTITION_COL, key, ts)
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy(PARTITION_COL)
-        .parquet(path)
+        .parquet(os.path.join(path, f"batch_id={seg}"))
     )
 
 
@@ -80,10 +98,13 @@ def read_history(
     key: str = "icao24",
     ts: str = "scrape_time",
 ) -> DataFrame:
-    """History scan. ``dedupe=True`` drops the duplicate rows a replayed
-    micro-batch can append in the crash window (streaming/pipeline.py
-    delivery-semantics note) — exact counts at the cost of one shuffle."""
+    """History scan (the ``batch_id`` layout column is dropped — it is a
+    sink implementation detail). Batch-keyed overwrite writes make replays
+    idempotent, so counts are exact without ``dedupe``; the flag is kept
+    for reading pre-exactly-once layouts and cross-pipeline merges."""
     df = spark.read.parquet(path)
+    if "batch_id" in df.columns:
+        df = df.drop("batch_id")
     if dedupe:
         subset = [c for c in (key, ts, "ingestion_time") if c in df.columns]
         df = df.dropDuplicates(subset)
