@@ -4,11 +4,19 @@ Reproduces the reference's storage engines with Spark-native layout:
 
 - **History** (S2) — `ReplicatedMergeTree PARTITION BY toYYYYMMDD(scrape_time)
   ORDER BY (icao24, scrape_time) TTL ...` (schema/schema-local.sql:183-187)
-  → Parquet `partitionBy("scrape_date")` + `sortWithinPartitions(key, ts)`
-  so row-group min/max stats give the same data skipping the sparse
-  primary index gives ClickHouse. At 100 TB: date partitions prune
-  time-range queries; the within-file sort on (icao24, scrape_time) keeps
-  per-aircraft scans to a few row groups.
+  → Parquet laid out ``scrape_date=<d>/batch_id=<seg>/*.parquet`` +
+  `sortWithinPartitions(key, ts)` so row-group min/max stats give the
+  same data skipping the sparse primary index gives ClickHouse. The
+  layout is DATE-MAJOR: the day is the outer partition (time-range
+  pruning + TTL = one directory drop per day, like
+  ``ttl_only_drop_parts=1``), and each writing micro-batch owns an inner
+  ``batch_id=`` directory so a replayed batch overwrites itself
+  (exactly-once, see append_history). Compaction merges a closed day's
+  batch directories into one key-sorted file set — the background-merge
+  analogue that keeps file counts bounded at a 2 s trigger cadence.
+  At 100 TB: date partitions prune time-range queries; the within-file
+  sort on (icao24, scrape_time) keeps per-aircraft scans to a few row
+  groups.
 - **Current state** (S3) — `ReplacingMergeTree(scrape_time) ORDER BY icao24
   TTL 1 HOUR` (schema/schema-local.sql:370-372) → keyed upsert: merge the
   incoming batch with existing state via `latest_per_key`, atomically
@@ -39,6 +47,7 @@ implementation (MERGE INTO + time travel) changes only this module.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import time
@@ -71,23 +80,82 @@ def append_history(
 ) -> None:
     """S2: day-partitioned, key-ordered columnar append.
 
-    Layout: ``<path>/batch_id=<b>/scrape_date=<d>/*.parquet``. Each
-    micro-batch owns its own ``batch_id=`` directory and is written with
-    OVERWRITE semantics, so a foreachBatch re-delivery (crash anywhere in
-    the cascade, including mid-append) simply rewrites the same directory
-    — exactly-once history counts with no commit-marker race. Ad-hoc
-    batch ingests (``batch_id=None``) get a fresh uuid directory, i.e.
-    plain append. Both ``batch_id`` and ``scrape_date`` surface as
-    partition columns; filters on ``scrape_date`` still prune directories
-    (tests/test_plans.py pins the pruned scan)."""
+    Layout (date-major): ``<path>/scrape_date=<d>/batch_id=<seg>/``. The
+    day stays the OUTER partition — TTL drops and time-range pruning
+    touch whole-day directories exactly like MergeTree parts
+    (schema/schema-local.sql:186-187) — while each micro-batch owns the
+    INNER ``batch_id=`` directories it writes. A batch-keyed write first
+    removes any ``batch_id=<seg>`` leftovers from a previous attempt and
+    then appends, so a foreachBatch re-delivery (crash anywhere in the
+    cascade, including mid-append) converges to exactly one copy of the
+    batch — exactly-once history counts with no commit-marker race, even
+    when the replay lands in different days than the crashed attempt.
+    Ad-hoc batch ingests (``batch_id=None``) get a fresh uuid segment,
+    i.e. plain append. ``batch_id`` must be unique per logical batch
+    across the table's lifetime — the streaming pipeline scopes Spark's
+    per-checkpoint batch numbers with a run id (streaming/pipeline.py),
+    so a reset checkpoint restarting at batch 0 can never overwrite an
+    earlier run's data. Filters on ``scrape_date`` prune directories as
+    before (tests/test_plans.py pins the pruned scan)."""
     seg = f"b{batch_id}" if batch_id is not None else f"adhoc-{uuid.uuid4().hex[:12]}"
+    if batch_id is not None:
+        # replay overwrite: drop every day's leftovers of this batch before
+        # rewriting (handles attempt 1 writing days the replay doesn't)
+        for leftover in glob.glob(
+            os.path.join(path, PARTITION_COL + "=*", f"batch_id={seg}")
+        ):
+            shutil.rmtree(leftover, ignore_errors=True)
     (
         with_partition_col(df, ts)
+        .withColumn("batch_id", F.lit(seg))
         .sortWithinPartitions(PARTITION_COL, key, ts)
-        .write.mode("overwrite")
-        .partitionBy(PARTITION_COL)
-        .parquet(os.path.join(path, f"batch_id={seg}"))
+        .write.mode("append")
+        .partitionBy(PARTITION_COL, "batch_id")
+        .parquet(path)
     )
+
+
+def _history_layout_groups(path: str) -> list[list[str]] | None:
+    """Classify the on-disk history layout. Returns ``None`` when the tree
+    is uniform (one ``spark.read.parquet(path)`` works — the fast path),
+    else a list of uniform-depth path groups to read separately:
+
+    - flat legacy: ``scrape_date=<d>/*.parquet`` (pre-exactly-once);
+    - date-major:  ``scrape_date=<d>/batch_id=<b>/*.parquet`` (current);
+    - batch-major: ``batch_id=<b>/scrape_date=<d>/*.parquet`` (interim).
+
+    Mixed trees (partial migrations, a day dir holding both direct files
+    and batch subdirs) would make Spark's partition discovery fail with
+    'Conflicting directory structures'; grouping by depth and reading
+    each group with ``basePath`` sidesteps that."""
+    try:
+        top = sorted(os.listdir(path))
+    except OSError:
+        return None  # let spark.read surface the standard missing-path error
+    sd_dirs = [e for e in top if e.startswith(PARTITION_COL + "=")]
+    bid_dirs = [e for e in top if e.startswith("batch_id=")]
+    flat: list[str] = []
+    nested: list[str] = []
+    for entry in sd_dirs:
+        full = os.path.join(path, entry)
+        children = os.listdir(full)
+        files = [c for c in children if c.endswith(".parquet")]
+        subs = [c for c in children if c.startswith("batch_id=")]
+        if files:
+            flat += [full] if not subs else [os.path.join(full, f) for f in files]
+        if subs:
+            nested += [full] if not files else [os.path.join(full, s) for s in subs]
+    uniform = (
+        (flat and not nested and not bid_dirs)
+        or (nested and not flat and not bid_dirs)
+        or (bid_dirs and not sd_dirs)
+    )
+    if uniform or not (flat or nested or bid_dirs):
+        return None
+    groups = [g for g in (flat, nested) if g]
+    if bid_dirs:
+        groups.append([os.path.join(path, e) for e in bid_dirs])
+    return groups
 
 
 def read_history(
@@ -99,12 +167,23 @@ def read_history(
     ts: str = "scrape_time",
 ) -> DataFrame:
     """History scan (the ``batch_id`` layout column is dropped — it is a
-    sink implementation detail). Batch-keyed overwrite writes make replays
-    idempotent, so counts are exact without ``dedupe``; the flag is kept
-    for reading pre-exactly-once layouts and cross-pipeline merges."""
-    df = spark.read.parquet(path)
-    if "batch_id" in df.columns:
-        df = df.drop("batch_id")
+    sink implementation detail). Batch-keyed overwrite writes make the
+    streaming pipeline's replays idempotent (append_history docstring),
+    so counts are exact without ``dedupe``; the flag is kept for
+    cross-pipeline merges and tables that mixed ad-hoc double-ingests.
+    Mixed old/new layouts read correctly (see _history_layout_groups)."""
+    groups = _history_layout_groups(path)
+    if groups is None:
+        df = spark.read.parquet(path)
+        if "batch_id" in df.columns:
+            df = df.drop("batch_id")
+    else:
+        df = None
+        for g in groups:
+            part = spark.read.option("basePath", path).parquet(*g)
+            if "batch_id" in part.columns:
+                part = part.drop("batch_id")
+            df = part if df is None else df.unionByName(part)
     if dedupe:
         subset = [c for c in (key, ts, "ingestion_time") if c in df.columns]
         df = df.dropDuplicates(subset)
@@ -114,8 +193,12 @@ def read_history(
 def _atomic_swap(src: str, dst: str) -> None:
     """Replace dst dir with src dir; POSIX rename is atomic per entry.
     Used by partition compaction (single-writer maintenance job); state
-    commits use the snapshot+pointer protocol instead."""
-    tmp_old = dst + "." + uuid.uuid4().hex
+    commits use the snapshot+pointer protocol instead. The displaced dir
+    gets a dot-prefixed name so a crash between rename and rmtree leaves
+    only entries Spark's partition discovery and our listers ignore."""
+    tmp_old = os.path.join(
+        os.path.dirname(dst), f".{os.path.basename(dst)}.old.{uuid.uuid4().hex}"
+    )
     if os.path.exists(dst):
         os.rename(dst, tmp_old)
     os.rename(src, dst)
@@ -253,29 +336,59 @@ def expire_history(
 ) -> list[str]:
     """TTL maintenance: drop whole day-partitions older than the retention
     window — `TTL scrape_time + INTERVAL n ... SETTINGS ttl_only_drop_parts=1`
-    (schema/schema-local.sql:186-187). Never rewrites surviving data."""
+    (schema/schema-local.sql:186-187). Never rewrites surviving data.
+
+    Date-major layout makes this one ``rmtree`` per expired day no matter
+    how many batch directories the day accumulated. Interim batch-major
+    trees (``batch_id=*/scrape_date=*``) are walked too, pruning batch
+    dirs emptied by the expiry."""
     cutoff = (now or datetime.utcnow().date()) - timedelta(days=ttl_days)
     dropped = []
     if not os.path.isdir(path):
         return dropped
     for entry in sorted(os.listdir(path)):
-        if not entry.startswith(PARTITION_COL + "="):
-            continue
-        part_date = date.fromisoformat(entry.split("=", 1)[1])
-        if part_date < cutoff:
-            shutil.rmtree(os.path.join(path, entry))
-            dropped.append(entry)
+        full = os.path.join(path, entry)
+        if entry.startswith(PARTITION_COL + "="):
+            if date.fromisoformat(entry.split("=", 1)[1]) < cutoff:
+                shutil.rmtree(full)
+                dropped.append(entry)
+        elif entry.startswith("batch_id=") and os.path.isdir(full):
+            for sub in sorted(os.listdir(full)):
+                if not sub.startswith(PARTITION_COL + "="):
+                    continue
+                if date.fromisoformat(sub.split("=", 1)[1]) < cutoff:
+                    shutil.rmtree(os.path.join(full, sub))
+                    dropped.append(os.path.join(entry, sub))
+            if not any(e.startswith(PARTITION_COL + "=") for e in os.listdir(full)):
+                shutil.rmtree(full)
     return dropped
 
 
 def compact_partition(spark: SparkSession, path: str, partition: str, *, key: str = "icao24", ts: str = "scrape_time", target_files: int = 1) -> None:
-    """OPTIMIZE analogue: rewrite one day-partition into `target_files`
-    key-sorted files (ClickHouse background merges keep parts sorted and
-    few; we do it as an explicit maintenance call)."""
+    """OPTIMIZE analogue: merge ALL of one day-partition's per-batch
+    directories (and any legacy flat files) into `target_files` key-sorted
+    files under a single ``batch_id=compact-*`` directory, then atomically
+    swap the day directory (ClickHouse background merges keep parts sorted
+    and few; we do it as an explicit maintenance call).
+
+    This bounds the file-listing cost of the exactly-once layout: a 2 s
+    trigger cadence creates ~43k batch dirs/day, and compacting each
+    closed day collapses them to one. Run on CLOSED (past) days only —
+    the swap races a concurrent writer appending new batch dirs to the
+    same day."""
     part_path = os.path.join(path, partition)
-    df = spark.read.parquet(part_path)
-    tmp = part_path + ".staging." + uuid.uuid4().hex
+    if not os.path.isdir(part_path):
+        raise FileNotFoundError(part_path)
+    day = partition.split("=", 1)[1]
+    df = (
+        read_history(spark, path)
+        .filter(F.col(PARTITION_COL) == day)
+        .drop(PARTITION_COL)
+    )
+    # dot-prefixed: invisible to partition discovery if a crash leaves it
+    staging = os.path.join(path, f".compact-staging.{uuid.uuid4().hex}")
+    out = os.path.join(staging, f"batch_id=compact-{uuid.uuid4().hex[:12]}")
     df.repartition(target_files).sortWithinPartitions(key, ts).write.mode(
         "overwrite"
-    ).parquet(tmp)
-    _atomic_swap(tmp, part_path)
+    ).parquet(out)
+    _atomic_swap(staging, part_path)

@@ -10,20 +10,21 @@ Spark design: ``readStream → from_json → foreachBatch{ cleanse; append
 history; upsert state; upsert combined }``. The foreachBatch body
 reproduces the MV cascade per micro-batch.
 
-Delivery semantics (honest version):
+Delivery semantics:
 
-- **state / combined** — effectively exactly-once: the upserts are
-  idempotent (argmax semantics), so a retried batch converges to the
-  same state.
-- **history** — at-least-once in the narrow window where a cascade
-  crashes between the history append and the batch commit marker. A
-  fully-processed batch that gets re-delivered (the common foreachBatch
-  replay: sink work finished, checkpoint commit didn't) is skipped via
-  the per-batch marker in ``_commits/``. Duplicates from the crash
-  window never affect state (argmax) and can be removed from history
-  reads with ``tables.read_history(..., dedupe=True)``. True
-  exactly-once history needs a transactional sink (Delta) — documented
-  swap point in plans/tables.py.
+- **state / combined** — exactly-once effect: the upserts are idempotent
+  (argmax semantics), so a retried batch converges to the same state.
+- **history** — exactly-once counts via batch-keyed overwrite: each
+  micro-batch writes its own ``batch_id=`` directories inside the day
+  partitions (plans/tables.py append_history), and a foreachBatch
+  re-delivery — crash anywhere in the cascade, including mid-append —
+  rewrites those same directories instead of appending a second copy.
+  Batch numbers are scoped by a RUN ID persisted inside the checkpoint
+  directory: Spark's batch ids restart at 0 when a checkpoint is deleted
+  or replaced, and the run-id scope keeps a new run's batch 0 from
+  overwriting (or being skipped because of) an old run's batch 0 — the
+  failure mode bare batch-id commit markers had. No marker files, no
+  marker GC, nothing to desynchronize.
 
 Trigger cadence and batch-size caps mirror the per-topic
 kafka_flush_interval_ms / kafka_max_block_size settings
@@ -34,6 +35,7 @@ kafka_flush_interval_ms / kafka_max_block_size settings
 from __future__ import annotations
 
 import os
+import uuid
 from datetime import datetime
 
 from pyspark.sql import DataFrame
@@ -46,33 +48,68 @@ from ..operators.combined import to_combined
 from ..plans import tables
 
 
+def _checkpoint_run_id(checkpoint_dir: str) -> str:
+    """Run id pinned INSIDE the checkpoint directory, so Spark's
+    per-checkpoint batch numbering and the scope that makes those numbers
+    globally unique share one lifetime: delete/replace the checkpoint and
+    the next run gets fresh batch ids AND a fresh scope — batch 0 of the
+    new run can neither overwrite nor be shadowed by batch 0 of the old
+    one. Written once with O_EXCL; concurrent creators converge on the
+    winner's id."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "run_id")
+    try:
+        fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        try:
+            run_id = uuid.uuid4().hex[:12]
+            os.write(fd, run_id.encode())
+        finally:
+            os.close(fd)
+        return run_id
+    except FileExistsError:
+        with open(marker) as fh:
+            return fh.read().strip()
+
+
 class IngestPipeline:
     """Per-source ingestion cascade writing history + state + combined."""
 
-    def __init__(self, cfg: SourceConfig, base_dir: str, *, now: datetime | None = None):
+    def __init__(
+        self,
+        cfg: SourceConfig,
+        base_dir: str,
+        *,
+        now: datetime | None = None,
+        run_id: str | None = None,
+    ):
         self.cfg = cfg
         self.base = base_dir
         self.now = now  # injectable wall-clock for deterministic tests
         self.history_path = os.path.join(base_dir, cfg.name, "history")
         self.state_path = os.path.join(base_dir, cfg.name, "state")
         self.combined_path = os.path.join(base_dir, "combined", "state")
-        self.commits_dir = os.path.join(base_dir, cfg.name, "_commits")
+        # scopes batch ids in the history layout; start() pins it to the
+        # checkpoint so batch numbering and scope live or die together
+        self.run_id = run_id
 
-    def _marker(self, batch_id: int) -> str:
-        return os.path.join(self.commits_dir, f"batch_{batch_id}")
+    def _scoped_batch(self, batch_id: int | None) -> str | int | None:
+        if batch_id is None:
+            return None
+        return f"{self.run_id}-{batch_id}" if self.run_id else batch_id
 
     # -- the MV cascade body (used by both batch and streaming) ------------
 
     def process_batch(self, raw: DataFrame, batch_id: int | None = None) -> None:
-        if batch_id is not None and os.path.exists(self._marker(batch_id)):
-            return  # replay of a fully-committed batch (module docstring)
         ingestion = F.lit(self.now).cast("timestamp") if self.now else F.current_timestamp()
         clean = cleanse(raw, self.cfg, ingestion_time=ingestion)
         # multiple sinks consume the cleansed batch — materialize it once
         clean.persist()
         try:
-            # MV 1: history append (schema-local.sql:199-293 → 183-187)
-            tables.append_history(clean, self.history_path)
+            # MV 1: history append (schema-local.sql:199-293 → 183-187);
+            # batch-keyed → replay overwrites instead of duplicating
+            tables.append_history(
+                clean, self.history_path, batch_id=self._scoped_batch(batch_id)
+            )
             # MV 2: current-state upsert (schema-local.sql:384-446 → 370-372)
             tables.upsert_state(
                 clean,
@@ -91,16 +128,15 @@ class IngestPipeline:
             )
         finally:
             clean.unpersist()
-        if batch_id is not None:
-            os.makedirs(self.commits_dir, exist_ok=True)
-            with open(self._marker(batch_id), "w") as fh:
-                fh.write("")
 
     # -- streaming entry ----------------------------------------------------
 
     def start(self, raw_stream: DataFrame, checkpoint_dir: str) -> StreamingQuery:
         """Attach the cascade to an unbounded raw DataFrame. The checkpoint
-        dir reproduces Kafka consumer-group offset tracking (ST5)."""
+        dir reproduces Kafka consumer-group offset tracking (ST5); the run
+        id stored inside it scopes the history layout's batch keys (module
+        docstring — checkpoint reset ⇒ new scope ⇒ no cross-run clobber)."""
+        self.run_id = _checkpoint_run_id(checkpoint_dir)
         return (
             raw_stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)

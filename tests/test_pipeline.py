@@ -64,25 +64,71 @@ def test_malformed_json_skipped(spark, tmp_base):
     assert df.count() == 2
 
 
-def test_replayed_batch_skipped_no_history_duplicates(spark, tmp_base):
+def test_replayed_batch_no_history_duplicates(spark, tmp_base):
     """foreachBatch re-delivery of a fully-committed batch (the common
     crash point: sinks done, checkpoint commit lost) must not append
-    duplicate history rows — the per-batch commit marker skips it."""
-    from adsb_clickhouse_spark.config import GLOBAL_STREAM
-    from adsb_clickhouse_spark.sources.fixtures import raw_batch
-    from adsb_clickhouse_spark.streaming.pipeline import IngestPipeline
-
-    pipe = IngestPipeline(GLOBAL_STREAM, tmp_base, now=NOW)
+    duplicate history rows — the batch-keyed overwrite rewrites the same
+    batch_id= directories, with dedupe=False counts staying exact."""
+    pipe = IngestPipeline(GLOBAL_STREAM, tmp_base, now=NOW, run_id="runA")
     raw = raw_batch(spark, GLOBAL_STREAM, n_aircraft=5, n_scrapes=1, with_edges=False)
     pipe.process_batch(raw, batch_id=7)
-    n1 = tables.read_history(spark, pipe.history_path).count()
+    n1 = tables.read_history(spark, pipe.history_path, dedupe=False).count()
     pipe.process_batch(raw, batch_id=7)  # replay
-    assert tables.read_history(spark, pipe.history_path).count() == n1
+    assert tables.read_history(spark, pipe.history_path, dedupe=False).count() == n1
     # a new batch id still processes
     pipe.process_batch(raw, batch_id=8)
-    assert tables.read_history(spark, pipe.history_path).count() == 2 * n1
-    # read-time dedupe collapses the crash-window duplicates
-    assert tables.read_history(spark, pipe.history_path, dedupe=True).count() == n1
+    assert tables.read_history(spark, pipe.history_path, dedupe=False).count() == 2 * n1
+
+
+def test_crash_between_append_and_commit_replays_exactly_once(spark, tmp_base, monkeypatch):
+    """Kill the cascade AFTER the history append but BEFORE the batch
+    commits (the window that made the old marker scheme at-least-once);
+    the replay must converge to exactly one copy with dedupe=False."""
+    pipe = IngestPipeline(GLOBAL_STREAM, tmp_base, now=NOW, run_id="runA")
+    raw = raw_batch(spark, GLOBAL_STREAM, n_aircraft=5, n_scrapes=1, with_edges=False)
+
+    real_upsert = tables.upsert_state
+
+    def crash_after_history(*a, **kw):
+        raise RuntimeError("executor lost mid-cascade")
+
+    monkeypatch.setattr(tables, "upsert_state", crash_after_history)
+    with pytest.raises(RuntimeError):
+        pipe.process_batch(raw, batch_id=3)
+    # history holds the orphaned attempt; state/combined never saw it
+    orphan = tables.read_history(spark, pipe.history_path, dedupe=False).count()
+    assert orphan > 0
+    monkeypatch.setattr(tables, "upsert_state", real_upsert)
+    pipe.process_batch(raw, batch_id=3)  # replay after recovery
+    assert tables.read_history(spark, pipe.history_path, dedupe=False).count() == orphan
+    assert tables.read_state(spark, pipe.state_path).count() > 0
+
+
+def test_checkpoint_reset_loses_no_new_data(spark, tmp_base):
+    """A deleted/recreated checkpoint restarts Spark batch ids at 0. The
+    run-id scope (pinned inside the checkpoint dir) must keep the new
+    run's batch 0 from being shadowed by — or clobbering — the old run's
+    batch 0 (the data-loss mode bare batch-id markers had)."""
+    import shutil
+
+    from adsb_clickhouse_spark.streaming.pipeline import _checkpoint_run_id
+
+    ckpt = os.path.join(tmp_base, "ckpt")
+    run1 = _checkpoint_run_id(ckpt)
+    assert _checkpoint_run_id(ckpt) == run1  # stable within a run
+    pipe1 = IngestPipeline(GLOBAL_STREAM, tmp_base, now=NOW, run_id=run1)
+    raw1 = raw_batch(spark, GLOBAL_STREAM, n_aircraft=3, n_scrapes=1, with_edges=False)
+    pipe1.process_batch(raw1, batch_id=0)
+    n1 = tables.read_history(spark, pipe1.history_path, dedupe=False).count()
+
+    shutil.rmtree(ckpt)  # operator resets the checkpoint
+    run2 = _checkpoint_run_id(ckpt)
+    assert run2 != run1
+    pipe2 = IngestPipeline(GLOBAL_STREAM, tmp_base, now=NOW, run_id=run2)
+    raw2 = raw_batch(spark, GLOBAL_STREAM, n_aircraft=4, n_scrapes=1, with_edges=False)
+    pipe2.process_batch(raw2, batch_id=0)  # same Spark batch id, new run
+    n2 = tables.read_history(spark, pipe2.history_path, dedupe=False).count()
+    assert n2 == n1 + raw2.count()  # nothing dropped, nothing overwritten
 
 
 def test_streaming_cascade_file_source(spark, tmp_base):

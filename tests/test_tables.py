@@ -117,14 +117,76 @@ def test_state_writer_lock_serializes(tmp_base):
         pass
 
 
+def test_history_nested_date_major_layout(spark, tmp_base):
+    """Pin the exactly-once layout: scrape_date= OUTER (TTL/pruning = one
+    directory per day), batch_id= INNER (replay overwrites itself)."""
+    path = os.path.join(tmp_base, "hist")
+    tables.append_history(_df(spark, [("a", NOW, 1)]), path, batch_id="run1-0")
+    tables.append_history(_df(spark, [("a", NOW, 2)]), path)  # ad-hoc
+    day = os.path.join(path, "scrape_date=2026-01-15")
+    batch_dirs = sorted(os.listdir(day))
+    assert "batch_id=brun1-0" in batch_dirs
+    assert any(b.startswith("batch_id=adhoc-") for b in batch_dirs)
+    # no stray parquet directly in the day dir — layout is uniform
+    assert not any(f.endswith(".parquet") for f in batch_dirs)
+    assert tables.read_history(spark, path).count() == 2
+    assert "batch_id" not in tables.read_history(spark, path).columns
+
+
+def test_append_history_replay_overwrites_across_days(spark, tmp_base):
+    """Exactly-once: a replayed batch rewrites its own batch_id= dirs —
+    including days the crashed attempt wrote but the replay does not."""
+    path = os.path.join(tmp_base, "hist")
+    attempt1 = _df(spark, [("a", NOW, 1), ("b", NOW - timedelta(days=1), 2)])
+    tables.append_history(attempt1, path, batch_id="r-7")
+    # replay delivers a narrower batch (crash mid-append is also covered:
+    # leftovers from attempt 1 in 2026-01-14 must vanish)
+    replay = _df(spark, [("a", NOW, 1)])
+    tables.append_history(replay, path, batch_id="r-7")
+    out = tables.read_history(spark, path, dedupe=False)
+    assert out.count() == 1
+    assert not os.path.exists(os.path.join(path, "scrape_date=2026-01-14", "batch_id=br-7"))
+
+
+def test_read_history_mixed_legacy_and_nested_layout(spark, tmp_base):
+    """A table written before the exactly-once layout (flat scrape_date=
+    only) keeps reading after new nested batches land beside it."""
+    path = os.path.join(tmp_base, "hist")
+    # legacy flat layout: files directly under scrape_date=
+    (
+        _df(spark, [("old", NOW - timedelta(days=2), 0)])
+        .withColumn("scrape_date", F.to_date("scrape_time"))
+        .write.partitionBy("scrape_date")
+        .parquet(path)
+    )
+    tables.append_history(_df(spark, [("new", NOW, 1)]), path, batch_id="r-0")
+    out = tables.read_history(spark, path)
+    assert {r["icao24"] for r in out.collect()} == {"old", "new"}
+    assert out.filter(F.col("scrape_date") == "2026-01-15").count() == 1
+
+
 def test_compact_partition(spark, tmp_base):
+    """Background-merge analogue: N per-batch dirs in a closed day collapse
+    to one compact dir / target_files files; counts unchanged."""
     path = os.path.join(tmp_base, "hist")
     for i in range(3):
-        tables.append_history(_df(spark, [("a", NOW, i)]), path)
+        tables.append_history(_df(spark, [("a", NOW, i)]), path, batch_id=f"r-{i}")
     part = "scrape_date=2026-01-15"
-    n_files = len([f for f in os.listdir(os.path.join(path, part)) if f.endswith(".parquet")])
-    assert n_files >= 3
+    day = os.path.join(path, part)
+    assert len([e for e in os.listdir(day) if e.startswith("batch_id=")]) == 3
     tables.compact_partition(spark, path, part, target_files=1)
-    n_files = len([f for f in os.listdir(os.path.join(path, part)) if f.endswith(".parquet")])
+    batch_dirs = [e for e in os.listdir(day) if e.startswith("batch_id=")]
+    assert len(batch_dirs) == 1 and batch_dirs[0].startswith("batch_id=compact-")
+    n_files = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(day)
+    )
     assert n_files == 1
     assert tables.read_history(spark, path).count() == 3
+    # other days untouched semantics: compacted day still prunes/filters
+    assert (
+        tables.read_history(spark, path)
+        .filter(F.col("scrape_date") == "2026-01-15")
+        .count()
+        == 3
+    )
