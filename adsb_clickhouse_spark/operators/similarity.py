@@ -38,6 +38,31 @@ from pyspark.sql import functions as F
 
 DEFAULT_DIM = 64  # the driver's embeddings table width
 
+# cosine_near_dup_pairs collects the corpus to the driver to broadcast it;
+# 1M × 64 doubles ≈ 512 MB — past this the LSH path is the answer, not a
+# bigger driver (see cosine_near_dup_pairs docstring).
+MAX_BROADCAST_ROWS = 1_000_000
+
+
+def _id_as_long(df: DataFrame, id_col: str, alias: str) -> Column:
+    """ANN/LSH/IVF id contract: ids ride through numpy int64 arrays inside
+    the Arrow-batched kernels, so they are cast to ``long``. Numeric ids
+    (and digit strings) pass through exactly. Non-castable column TYPES
+    fail here at plan-build time; a NON-numeric string VALUE still becomes
+    NULL at runtime and its rows vanish at the ``neighbor_id != query_id``
+    filter — validate string ids upstream, or use :func:`knn_bruteforce`,
+    which never casts and is type-agnostic."""
+    from pyspark.sql.types import NumericType, StringType
+
+    dtype = df.schema[id_col].dataType
+    if not isinstance(dtype, (NumericType, StringType)):
+        raise TypeError(
+            f"ANN id column {id_col!r} has type {dtype.simpleString()}; the "
+            "LSH/IVF kernels require ids castable to long (numeric or digit "
+            "strings). Use knn_bruteforce for arbitrary id types."
+        )
+    return F.col(id_col).cast("long").alias(alias)
+
 
 def _infer_dim(vectors: DataFrame, vec_col: str) -> int:
     """Vector width from one row — a constant-cost driver lookup so the
@@ -212,7 +237,7 @@ def ann_lsh(
     # oracle's explicit add chain bit-for-bit, so buckets agree exactly.
     c = _bucketize(
         corpus.select(
-            F.col(id_col).alias("neighbor_id").cast("long"),
+            _id_as_long(corpus, id_col, "neighbor_id"),
             as_double(F.col(vec_col)).alias("cv"),
         ),
         planes,
@@ -222,7 +247,7 @@ def ann_lsh(
     )
     q = _bucketize(
         queries.select(
-            F.col(id_col).alias("query_id").cast("long"),
+            _id_as_long(queries, id_col, "query_id"),
             as_double(F.col(vec_col)).alias("qv"),
         ),
         planes,
@@ -251,6 +276,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """All pairs (a<b) with cosine ≥ threshold — embedding near-dup.
 
@@ -269,17 +295,30 @@ def cosine_near_dup_pairs(
     differences (numpy half-even vs SQL half-away) require an exact
     decimal tie, which computed cosines never hit.
 
-    Scale note: broadcast-the-corpus is the brute-force *baseline* (valid
-    while the corpus matrix fits an executor — ~10M×64 doubles = 5 GB);
-    past that, block the right side or use :func:`cosine_near_dup_pairs_lsh`,
-    which is the documented scale path either way."""
+    Scale note: broadcast-the-corpus is the brute-force *baseline*, and
+    the driver collect it requires is HARD-CAPPED at ``max_rows``
+    (default 1M rows ≈ 512 MB of 64-dim doubles) — past the cap the call
+    raises instead of OOMing the driver, and the answer is
+    :func:`cosine_near_dup_pairs_lsh`, the documented scale path."""
     import numpy as np
     import pandas as pd
 
     spark = vectors.sparkSession
     src = vectors.select(
-        F.col(id_col).alias("id").cast("long"), as_double(F.col(vec_col)).alias("v")
+        _id_as_long(vectors, id_col, "id"), as_double(F.col(vec_col)).alias("v")
     )
+    # the cap check is one cheap count job; the collect below is the
+    # expensive one it protects
+    n = src.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_near_dup_pairs: corpus has {n} rows > max_rows={max_rows}; "
+            "the exact path broadcasts the whole corpus from the driver. Use "
+            "cosine_near_dup_pairs_lsh (bucketed, no driver collect) at this "
+            "scale, or raise max_rows if the driver really has the memory."
+        )
+    if n == 0:
+        return spark.createDataFrame([], "id_a long, id_b long, cos_sim double")
     corpus_pdf = src.toPandas()
     ids = corpus_pdf["id"].to_numpy(dtype=np.int64)
     mat = np.stack(corpus_pdf["v"].to_numpy())  # (n, dim) float64
@@ -316,6 +355,20 @@ def cosine_near_dup_pairs(
     return src.mapInPandas(score_block, "id_a long, id_b long, cos_sim double")
 
 
+def _d2_fold(mat, cent):
+    """(n, k) squared L2 distances, accumulated DIMENSION BY DIMENSION —
+    the same left-fold association as an explicit SQL add chain
+    ``(a[1]-c[1])*(a[1]-c[1]) + (a[2]-c[2])*... ``, so argmin/argsort
+    assignment decisions agree with the DuckDB oracle bit-for-bit
+    (numpy's default pairwise ``.sum()`` associates differently)."""
+    d = mat[:, 0, None] - cent[None, :, 0]
+    acc = d * d
+    for i in range(1, mat.shape[1]):
+        d = mat[:, i, None] - cent[None, :, i]
+        acc = acc + d * d
+    return acc
+
+
 def ivf_build(
     vectors: DataFrame,
     *,
@@ -345,7 +398,7 @@ def ivf_build(
 
     spark = vectors.sparkSession
     src = vectors.select(
-        F.col(id_col).alias("id").cast("long"), as_double(F.col(vec_col)).alias("v")
+        _id_as_long(vectors, id_col, "id"), as_double(F.col(vec_col)).alias("v")
     )
     seeds = (
         src.withColumn("h", F.md5(F.col("id").cast("string")))
@@ -353,6 +406,11 @@ def ivf_build(
         .limit(n_lists)
         .collect()
     )
+    if not seeds:
+        raise ValueError("ivf_build: empty corpus — nothing to quantize")
+    # clamp: a corpus smaller than n_lists yields fewer seeds; every
+    # later array (sums/counts) must agree with the true centroid count
+    n_lists = len(seeds)
     cent = np.stack([np.asarray(r["v"], dtype=np.float64) for r in seeds])
 
     partial_schema = "list_id int, n long, s array<double>"
@@ -366,8 +424,7 @@ def ivf_build(
                 if pdf.empty:
                     continue
                 mat = np.stack(pdf["v"].to_numpy())
-                d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-                lists = d2.argmin(axis=1)  # ties -> lowest index
+                lists = _d2_fold(mat, c).argmin(axis=1)  # ties -> lowest index
                 rows = []
                 for li in np.unique(lists):
                     sel = mat[lists == li]
@@ -391,9 +448,11 @@ def ivf_build(
             if pdf.empty:
                 continue
             mat = np.stack(pdf["v"].to_numpy())
-            d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame(
-                {"id": pdf["id"].to_numpy(), "list_id": d2.argmin(axis=1).astype("int32")}
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "list_id": _d2_fold(mat, c).argmin(axis=1).astype("int32"),
+                }
             )
 
     assignments = src.mapInPandas(assign, "id long, list_id int")
@@ -427,12 +486,12 @@ def ivf_search(
     spark = corpus.sparkSession
     cent = np.asarray(centroids, dtype=np.float64)
     qrows = queries.select(
-        F.col(id_col).alias("query_id").cast("long"), as_double(F.col(vec_col)).alias("qv")
+        _id_as_long(queries, id_col, "query_id"), as_double(F.col(vec_col)).alias("qv")
     ).collect()
     probe_rows = []
     for r in qrows:
         qv = np.asarray(r["qv"], dtype=np.float64)
-        d2 = ((cent - qv[None, :]) ** 2).sum(axis=1)
+        d2 = _d2_fold(qv[None, :], cent)[0]
         for li in np.argsort(d2, kind="stable")[:nprobe]:
             probe_rows.append((r["query_id"], r["qv"], int(li)))
     probes = spark.createDataFrame(
@@ -441,7 +500,7 @@ def ivf_search(
     dim = cent.shape[1]
     cand = (
         corpus.select(
-            F.col(id_col).alias("neighbor_id").cast("long"),
+            _id_as_long(corpus, id_col, "neighbor_id"),
             as_double(F.col(vec_col)).alias("cv"),
         )
         .join(assignments.withColumnsRenamed({"id": "neighbor_id"}), "neighbor_id")
@@ -484,7 +543,7 @@ def cosine_near_dup_pairs_lsh(
     # bucket signs bit-match the oracle's explicit add chain)
     bucketed = _bucketize(
         vectors.select(
-            F.col(id_col).alias("id").cast("long"), as_double(F.col(vec_col)).alias("v")
+            _id_as_long(vectors, id_col, "id"), as_double(F.col(vec_col)).alias("v")
         ),
         planes,
         vec="v",

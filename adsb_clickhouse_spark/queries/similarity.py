@@ -49,51 +49,108 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_bruteforce(e, q, k=5).orderBy("query_id", "rank")
 
 
-def _duck_ann_sql(n_planes: int = 8, dim: int = 64) -> str:
-    planes = S.hyperplanes(n_planes, dim)
-    # dot(v, plane) with ±1 entries = signed sum of elements (1-based idx)
-    def plane_dot(vexpr: str, plane: list[int]) -> str:
-        terms = [
-            f"{'+' if w > 0 else '-'} {vexpr}[{d + 1}]" for d, w in enumerate(plane)
-        ]
-        return "(" + " ".join(terms).lstrip("+ ") + ")"
+def _sql_plane_dot(vexpr: str, plane: list[int]) -> str:
+    """dot(v, plane) with ±1 entries = signed sum of elements (1-based)."""
+    terms = [f"{'+' if w > 0 else '-'} {vexpr}[{d + 1}]" for d, w in enumerate(plane)]
+    return "(" + " ".join(terms).lstrip("+ ") + ")"
 
+
+def _sql_d2(a: str, b: str, dim: int) -> str:
+    """Squared L2 distance as an explicit left-to-right add chain — the
+    association operators/similarity._d2_fold reproduces, so assignment
+    and probe argmins agree with Spark bit-for-bit."""
+    terms = [
+        f"(({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}]))" for i in range(1, dim + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _duck_ann_union_sql(
+    n_planes: int = 8, dim: int = 64, n_lists: int = 16, nprobe: int = 4, k: int = 3
+) -> str:
+    planes = S.hyperplanes(n_planes, dim)
     bucket = " + ".join(
-        f"(CASE WHEN {plane_dot('v', p)} >= 0 THEN {2 ** i}::BIGINT ELSE 0 END)"
+        f"(CASE WHEN {_sql_plane_dot('v', p)} >= 0 THEN {2 ** i}::BIGINT ELSE 0 END)"
         for i, p in enumerate(planes)
     )
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     hashed AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
-    q AS (SELECT vec_id, v, bucket FROM hashed WHERE vec_id < 5),
-    scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             {_DUCK_COS.format(a='q.v', b='c.v')} AS cs
-      FROM q JOIN hashed c ON c.bucket = q.bucket AND c.vec_id != q.vec_id),
-    ranked AS (
+    lq AS (SELECT vec_id, v, bucket FROM hashed WHERE vec_id < 5),
+    lsh_scored AS (
+      SELECT lq.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DUCK_COS.format(a='lq.v', b='c.v')} AS cs
+      FROM lq JOIN hashed c ON c.bucket = lq.bucket AND c.vec_id != lq.vec_id),
+    lsh_ranked AS (
       SELECT query_id, neighbor_id, cs,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cs DESC, neighbor_id) AS rank
-      FROM scored)
-    SELECT query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
-    FROM ranked WHERE rank <= 3
-    ORDER BY query_id, rank
+      FROM lsh_scored),
+    cents AS (
+      SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+               AS list_id
+      FROM (SELECT vec_id, v FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_lists})),
+    assigned AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT e.vec_id, e.v, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sql_d2('e.v', 'c.v', dim)}, c.list_id)
+                 AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, list_id FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.list_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_sql_d2('q.v', 'c.v', dim)}, c.list_id)
+                 AS rn
+        FROM e q CROSS JOIN cents c WHERE q.vec_id < 5) WHERE rn <= {nprobe}),
+    ivf_scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_DUCK_COS.format(a='p.qv', b='a.v')} AS cs
+      FROM probes p JOIN assigned a
+        ON a.list_id = p.list_id AND a.vec_id != p.query_id),
+    ivf_ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rank
+      FROM ivf_scored)
+    SELECT 'ivf' AS method, query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
+    FROM ivf_ranked WHERE rank <= {k}
+    UNION ALL
+    SELECT 'lsh' AS method, query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
+    FROM lsh_ranked WHERE rank <= {k}
+    ORDER BY method, query_id, rank
     """
 
 
 @register(
     "sim_ann_lsh",
-    _duck_ann_sql(),
+    _duck_ann_union_sql(),
     doc=(
-        "LSH-bucketed ANN: 8 deterministic ±1 hyperplanes (md5-derived, "
-        "inlined into both engines) partition the corpus into 256 buckets; "
-        "a query probes only its bucket."
+        "Both ANN scale paths in one tagged-union driver row. 'lsh': 8 "
+        "deterministic ±1 hyperplanes (md5-derived, inlined into both "
+        "engines) partition the corpus into 256 buckets and a query probes "
+        "only its bucket. 'ivf': inverted-file probe over md5-seeded "
+        "coarse centroids (iters=0 pins the seeding/assignment/probe/rank "
+        "machinery to the oracle; the Lloyd refinement is covered by "
+        "pytest recall tests — cross-row float summation order makes "
+        "iterated centroids untwinable in SQL). At 100 TB the corpus is "
+        "written partitioned by bucket / list_id, so a probe is one "
+        "partition-pruned scan either way."
     ),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return S.ann_lsh(e, q, k=3).orderBy("query_id", "rank")
+    lsh = S.ann_lsh(e, q, k=3).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
+    )
+    assignments, cents = S.ivf_build(e, n_lists=16, iters=0)
+    ivf = S.ivf_search(e, assignments, cents, q, k=3, nprobe=4).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
+    )
+    return ivf.unionByName(lsh).orderBy("method", "query_id", "rank")
 
 
 def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) -> str:

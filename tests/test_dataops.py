@@ -112,6 +112,42 @@ def test_cosine_near_dup_pairs_threshold(spark, vectors):
     assert all(r["id_a"] % 5 == r["id_b"] % 5 for r in rows)  # same cluster only
 
 
+def test_cosine_near_dup_driver_collect_is_capped(spark, vectors):
+    """The exact path broadcasts the corpus from the driver — past
+    max_rows it must refuse (naming the LSH path), not OOM."""
+    with pytest.raises(ValueError, match="cosine_near_dup_pairs_lsh"):
+        S.cosine_near_dup_pairs(vectors, threshold=0.9, max_rows=10)
+
+
+def test_cosine_near_dup_empty_corpus_returns_empty(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = S.cosine_near_dup_pairs(empty, threshold=0.5)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cos_sim"]
+
+
+def test_ivf_build_clamps_n_lists_to_corpus_size(spark, vectors):
+    """n_lists > corpus rows must clamp, not crash on shape mismatch."""
+    small = vectors.filter(F.col("vec_id") < 3)
+    assignments, cent = S.ivf_build(small, n_lists=16, iters=2)
+    assert cent.shape[0] == 3
+    assert assignments.count() == 3
+    with pytest.raises(ValueError, match="empty corpus"):
+        S.ivf_build(vectors.filter(F.lit(False)), n_lists=4)
+
+
+def test_ann_id_contract(spark, vectors):
+    """LSH/IVF ids are cast to long: digit strings pass through exactly;
+    non-castable id TYPES fail at plan-build time (docstring contract)."""
+    as_str = vectors.withColumn("vec_id", F.col("vec_id").cast("string"))
+    q = as_str.filter(F.col("vec_id") == "0")
+    out = S.ann_lsh(as_str, q, k=3, n_planes=4, dim=16).collect()
+    assert len(out) == 3 and all(isinstance(r["neighbor_id"], int) for r in out)
+    bad = vectors.withColumn("vec_id", F.array(F.col("vec_id")))
+    with pytest.raises(TypeError, match="knn_bruteforce"):
+        S.ann_lsh(bad, bad.limit(1), k=3, n_planes=4, dim=16)
+
+
 def test_multimodal_decode_batch_plumbing(spark):
     rows = [(i, bytes([i + 1]) * (10 + i), "image", "fake") for i in range(20)]
     media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
