@@ -301,12 +301,15 @@ def ngram_jaccard_pairs_prefix(
     the join fan-out is smallest. A size-ratio filter (|B| ≥ t·|A|)
     prunes further before verification against the full index.
 
-    Crossover note: at bench scale (sf0.1, ~27k distinct shingles, max
-    frequency 25) the naive inverted-index join is still faster — prefix
-    filtering adds a frequency groupBy, a per-doc ranking window, and a
-    3-way verify join whose fixed costs exceed the candidate savings.
-    It wins when hot-shingle fan-out grows (web-scale corpora where the
-    naive pair blowup is quadratic in shingle frequency).
+    Crossover (measured, tools/bench_prefix_crossover.py): at bench
+    scale (sf0.1, ~27k distinct shingles, max frequency 25) the naive
+    inverted-index join is still faster (~4.9 s vs ~7.4 s median) — the
+    ranking windows' fixed cost exceeds the candidate savings on a corpus
+    with no hot shingles. On a boilerplate-heavy corpus (every doc
+    sharing a hot template, the web-dedup regime) the naive join's
+    candidate fan-out grows quadratically in shingle frequency while the
+    prefix drops hot shingles from every doc's prefix; see README for the
+    measured crossover table.
     """
     from pyspark.sql import Window
 
@@ -318,10 +321,15 @@ def ngram_jaccard_pairs_prefix(
     # xxhash64 is safe here: prefix filtering is exact under ANY global
     # shingle order, so the (freq, h) tie-break need not match the oracle's
     sh = _xx_shingle_index(docs, text_col, id_col, w)
-    freq = sh.groupBy("h").agg(F.count("*").alias("freq"))
+    # shingle frequency via count-over-window, not groupBy+join: the freq
+    # table's cardinality is the distinct-shingle count, which grows with
+    # the corpus (a blind broadcast is a 100 TB OOM; a shuffle join is two
+    # extra exchanges). The window folds the count into one shuffle on h,
+    # and the per-doc ranking window then reshuffles on id — two
+    # exchanges total for the whole ranked prefix.
     wnd = Window.partitionBy("id").orderBy("freq", "h")
     ranked = (
-        sh.join(freq, "h")
+        sh.withColumn("freq", F.count("*").over(Window.partitionBy("h")))
         .withColumn("rn", F.row_number().over(wnd))
         .withColumn("n", F.count("*").over(Window.partitionBy("id")))
     )
@@ -341,6 +349,10 @@ def ngram_jaccard_pairs_prefix(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # verify against the (cheap, codegen'd) exploded index — measured
+    # FASTER than an array_intersect verify over per-doc shingle arrays
+    # (8.9 s vs 7.4 s at sf0.1: the wide array rows cost more to join
+    # than the explode fan-out costs to aggregate)
     fa = sh.withColumnsRenamed({"id": "id_a"})
     fb = sh.withColumnsRenamed({"id": "idb2", "h": "hb"})
     common = (
