@@ -52,9 +52,12 @@ def cmd_demo(args) -> int:
 
 def cmd_maintain(args) -> int:
     eng = _engine(args.data_dir)
-    dropped = eng.run_maintenance()
-    for src, parts in dropped.items():
-        print(f"{src}: dropped {len(parts)} partitions {parts}")
+    result = eng.run_maintenance()
+    for src, parts in result.items():
+        print(
+            f"{src}: expired {len(parts['expired'])} partitions {parts['expired']}, "
+            f"compacted {len(parts['compacted'])} {parts['compacted']}"
+        )
     return 0
 
 

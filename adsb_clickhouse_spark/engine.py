@@ -177,14 +177,41 @@ class AdsbEngine:
 
     # -- maintenance (SURVEY §4: TTL + compaction jobs) --------------------
 
-    def run_maintenance(self) -> dict[str, list[str]]:
-        dropped = {}
+    def run_maintenance(self, *, compact_min_batch_dirs: int = 2) -> dict[str, dict[str, list[str]]]:
+        """TTL expiry + background-merge analogue in one sweep, per source.
+
+        After expiry, every CLOSED day (strictly before today — the open
+        day may race a concurrent writer) that has accumulated at least
+        ``compact_min_batch_dirs`` batch directories is compacted into one
+        key-sorted compact dir. This is what keeps the exactly-once
+        layout's file count bounded: a 2 s trigger cadence writes ~43k
+        batch dirs/day, ClickHouse's background merges keep part counts
+        small (schema/schema-local.sql:186-187), and this is our merge.
+        Returns {source: {"expired": [...], "compacted": [...]}}."""
+        today = (self.now or datetime.utcnow()).date()
+        out: dict[str, dict[str, list[str]]] = {}
         for name, pipe in self.pipelines.items():
             cfg = SOURCES[name]
-            dropped[name] = tables.expire_history(
+            expired = tables.expire_history(
                 self.spark,
                 pipe.history_path,
                 ttl_days=cfg.history_ttl_days,
                 now=self.now.date() if self.now else None,
             )
-        return dropped
+            compacted = []
+            if os.path.isdir(pipe.history_path):
+                for entry in sorted(os.listdir(pipe.history_path)):
+                    if not entry.startswith(tables.PARTITION_COL + "="):
+                        continue
+                    day = entry.split("=", 1)[1]
+                    if day >= str(today):
+                        continue  # open day — a writer may be appending
+                    day_dir = os.path.join(pipe.history_path, entry)
+                    n_batch_dirs = sum(
+                        1 for e in os.listdir(day_dir) if e.startswith("batch_id=")
+                    )
+                    if n_batch_dirs >= compact_min_batch_dirs:
+                        tables.compact_partition(self.spark, pipe.history_path, entry)
+                        compacted.append(entry)
+            out[name] = {"expired": expired, "compacted": compacted}
+        return out

@@ -84,8 +84,47 @@ def test_trajectory_time_range_and_stride(engine):
 
 def test_maintenance_respects_per_source_ttl(engine, spark):
     dropped = engine.run_maintenance()
-    # all fixture data is recent → nothing dropped anywhere
-    assert all(v == [] for v in dropped.values())
+    # all fixture data is recent → nothing expired anywhere
+    assert all(v["expired"] == [] for v in dropped.values())
+
+
+def test_maintenance_compacts_closed_days(spark, tmp_base):
+    """Background-merge analogue: closed days with several batch dirs are
+    merged into one compact dir; the open (today) day is left alone."""
+    import os
+
+    from adsb_clickhouse_spark.sources.fixtures import raw_batch
+
+    eng = AdsbEngine(spark, tmp_base, now=NOW)
+    yesterday = NOW - timedelta(days=1)
+    for i in range(3):  # three micro-batches land three batch dirs per day
+        eng.ingest_batch(
+            "local",
+            raw_batch(spark, SOURCES["local"], n_aircraft=5, n_scrapes=2,
+                      now=yesterday, with_edges=False),
+        )
+        eng.ingest_batch(
+            "local",
+            raw_batch(spark, SOURCES["local"], n_aircraft=5, n_scrapes=2,
+                      with_edges=False),
+        )
+    hist = eng.pipelines["local"].history_path
+    days = sorted(e for e in os.listdir(hist) if e.startswith("scrape_date="))
+    closed = [d for d in days if d.split("=", 1)[1] < str(NOW.date())]
+    assert closed, "fixture must write at least one closed day"
+    from adsb_clickhouse_spark.plans import tables as T
+
+    rows_before = T.read_history(spark, hist).count()
+    out = eng.run_maintenance()
+    assert out["local"]["compacted"] == closed
+    for d in closed:
+        batch_dirs = [e for e in os.listdir(os.path.join(hist, d)) if e.startswith("batch_id=")]
+        assert len(batch_dirs) == 1 and batch_dirs[0].startswith("batch_id=compact-")
+    # today's open day untouched
+    today_dir = os.path.join(hist, f"scrape_date={NOW.date()}")
+    if os.path.isdir(today_dir):
+        assert sum(1 for e in os.listdir(today_dir) if e.startswith("batch_id=")) == 3
+    assert T.read_history(spark, hist).count() == rows_before
 
 
 def test_table_stats_metadata_scan(engine):
