@@ -58,13 +58,13 @@ def _hashed_shingle_index(docs: DataFrame, text_col: str, id_col: str, w: int) -
     """(id, h) inverted index over 60-bit shingle hashes. The self-join
     shuffles 8-byte longs instead of ~20-byte strings; 2^60 keyspace makes
     collisions negligible (and the DuckDB oracle hashes identically, so
-    any collision would affect both engines the same way)."""
+    any collision would affect both engines the same way). Shingles
+    explode to rows BEFORE hashing so md5+conv run inside whole-stage
+    codegen, not as an interpreted array-lambda."""
     return docs.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(word_shingles(tokens(F.col(text_col)), w), md5_long)
-        ).alias("h"),
-    )
+        F.explode(word_shingles(tokens(F.col(text_col)), w)).alias("s"),
+    ).select("id", md5_long(F.col("s")).alias("h"))
 
 
 def _xx_shingle_index(docs: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
@@ -211,13 +211,24 @@ def minhash_lsh_pairs(
         for i, (a, b) in enumerate(minhash_params(k))
     ]
     sig = hashed.groupBy("id").agg(*aggs)
-    band_rows = None
-    for b in range(bands):
-        key = F.concat_ws("_", *[F.col(f"mh_{b * r + j}") for j in range(r)])
-        row = sig.select(
-            F.col("id"), F.lit(b).alias("band"), key.alias("band_key")
-        )
-        band_rows = row if band_rows is None else band_rows.unionByName(row)
+    # one (band, band_key) row per band via a single explode — a per-band
+    # UNION would re-evaluate the whole signature pipeline (index + 16-min
+    # groupBy) once per band per join side; the explode keeps it to one
+    # subtree, and the self-join's identical sides reuse one exchange
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh_{b * r + j}") for j in range(r)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_rows = sig.select("id", F.explode(bands_arr).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
     x = band_rows.alias("x")
     y = band_rows.alias("y")
     candidates = (
@@ -236,8 +247,13 @@ def minhash_lsh_pairs(
     # every id<id pair that shares a shingle. At 100 TB the full-index
     # self-join is quadratic in hot-shingle frequency; this path is linear
     # in |candidates| x doc shingle count.
-    fa = sh.withColumnsRenamed({"id": "id_a"})
-    fb = sh.withColumnsRenamed({"id": "idb2", "h": "hb"})
+    # The verify index uses xxhash64, not md5: only hash EQUALITY matters
+    # here (common-shingle counts), and xxhash64 is a codegen'd primitive
+    # ~10x cheaper than md5+conv — the md5 index above is kept only where
+    # its values reach the output (the minhash signatures).
+    vx = _xx_shingle_index(docs, text_col, id_col, w)
+    fa = vx.withColumnsRenamed({"id": "id_a"})
+    fb = vx.withColumnsRenamed({"id": "idb2", "h": "hb"})
     common = (
         candidates.join(fa, "id_a")
         .join(fb, (F.col("id_b") == F.col("idb2")) & (F.col("h") == F.col("hb")))
