@@ -215,15 +215,22 @@ def ann_lsh(
     *,
     k: int = 3,
     n_planes: int = 8,
+    n_probes: int = 1,
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket.
+    """Approximate top-k: candidates share one of the query's probed
+    hyperplane buckets.
 
-    Returns (query_id, neighbor_id, rank, cos_sim) within-bucket. Recall
-    is tunable via n_planes (fewer planes → bigger buckets → higher
-    recall, more compute); multi-probe is a natural extension.
+    Returns (query_id, neighbor_id, rank, cos_sim). Recall is tunable two
+    ways: fewer planes → bigger buckets, or ``n_probes`` > 1 → multi-probe
+    (each extra probe flips one plane bit of the query's bucket, visiting
+    the Hamming-1 neighbors where a near-miss across a single hyperplane
+    lands; ``n_probes = n_planes + 1`` visits all of them). Multi-probe
+    raises recall WITHOUT growing the corpus-side buckets — at 100 TB the
+    corpus stays partitioned by bucket and a query simply prunes to
+    ``n_probes`` partitions instead of one.
     """
     from pyspark.sql import Window
 
@@ -255,6 +262,18 @@ def ann_lsh(
         with_norm=True,
         norm_col="qn",
     )
+    if n_probes > 1:
+        # probe bucket + its Hamming-1 neighbors (one flipped plane bit
+        # each). Probe buckets are distinct values, so a candidate can
+        # match at most one — no pair dedup needed.
+        probe_arr = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(min(n_probes - 1, n_planes))
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probe_arr))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

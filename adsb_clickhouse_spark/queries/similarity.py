@@ -114,12 +114,29 @@ def _duck_ann_union_sql(
       SELECT query_id, neighbor_id, cs,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cs DESC, neighbor_id) AS rank
-      FROM ivf_scored)
+      FROM ivf_scored),
+    mq AS (
+      SELECT lq.vec_id, lq.v, t.pb AS bucket
+      FROM lq, unnest([lq.bucket,
+                       {', '.join(f'xor(lq.bucket, {1 << i}::BIGINT)' for i in range(n_planes))}])
+             AS t(pb)),
+    mp_scored AS (
+      SELECT mq.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DUCK_COS.format(a='mq.v', b='c.v')} AS cs
+      FROM mq JOIN hashed c ON c.bucket = mq.bucket AND c.vec_id != mq.vec_id),
+    mp_ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rank
+      FROM mp_scored)
     SELECT 'ivf' AS method, query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
     FROM ivf_ranked WHERE rank <= {k}
     UNION ALL
     SELECT 'lsh' AS method, query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
     FROM lsh_ranked WHERE rank <= {k}
+    UNION ALL
+    SELECT 'mp' AS method, query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
+    FROM mp_ranked WHERE rank <= {k}
     ORDER BY method, query_id, rank
     """
 
@@ -128,16 +145,19 @@ def _duck_ann_union_sql(
     "sim_ann_lsh",
     _duck_ann_union_sql(),
     doc=(
-        "Both ANN scale paths in one tagged-union driver row. 'lsh': 8 "
-        "deterministic ±1 hyperplanes (md5-derived, inlined into both "
+        "All three ANN scale paths in one tagged-union driver row. 'lsh': "
+        "8 deterministic ±1 hyperplanes (md5-derived, inlined into both "
         "engines) partition the corpus into 256 buckets and a query probes "
-        "only its bucket. 'ivf': inverted-file probe over md5-seeded "
-        "coarse centroids (iters=0 pins the seeding/assignment/probe/rank "
-        "machinery to the oracle; the Lloyd refinement is covered by "
-        "pytest recall tests — cross-row float summation order makes "
-        "iterated centroids untwinable in SQL). At 100 TB the corpus is "
-        "written partitioned by bucket / list_id, so a probe is one "
-        "partition-pruned scan either way."
+        "only its bucket. 'mp': the same index probed multi-probe (all "
+        "Hamming-1 neighbor buckets) — recall recovers without growing "
+        "corpus buckets; a probe reads 9 partitions instead of 1. 'ivf': "
+        "inverted-file probe over md5-seeded coarse centroids (iters=0 "
+        "pins the seeding/assignment/probe/rank machinery to the oracle; "
+        "the Lloyd refinement is covered by pytest recall tests — "
+        "cross-row float summation order makes iterated centroids "
+        "untwinable in SQL). At 100 TB the corpus is written partitioned "
+        "by bucket / list_id, so a probe is a partition-pruned scan in "
+        "every branch."
     ),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,11 +166,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = S.ann_lsh(e, q, k=3).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
+    mp = S.ann_lsh(e, q, k=3, n_probes=9).select(
+        F.lit("mp").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
+    )
     assignments, cents = S.ivf_build(e, n_lists=16, iters=0)
     ivf = S.ivf_search(e, assignments, cents, q, k=3, nprobe=4).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
-    return ivf.unionByName(lsh).orderBy("method", "query_id", "rank")
+    return ivf.unionByName(lsh).unionByName(mp).orderBy("method", "query_id", "rank")
 
 
 def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) -> str:

@@ -105,6 +105,20 @@ def test_ann_lsh_recall_against_bruteforce(spark, vectors):
     assert len(approx & exact) / len(exact) >= 0.6
 
 
+def test_ann_lsh_multiprobe_recall_dominates_single(spark, vectors):
+    """Probing the Hamming-1 neighbor buckets can only ADD candidates, so
+    multi-probe recall vs brute force is >= single-probe recall."""
+    q = vectors.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in S.knn_bruteforce(vectors, q, k=3).collect()}
+    single = {(r["query_id"], r["neighbor_id"])
+              for r in S.ann_lsh(vectors, q, k=3, n_planes=4, dim=16).collect()}
+    multi = {(r["query_id"], r["neighbor_id"])
+             for r in S.ann_lsh(vectors, q, k=3, n_planes=4, n_probes=5, dim=16).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    # every query answers k rows once all Hamming-1 buckets are probed
+    assert len(multi) == len(exact)
+
+
 def test_cosine_near_dup_pairs_threshold(spark, vectors):
     out = S.cosine_near_dup_pairs(vectors, threshold=0.95)
     rows = out.collect()
