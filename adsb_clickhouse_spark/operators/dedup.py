@@ -121,13 +121,15 @@ def ngram_jaccard_pairs(
             .filter(F.col("__freq") <= max_shingle_freq)
             .drop("__freq")
         )
-    # the index feeds both self-join sides as identical subtrees — Spark's
-    # ReusedExchange evaluates the scan+explode once per plan, no persist
-    # (a persist here would leak executor memory across calls — the plan
-    # is returned unexecuted, so the operator can't own the unpersist)
+    # self-join as a SHUFFLE join, pinned: AQE otherwise broadcasts one
+    # side at bench scale, which (a) re-evaluates the whole index subtree
+    # into a hash table (measured ~15% slower than shuffling it) and
+    # (b) is the wrong strategy at 100 TB, where the index is corpus-sized
+    # and only ever shuffle-joinable. No persist — the plan is returned
+    # unexecuted, so the operator can't own an unpersist.
     sizes = _shingle_sizes(docs, text_col, id_col, w)
     a = sh.alias("a")
-    b = sh.alias("b")
+    b = sh.hint("shuffle_hash").alias("b")
     common = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
