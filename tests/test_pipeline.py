@@ -131,6 +131,42 @@ def test_checkpoint_reset_loses_no_new_data(spark, tmp_base):
     assert n2 == n1 + raw2.count()  # nothing dropped, nothing overwritten
 
 
+def test_streaming_restart_same_checkpoint_no_dup_no_loss(spark, tmp_base):
+    """Stop a streaming query and restart it on the SAME checkpoint with
+    new input: the run id is stable (same scope), Spark resumes batch
+    numbering, and history ends up with exactly one copy of every input
+    row — no replay duplicates, no checkpoint-scope drops."""
+    in_dir = os.path.join(tmp_base, "incoming")
+    os.makedirs(in_dir)
+    ckpt = os.path.join(tmp_base, "ckpt")
+    raw1 = raw_batch(spark, GLOBAL_STREAM, n_aircraft=6, n_scrapes=1, with_edges=False)
+    raw1.coalesce(1).write.mode("overwrite").json(in_dir)
+
+    pipe = IngestPipeline(GLOBAL_STREAM, tmp_base, now=NOW)
+    q = pipe.start(stream_json_lines(spark, in_dir, GLOBAL_STREAM), ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    run1 = pipe.run_id
+    n1 = tables.read_history(spark, pipe.history_path, dedupe=False).count()
+    assert n1 == raw1.count()
+
+    # second file lands while the query is down; restart on same checkpoint
+    raw2 = raw_batch(spark, GLOBAL_STREAM, n_aircraft=4, n_scrapes=1,
+                     with_edges=False, seed=7)
+    raw2.coalesce(1).write.mode("append").json(in_dir)
+    pipe2 = IngestPipeline(GLOBAL_STREAM, tmp_base, now=NOW)
+    q2 = pipe2.start(stream_json_lines(spark, in_dir, GLOBAL_STREAM), ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert pipe2.run_id == run1  # same checkpoint → same scope
+    n2 = tables.read_history(spark, pipe2.history_path, dedupe=False).count()
+    assert n2 == raw1.count() + raw2.count()
+
+
 def test_streaming_cascade_file_source(spark, tmp_base):
     """Drive the cascade through an actual streaming query (file source
     stands in for Kafka; identical downstream plan)."""
