@@ -390,3 +390,71 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, component) for every node of the near-dup pair graph, where
+    ``component`` is the smallest node id reachable from ``id``.
+
+    Dedup emits *pairs*; retention policy needs *clusters* (keep one doc
+    per component, drop the rest). This is hash-to-min label propagation
+    with pointer doubling: every round each node takes the min label over
+    itself and its neighbors, then labels are shortcut one level
+    (``comp := comp's comp``), so convergence is O(log diameter) rounds
+    rather than O(diameter) — the bound that matters when a hot template
+    chains thousands of documents. Each round is a constant number of
+    shuffles on the node id, and lineage is truncated per round
+    (``localCheckpoint``) so the plan stays flat across iterations.
+    Convergence is detected by the (monotone non-increasing) sum of
+    labels going stable; all labels are node ids, so the fixpoint is
+    exactly the per-component min — fully deterministic, which is what
+    lets a DuckDB recursive CTE oracle the result (queries/dedup.py).
+
+    Reference analogue: none (the reference keeps raw history); this is
+    the training-data pipeline's dup-cluster step.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round; truncate lineage once
+    )
+    labels = (
+        edges.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "u"), "u")
+            .groupBy("v")
+            .agg(F.min("comp").alias("nc"))
+            .withColumnRenamed("v", "id")
+        )
+        merged = labels.join(nbr_min, "id", "left").select(
+            "id", F.least(F.col("comp"), F.coalesce("nc", "comp")).alias("comp")
+        )
+        # pointer doubling: follow comp one hop through the label table
+        hop = (
+            merged.alias("m")
+            .join(
+                merged.select(F.col("id").alias("c_id"), F.col("comp").alias("c_comp")),
+                F.col("m.comp") == F.col("c_id"),
+                "left",
+            )
+            .select(
+                F.col("m.id").alias("id"),
+                F.least(F.col("m.comp"), F.coalesce("c_comp", F.col("m.comp"))).alias("comp"),
+            )
+        )
+        labels = hop.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

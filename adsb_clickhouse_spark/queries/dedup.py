@@ -66,35 +66,70 @@ _MAX_SHINGLE_FREQ = 20  # drop shingles in > this many docs before the join
 @register(
     "dedup_ngram_jaccard",
     f"""
-    {_DUCK_SHINGLES},
+    WITH RECURSIVE docs AS (SELECT doc_id AS id, {duck_tokens('text')} AS toks FROM documents),
+    sh AS (SELECT id, unnest(list_transform({duck_word_shingles('toks', _W)},
+           s -> {duck_md5_long('s')})) AS h FROM docs),
     capped AS (SELECT id, h FROM sh
                WHERE h NOT IN (SELECT h FROM sh GROUP BY h
                                HAVING count(*) > {_MAX_SHINGLE_FREQ})),
     sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
     common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
                FROM capped a JOIN capped b ON a.h = b.h AND a.id < b.id
-               GROUP BY 1, 2)
-    SELECT id_a, id_b,
-           round(c / (sa.n + sb.n - c), 4) AS jaccard
-    FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
-    WHERE round(c / (sa.n + sb.n - c), 4) >= 0.5
-    ORDER BY id_a, id_b
+               GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b,
+                     round(c / (sa.n + sb.n - c), 4) AS jaccard
+              FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+              WHERE round(c / (sa.n + sb.n - c), 4) >= 0.5),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, lab) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+        WHERE r.lab < e.v),
+    cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+    SELECT 'pair' AS branch, id_a, id_b, jaccard FROM pairs
+    UNION ALL
+    SELECT 'cc' AS branch, id AS id_a, comp AS id_b, CAST(NULL AS DOUBLE) AS jaccard
+    FROM cc
+    ORDER BY branch, id_a, id_b
     """,
     doc=(
-        "Near-dup via 3-word-shingle inverted index + exact Jaccard ≥ 0.5. "
-        "Candidate join touches only docs sharing a shingle (no O(n²)); "
-        "shingles appearing in > 20 docs are dropped before the join on "
-        "BOTH engines (hot-shingle skew control — stopword shingles carry "
-        "no dedup signal, and at 100 TB the freq² pair fan-out of a hot "
-        "shingle is the bottleneck). Set sizes stay uncapped, so the "
-        "Jaccard denominator is the true shingle-set size."
+        "Tagged union: 'pair' = near-dup via 3-word-shingle inverted index "
+        "+ exact Jaccard ≥ 0.5; 'cc' = connected components over those "
+        "pairs (id_b = component = min reachable doc id) — the dup-CLUSTER "
+        "step a retention policy actually consumes (keep min id, drop the "
+        "rest). Candidate join touches only docs sharing a shingle (no "
+        "O(n²)); shingles appearing in > 20 docs are dropped before the "
+        "join on BOTH engines (hot-shingle skew control — stopword "
+        "shingles carry no dedup signal, and at 100 TB the freq² pair "
+        "fan-out of a hot shingle is the bottleneck). Set sizes stay "
+        "uncapped, so the Jaccard denominator is the true shingle-set "
+        "size. Clusters: Spark runs hash-to-min + pointer doubling "
+        "(O(log d) rounds, operators/dedup.py::connected_components); "
+        "DuckDB oracles it with a recursive CTE."
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(
+    # the pair set feeds both branches and the CC iteration re-reads it
+    # every round — materialize it once (small: only J>=t survivors)
+    pairs = D.ngram_jaccard_pairs(
         docs, w=_W, threshold=0.5, max_shingle_freq=_MAX_SHINGLE_FREQ
-    ).orderBy("id_a", "id_b")
+    ).localCheckpoint(eager=True)
+    cc = D.connected_components(pairs)
+    return (
+        pairs.select(F.lit("pair").alias("branch"), "id_a", "id_b", "jaccard")
+        .unionByName(
+            cc.select(
+                F.lit("cc").alias("branch"),
+                F.col("id").alias("id_a"),
+                F.col("comp").alias("id_b"),
+                F.lit(None).cast("double").alias("jaccard"),
+            )
+        )
+        .orderBy("branch", "id_a", "id_b")
+    )
 
 
 def _duck_minhash_sql() -> str:

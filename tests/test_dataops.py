@@ -185,3 +185,24 @@ def test_multimodal_frame_sampling(spark):
 def test_pillow_backend_gated(spark):
     with pytest.raises(NotImplementedError):
         M.PillowBackend()
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (one component, min=1), island 10-11, and a pair graph
+    # that never mentions isolated docs (no singleton rows emitted)
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {(r["id"], r["comp"]) for r in D.connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 64-node path is the adversarial diameter case for plain
+    # min-propagation; pointer doubling must still converge inside the
+    # iteration cap and label every node with the path min
+    edges = [(i, i + 1) for i in range(64)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = D.connected_components(pairs, max_iters=10).collect()
+    assert len(rows) == 65
+    assert {r["comp"] for r in rows} == {0}
