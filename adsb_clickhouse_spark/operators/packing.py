@@ -1,0 +1,98 @@
+"""Sequence packing for LLM pretraining pipelines.
+
+Pretraining consumes fixed-length context windows, not documents: the
+standard prep step concatenates the tokenized corpus in a deterministic
+order and chunks it every ``budget`` tokens ("concat-and-chunk", as in
+GPT/Llama-style data loaders). The assignment of a document to a chunk
+is a pure function of the exclusive running token sum at its start —
+which makes it both SQL-expressible (a window sum for the DuckDB
+oracle) and embarrassingly parallel in Spark once the global prefix
+sum is known.
+
+A naive ``Window.orderBy(doc_id)`` running sum funnels the whole corpus
+through ONE task; this module reuses the two-pass global-numbering
+pattern from :func:`..operators.latest.stride_sample` (range shuffle →
+partition-local window → tiny per-partition totals collected, prefix
+offsets broadcast back). One shuffle total, no single-task stage, same
+``localCheckpoint`` consistency contract (range boundaries are sampled,
+so the totals pass and the output pass must read the same materialized
+layout).
+
+Reference analogue: none (the reference stores raw rows); this is the
+training-data pipeline's batching step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_exclusive_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str | Column,
+    out_col: str = "start_offset",
+) -> DataFrame:
+    """Adds ``out_col`` = sum of ``value_col`` over all rows strictly
+    before this one in the total order of ``order_cols``.
+
+    Two-pass exact global prefix sum without a single-partition window:
+    range-partition on the order columns, partition-local running sum
+    via a ``__pid``-partitioned window, then per-partition totals
+    (≤ ``spark.sql.shuffle.partitions`` rows) collected to the driver
+    and rebroadcast as offsets. The partitioned layout is
+    ``localCheckpoint``-ed before the totals pass because
+    ``repartitionByRange`` samples its boundaries — two evaluations of
+    the same lineage may split rows differently, silently corrupting
+    the offsets (see stride_sample's longer note).
+    """
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    d = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("__v", value)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = sorted(
+        (r["__pid"], r["__t"])
+        for r in d.groupBy("__pid").agg(F.sum("__v").alias("__t")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, t in totals:
+        offsets.append((pid, acc))
+        acc += t or 0
+    off_df = df.sparkSession.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    return (
+        d.withColumn("__csum", F.sum("__v").over(w))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__csum") - F.col("__v"))
+        .drop("__v", "__pid", "__csum", "__off")
+    )
+
+
+def pack_assignments(
+    docs: DataFrame,
+    *,
+    budget: int,
+    token_col: str,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Adds ``pack_id`` / ``pack_offset`` columns: the context window a
+    document's first token lands in when the corpus is concatenated in
+    ``order_col`` order and chunked every ``budget`` tokens, and the
+    document's token offset inside that window. Documents longer than
+    the remaining window simply straddle the boundary — exactly the
+    concat-and-chunk semantics of standard pretraining loaders."""
+    out = global_exclusive_prefix_sum(docs, [order_col], token_col, "__start")
+    return (
+        out.withColumn("pack_id", F.expr(f"__start div {int(budget)}"))
+        .withColumn("pack_offset", F.col("__start") % int(budget))
+        .drop("__start")
+    )

@@ -29,49 +29,72 @@ def _spark_list(words: list[str]):
     return F.array(*[F.lit(w) for w in words])
 
 
+_PACK_BUDGET = 512  # context-window token budget for concat-and-chunk packing
+
+
 @register(
     "text_token_stats",
     rf"""
-    SELECT doc_id,
-           length(text) AS n_chars,
-           len({duck_tokens('text')}) AS n_tokens,
-           len(string_split(text, ' ')) AS n_ws_tokens,
-           len(list_distinct({duck_tokens('text')})) AS n_unique_tokens,
-           round(length(text) / greatest(len({duck_tokens('text')}), 1), 4)
-             AS chars_per_token,
-           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
-           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
-           len(regexp_extract_all(text, '[^a-z0-9\s]')) AS n_symbol_tokens
-    FROM documents
+    WITH base AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({duck_tokens('text')}) AS n_tokens,
+             len(string_split(text, ' ')) AS n_ws_tokens,
+             len(list_distinct({duck_tokens('text')})) AS n_unique_tokens,
+             round(length(text) / greatest(len({duck_tokens('text')}), 1), 4)
+               AS chars_per_token,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+             len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
+             len(regexp_extract_all(text, '[^a-z0-9\s]')) AS n_symbol_tokens
+      FROM documents),
+    s AS (SELECT *,
+                 coalesce(sum(n_bpe_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS strt
+          FROM base)
+    SELECT doc_id, n_chars, n_tokens, n_ws_tokens, n_unique_tokens,
+           chars_per_token, n_bpe_tokens, n_number_tokens, n_symbol_tokens,
+           strt // {_PACK_BUDGET} AS pack_id,
+           strt % {_PACK_BUDGET} AS pack_offset
+    FROM s
     ORDER BY doc_id
     """,
     doc=(
-        "Token counting: regex tokens, whitespace tokens, uniques, ratio, "
-        "plus BPE-ish pre-tokenization counts (GPT-2-style alpha runs / "
-        "digit runs / single symbols — the token-budget estimator for "
-        "corpus planning). One projection pass over the corpus."
+        "Token counting + sequence packing: regex tokens, whitespace "
+        "tokens, uniques, ratio, BPE-ish pre-tokenization counts "
+        "(GPT-2-style alpha runs / digit runs / single symbols — the "
+        "token-budget estimator for corpus planning), plus the "
+        "concat-and-chunk pack assignment (pack_id/pack_offset: which "
+        "512-token context window each doc's first token lands in when "
+        "the corpus is concatenated in doc_id order). The pack columns "
+        "are an exact global prefix sum WITHOUT a single-task window — "
+        "two-pass range shuffle + broadcast offsets "
+        "(operators/packing.py); DuckDB oracles it with a plain window "
+        "sum."
     ),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_assignments
+
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     bpe = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
-    return (
-        d.select(
-            "doc_id",
-            F.length("text").alias("n_chars"),
-            F.size(toks).alias("n_tokens"),
-            F.size(F.split(F.col("text"), " ", -1)).alias("n_ws_tokens"),
-            F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-            F.round(
-                F.length("text") / F.greatest(F.size(toks), F.lit(1)), 4
-            ).alias("chars_per_token"),
-            F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe), 0)).alias("n_bpe_tokens"),
-            F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias("n_number_tokens"),
-            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9\s]"), 0)).alias("n_symbol_tokens"),
-        )
-        .orderBy("doc_id")
+    base = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.split(F.col("text"), " ", -1)).alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(
+            F.length("text") / F.greatest(F.size(toks), F.lit(1)), 4
+        ).alias("chars_per_token"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe), 0)).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias("n_number_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9\s]"), 0)).alias("n_symbol_tokens"),
     )
+    return pack_assignments(
+        base, budget=_PACK_BUDGET, token_col="n_bpe_tokens", order_col="doc_id"
+    ).orderBy("doc_id")
 
 
 def _duck_langid_sql() -> str:

@@ -206,3 +206,33 @@ def test_connected_components_long_path_converges(spark):
     rows = D.connected_components(pairs, max_iters=10).collect()
     assert len(rows) == 65
     assert {r["comp"] for r in rows} == {0}
+
+
+def test_pack_assignments_concat_and_chunk(spark):
+    from adsb_clickhouse_spark.operators.packing import pack_assignments
+
+    # token counts 300, 300, 500, 10 in id order with budget 512:
+    # starts 0, 300, 600, 1100 -> packs 0, 0, 1, 2; offsets 0, 300, 88, 76
+    rows = [(1, 300), (2, 300), (3, 500), (4, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_assignments(df, budget=512, token_col="n_tok").collect()
+    }
+    assert got == {1: (0, 0), 2: (0, 300), 3: (1, 88), 4: (2, 76)}
+
+
+def test_global_prefix_sum_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    from adsb_clickhouse_spark.operators.packing import global_exclusive_prefix_sum
+
+    # 5k rows across many range partitions vs the naive one-task window
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") % 97 + 1).alias("v")
+    )
+    fast = global_exclusive_prefix_sum(df, ["k"], "v", "s")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    slow = df.withColumn("s", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    assert fast.select("k", "s").subtract(slow.select("k", "s")).count() == 0
+    assert slow.select("k", "s").subtract(fast.select("k", "s")).count() == 0
