@@ -97,7 +97,19 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# target mix for deterministic per-stratum downsampling (keyed by the
+# PREDICTED language — classify, then rebalance, as a curation pipeline
+# would). A doc is kept iff md5(doc_id) mod 10000 < rate*10000: pure
+# function of the id, so the sample is reproducible run-to-run, needs no
+# coordination or state at 100 TB, and is stable under corpus growth
+# (adding docs never flips an existing doc's keep bit).
+SAMPLE_RATES = {"en": 0.25, "es": 0.5, "de": 0.75, "fr": 1.0}
+_SAMPLE_MOD = 10000
+
+
 def _duck_langid_sql() -> str:
+    from ..functions.texttools import duck_md5_long
+
     scores = ", ".join(
         f"len(list_intersect(toks, {_duck_list(STOPWORDS[lg])})) AS s_{lg}"
         for lg in _LANGS
@@ -107,12 +119,22 @@ def _duck_langid_sql() -> str:
         "WHEN s_es >= s_de AND s_es >= s_fr THEN 'es' "
         "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END"
     )
+    rate = (
+        "CASE predicted_lang "
+        + " ".join(f"WHEN '{lg}' THEN {SAMPLE_RATES[lg]}" for lg in _LANGS)
+        + " END"
+    )
+    h = duck_md5_long("CAST(doc_id AS VARCHAR)")
     return f"""
     WITH t AS (SELECT doc_id, lang, {duck_tokens('text')} AS toks FROM documents),
-    s AS (SELECT doc_id, lang, {scores} FROM t)
-    SELECT doc_id, lang AS labeled_lang, {pred} AS predicted_lang,
-           s_en, s_es, s_de, s_fr
-    FROM s ORDER BY doc_id
+    s AS (SELECT doc_id, lang, {scores} FROM t),
+    p AS (SELECT doc_id, lang AS labeled_lang, {pred} AS predicted_lang,
+                 s_en, s_es, s_de, s_fr
+          FROM s)
+    SELECT *, {rate} AS sample_rate,
+           ({h}) % {_SAMPLE_MOD} < CAST(({rate}) * {_SAMPLE_MOD} AS BIGINT)
+             AS sample_keep
+    FROM p ORDER BY doc_id
     """
 
 
@@ -120,11 +142,20 @@ def _duck_langid_sql() -> str:
     "text_langid",
     _duck_langid_sql(),
     doc=(
-        "Language ID: distinct-stopword-hit scores per language, argmax "
-        "with fixed precedence. n-gram-free heuristic, one projection pass."
+        "Language ID + stratified downsampling: distinct-stopword-hit "
+        "scores per language, argmax with fixed precedence (n-gram-free "
+        "heuristic, one projection pass), then a deterministic hash-quota "
+        "sample to a target language mix (sample_keep = md5(doc_id) mod "
+        "10000 < rate·10000). Hash sampling is the scale-correct "
+        "stratified sampler: exact-fraction samplers need a global count "
+        "per stratum (two passes + a shuffle); the hash quota is a pure "
+        "per-row function — reproducible, coordination-free, and stable "
+        "when the corpus grows."
     ),
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texttools import md5_long
+
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.col("lang").alias("labeled_lang"), tokens(F.col("text")).alias("toks"))
     for lg in _LANGS:
@@ -138,8 +169,20 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s_de") >= F.col("s_fr"), "de")
         .otherwise("fr")
     )
+    rate_expr = None
+    for lg in _LANGS:
+        cond = F.when(F.col("predicted_lang") == lg, F.lit(SAMPLE_RATES[lg]))
+        rate_expr = cond if rate_expr is None else rate_expr.when(
+            F.col("predicted_lang") == lg, F.lit(SAMPLE_RATES[lg])
+        )
+    keep = (
+        md5_long(F.col("doc_id").cast("string")) % _SAMPLE_MOD
+        < (rate_expr * _SAMPLE_MOD).cast("long")
+    )
     return (
         t.select("doc_id", "labeled_lang", pred.alias("predicted_lang"), "s_en", "s_es", "s_de", "s_fr")
+        .withColumn("sample_rate", rate_expr)
+        .withColumn("sample_keep", keep)
         .orderBy("doc_id")
     )
 
