@@ -209,6 +209,37 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     return bucket
 
 
+def hash_corpus(
+    corpus: DataFrame,
+    *,
+    n_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The stored side of the LSH index: (neighbor_id, cv, bucket, cn).
+
+    Signatures + norms via one Arrow pass: a p-plane × dim-term column
+    expression is a ~12k-node Catalyst tree — driver-side optimization
+    alone costs seconds per query, and the generated method blows the
+    JIT limit (measured: 5 s steady-state JVM vs ~1 s this way). The
+    numpy plane dots accumulate dimension-by-dimension, matching the
+    oracle's explicit add chain bit-for-bit, so buckets agree exactly.
+    At 100 TB this is the table you write, partitioned by ``bucket``."""
+    dim = dim if dim is not None else _infer_dim(corpus, vec_col)
+    planes = hyperplanes(n_planes, dim)
+    return _bucketize(
+        corpus.select(
+            _id_as_long(corpus, id_col, "neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        ),
+        planes,
+        vec="cv",
+        with_norm=True,
+        norm_col="cn",
+    )
+
+
 def ann_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -219,6 +250,7 @@ def ann_lsh(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hashed_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share one of the query's probed
     hyperplane buckets.
@@ -231,26 +263,21 @@ def ann_lsh(
     raises recall WITHOUT growing the corpus-side buckets — at 100 TB the
     corpus stays partitioned by bucket and a query simply prunes to
     ``n_probes`` partitions instead of one.
+
+    ``hashed_corpus`` (from :func:`hash_corpus` with the same
+    ``n_planes``) skips the corpus-side bucketize pass — callers probing
+    one index several ways (single- and multi-probe, different k) hash
+    the corpus once and share it, exactly how the 100 TB layout works
+    (the bucketized corpus is the stored table; queries only probe).
     """
     from pyspark.sql import Window
 
     dim = dim if dim is not None else _infer_dim(corpus, vec_col)
     planes = hyperplanes(n_planes, dim)
-    # signatures + norms via one Arrow pass: a p-plane × dim-term column
-    # expression is a ~12k-node Catalyst tree — driver-side optimization
-    # alone costs seconds per query, and the generated method blows the
-    # JIT limit (measured: 5 s steady-state JVM vs ~1 s this way). The
-    # numpy plane dots accumulate dimension-by-dimension, matching the
-    # oracle's explicit add chain bit-for-bit, so buckets agree exactly.
-    c = _bucketize(
-        corpus.select(
-            _id_as_long(corpus, id_col, "neighbor_id"),
-            as_double(F.col(vec_col)).alias("cv"),
-        ),
-        planes,
-        vec="cv",
-        with_norm=True,
-        norm_col="cn",
+    c = (
+        hashed_corpus
+        if hashed_corpus is not None
+        else hash_corpus(corpus, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col)
     )
     q = _bucketize(
         queries.select(

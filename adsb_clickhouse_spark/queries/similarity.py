@@ -163,10 +163,13 @@ def _duck_ann_union_sql(
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    lsh = S.ann_lsh(e, q, k=3).select(
+    # one stored index, probed two ways — hash the corpus once (the
+    # bucketized corpus IS the stored table at scale; see hash_corpus)
+    ch = S.hash_corpus(e).localCheckpoint(eager=False)
+    lsh = S.ann_lsh(e, q, k=3, hashed_corpus=ch).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
-    mp = S.ann_lsh(e, q, k=3, n_probes=9).select(
+    mp = S.ann_lsh(e, q, k=3, n_probes=9, hashed_corpus=ch).select(
         F.lit("mp").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
     assignments, cents = S.ivf_build(e, n_lists=16, iters=0)
