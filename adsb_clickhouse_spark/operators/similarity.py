@@ -401,6 +401,92 @@ def cosine_near_dup_pairs(
     return src.mapInPandas(score_block, "id_a long, id_b long, cos_sim double")
 
 
+def cosine_near_dup_pairs_blocked(
+    vectors: DataFrame,
+    *,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold with NO driver collect: the
+    tile-blocked twin of :func:`cosine_near_dup_pairs`.
+
+    The corpus is split into ``n_blocks`` row blocks and every block
+    pair (bi ≤ bj) becomes an independent tile: a row joins its tile as
+    the row side for blocks to its right and as the column side for
+    blocks above, so each row ships to ~``n_blocks`` tiles and each tile
+    holds ~2n/B vectors — pick B ≈ corpus_bytes / executor_budget and
+    the O(n²) compute spreads over B(B+1)/2 tasks with bounded memory,
+    no broadcast, no driver matrix. The tile kernel reuses the same
+    dimension-ordered fold as the broadcast path, so cosines (and the
+    DuckDB oracle hash) are bit-identical. Off-diagonal tiles see each
+    cross pair exactly once but in block order, not id order — the
+    kernel re-orders to (min, max); the diagonal tile has both
+    orientations and keeps ``id_a < id_b``. Compute stays O(n²): this is
+    the exact BASELINE made cluster-shaped, LSH remains the scale path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = vectors.select(
+        _id_as_long(vectors, id_col, "id"), as_double(F.col(vec_col)).alias("v")
+    )
+    blk = F.pmod(F.col("id"), F.lit(n_blocks)).cast("int")
+    a_side = (
+        src.withColumn("bi", blk)
+        .withColumn("bj", F.explode(F.sequence(F.col("bi"), F.lit(n_blocks - 1))))
+        .withColumn("side", F.lit(0))
+    )
+    b_side = (
+        src.withColumn("bj", blk)
+        .withColumn("bi", F.explode(F.sequence(F.lit(0), F.col("bj"))))
+        .withColumn("side", F.lit(1))
+    )
+    tiles = a_side.unionByName(b_side)
+
+    def _norms(m):
+        acc = m[:, 0] * m[:, 0]
+        for i in range(1, m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    def score_tile(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+        a, b = pdf[pdf["side"] == 0], pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return empty
+        ids_a = a["id"].to_numpy(dtype=np.int64)
+        ids_b = b["id"].to_numpy(dtype=np.int64)
+        ma, mb = np.stack(a["v"].to_numpy()), np.stack(b["v"].to_numpy())
+        acc = np.outer(ma[:, 0], mb[:, 0])
+        for i in range(1, ma.shape[1]):
+            acc = acc + np.outer(ma[:, i], mb[:, i])
+        cos = np.round(acc / np.outer(_norms(ma), _norms(mb)), 4)
+        diag = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        cmp = (
+            ids_a[:, None] < ids_b[None, :]
+            if diag
+            else ids_a[:, None] != ids_b[None, :]
+        )
+        ka, kb = np.nonzero((cos >= threshold) & cmp)
+        ia, ib = ids_a[ka], ids_b[kb]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cos_sim": cos[ka, kb],
+            }
+        )
+
+    return tiles.groupBy("bi", "bj").applyInPandas(
+        score_tile, "id_a long, id_b long, cos_sim double"
+    )
+
+
 def _d2_fold(mat, cent):
     """(n, k) squared L2 distances, accumulated DIMENSION BY DIMENSION —
     the same left-fold association as an explicit SQL add chain

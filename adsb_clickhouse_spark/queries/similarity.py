@@ -219,15 +219,18 @@ def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) ->
     """,
     doc=(
         "Embedding-cosine near-dup pairs (≥ 0.45), both paths in one "
-        "tagged union: 'exact' = O(n²) nested-loop baseline; 'lsh' = the "
-        "scale path with 4 deterministic ±1 hyperplanes → 16 buckets "
-        "(pairwise work drops ~2^p-fold; high-cosine pairs rarely straddle "
-        "a plane). Both sides oracle-verified in one driver row."
+        "tagged union: 'exact' = O(n²) baseline, tile-blocked so no "
+        "driver collect or broadcast matrix (B(B+1)/2 bounded-memory "
+        "tasks, operators/similarity.py::cosine_near_dup_pairs_blocked); "
+        "'lsh' = the scale path with 4 deterministic ±1 hyperplanes → 16 "
+        "buckets (pairwise work drops ~2^p-fold; high-cosine pairs "
+        "rarely straddle a plane). Both sides oracle-verified in one "
+        "driver row."
     ),
 )
 def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    exact = S.cosine_near_dup_pairs(e, threshold=0.45).select(
+    exact = S.cosine_near_dup_pairs_blocked(e, threshold=0.45).select(
         F.lit("exact").alias("method"), "id_a", "id_b", "cos_sim"
     )
     lsh = S.cosine_near_dup_pairs_lsh(e, threshold=0.45, n_planes=4).select(

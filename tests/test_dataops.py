@@ -236,3 +236,27 @@ def test_global_prefix_sum_matches_single_partition_window(spark):
     slow = df.withColumn("s", F.coalesce(F.sum("v").over(w), F.lit(0)))
     assert fast.select("k", "s").subtract(slow.select("k", "s")).count() == 0
     assert slow.select("k", "s").subtract(fast.select("k", "s")).count() == 0
+
+
+def test_blocked_cosine_pairs_match_broadcast_exact(spark):
+    import random
+
+    from adsb_clickhouse_spark.operators import similarity as S
+
+    rng = random.Random(42)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    # plant a near-dup: 100 ~= 7 (same direction, scaled)
+    rows[100] = (100, [x * 2.0 for x in rows[7][1]])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in S.cosine_near_dup_pairs(df, threshold=0.3).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in S.cosine_near_dup_pairs_blocked(df, threshold=0.3, n_blocks=5).collect()
+    }
+    assert (7, 100, 1.0) in blocked
+    assert blocked == exact and len(blocked) > 0
