@@ -206,34 +206,64 @@ def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) ->
 @register(
     "sim_cosine_near_dup",
     f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round({_DUCK_COS.format(a='a.v', b='b.v')}, 4) AS cos_sim
-      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    lp AS (SELECT id_a, id_b, cos_sim FROM ({_duck_lsh_near_dup_sql()})),
+    edges AS (SELECT id_a AS u, id_b AS v FROM lp
+              UNION SELECT id_b, id_a FROM lp),
+    reach(id, lab) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT eg.v, r.lab FROM reach r JOIN edges eg ON eg.u = r.id
+        WHERE r.lab < eg.v),
+    cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
     SELECT 'exact' AS method, id_a, id_b, cos_sim FROM pairs
     WHERE cos_sim >= 0.45
     UNION ALL
-    SELECT 'lsh' AS method, id_a, id_b, cos_sim FROM ({_duck_lsh_near_dup_sql()})
+    SELECT 'lsh' AS method, id_a, id_b, cos_sim FROM lp
+    UNION ALL
+    SELECT 'cc' AS method, id AS id_a, comp AS id_b,
+           CAST(NULL AS DOUBLE) AS cos_sim
+    FROM cc
     ORDER BY method, id_a, id_b
     """,
     doc=(
-        "Embedding-cosine near-dup pairs (≥ 0.45), both paths in one "
-        "tagged union: 'exact' = O(n²) baseline, tile-blocked so no "
-        "driver collect or broadcast matrix (B(B+1)/2 bounded-memory "
-        "tasks, operators/similarity.py::cosine_near_dup_pairs_blocked); "
-        "'lsh' = the scale path with 4 deterministic ±1 hyperplanes → 16 "
+        "Embedding-cosine near-dup, three branches in one tagged union: "
+        "'exact' = O(n²) baseline, tile-blocked so no driver collect or "
+        "broadcast matrix (B(B+1)/2 bounded-memory tasks, "
+        "operators/similarity.py::cosine_near_dup_pairs_blocked); 'lsh' "
+        "= the scale path with 4 deterministic ±1 hyperplanes → 16 "
         "buckets (pairwise work drops ~2^p-fold; high-cosine pairs "
-        "rarely straddle a plane). Both sides oracle-verified in one "
-        "driver row."
+        "rarely straddle a plane); 'cc' = dup CLUSTERS over the lsh "
+        "pairs (id_b = component = min reachable vec id) via the same "
+        "hash-to-min + pointer-doubling connected components the text "
+        "dedup family uses — pairs are evidence, clusters are what a "
+        "keep-one-per-group retention policy consumes. All three "
+        "oracle-verified in one driver row ('cc' via recursive CTE)."
     ),
 )
 def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
     e = load_table(spark, sf_dir, "embeddings")
     exact = S.cosine_near_dup_pairs_blocked(e, threshold=0.45).select(
         F.lit("exact").alias("method"), "id_a", "id_b", "cos_sim"
     )
-    lsh = S.cosine_near_dup_pairs_lsh(e, threshold=0.45, n_planes=4).select(
+    # the lsh pair set feeds its own branch AND the CC iteration —
+    # materialize once (small: only pairs >= threshold survive)
+    lsh_pairs = S.cosine_near_dup_pairs_lsh(
+        e, threshold=0.45, n_planes=4
+    ).localCheckpoint(eager=False)
+    lsh = lsh_pairs.select(
         F.lit("lsh").alias("method"), "id_a", "id_b", "cos_sim"
     )
-    return exact.unionByName(lsh).orderBy("method", "id_a", "id_b")
+    cc = connected_components(lsh_pairs).select(
+        F.lit("cc").alias("method"),
+        F.col("id").alias("id_a"),
+        F.col("comp").alias("id_b"),
+        F.lit(None).cast("double").alias("cos_sim"),
+    )
+    return exact.unionByName(lsh).unionByName(cc).orderBy("method", "id_a", "id_b")
