@@ -134,3 +134,82 @@ def sample_frames(media: DataFrame, *, every_n: int = 10, backend=None) -> DataF
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_bytes": sizes})
 
     return media.mapInPandas(batches, out_schema)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, *, max_side: int = 256, backend=None) -> DataFrame:
+    """Resize plumbing: decode dimensions (backend), compute the
+    aspect-preserving target box capped at ``max_side``. The pixel
+    transform itself is the backend's job (Pillow `thumbnail` on a real
+    cluster image); here only the geometry travels, which is what the
+    downstream schema needs. Arrow-batched like decode_media — payload
+    bytes cross into Python once per batch, never per row."""
+    be = backend or FakeBackend()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, ows, ohs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h = be.decode(payload if payload is not None else b"")
+                side = max(w, h, 1)
+                scale = min(1.0, max_side / side)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                ows.append(max(1, int(w * scale)))
+                ohs.append(max(1, int(h * scale)))
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs,
+                 "out_width": ows, "out_height": ohs}
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def extract_features(media: DataFrame, *, dim: int = 8) -> DataFrame:
+    """Feature-extraction plumbing: (media_id, feature array<double>).
+
+    The deterministic stand-in embedding is the byte-value histogram
+    folded mod ``dim`` and L1-normalized — a pure function of the
+    payload, so tests can pin exact vectors and the output composes
+    directly with the similarity operators (knn_bruteforce / ann_lsh /
+    cosine_near_dup take any (id, array<double>) DataFrame). On a real
+    cluster image the body of ``embed`` is the model call; the Spark
+    side — Arrow batching, schema, byte-budget partitioning upstream —
+    is identical."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def embed(p: bytes) -> list[float]:
+        counts = [0] * dim
+        for b in p:
+            counts[b % dim] += 1
+        total = max(sum(counts), 1)
+        return [c / total for c in counts]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": [
+                        embed(p if p is not None else b"") for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, out_schema)

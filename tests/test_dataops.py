@@ -260,3 +260,32 @@ def test_blocked_cosine_pairs_match_broadcast_exact(spark):
     }
     assert (7, 100, 1.0) in blocked
     assert blocked == exact and len(blocked) > 0
+
+
+def test_multimodal_resize_geometry(spark):
+    # FakeBackend: width=(first*7)%512, height=(len*13)%512
+    rows = [(1, bytes([100]) + b"x" * 38, "image", "fake")]  # w=188, h=(39*13)%512=507
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    r = M.resize_media(media, max_side=256).first()
+    assert (r["width"], r["height"]) == (188, 507)
+    # aspect preserved, long side capped
+    assert r["out_height"] == 256 and r["out_width"] == int(188 * (256 / 507))
+
+
+def test_multimodal_features_compose_with_knn(spark):
+    from adsb_clickhouse_spark.operators import similarity as S
+
+    rows = [
+        (1, b"aaaa", "image", "fake"),
+        (2, b"aaab", "image", "fake"),   # near 1
+        (3, b"zzzz9999", "image", "fake"),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feats = M.extract_features(media, dim=4)
+    got = {r["media_id"]: r["feature"] for r in feats.collect()}
+    assert got[1] == [0.0, 1.0, 0.0, 0.0]  # 'a'=97, 97%4=1
+    out = S.knn_bruteforce(
+        feats, feats.filter(F.col("media_id") == 1), k=1,
+        id_col="media_id", vec_col="feature",
+    ).first()
+    assert out["neighbor_id"] == 2
