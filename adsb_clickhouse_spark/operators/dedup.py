@@ -398,6 +398,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(id, component) for every node of the near-dup pair graph, where
     ``component`` is the smallest node id reachable from ``id``.
@@ -416,6 +417,14 @@ def connected_components(
     exactly the per-component min — fully deterministic, which is what
     lets a DuckDB recursive CTE oracle the result (queries/dedup.py).
 
+    Size-adaptive, like broadcast-vs-shuffle join selection: post-threshold
+    pair sets are usually tiny relative to the corpus, and below
+    ``driver_threshold`` edges the component labels come from a driver
+    union-find on the already-materialized edge list (one collect of a
+    provably small set, zero iteration jobs) — identical output. Past the
+    cap the distributed iteration engages automatically; the 1.8M-edge
+    probe in README exercises it.
+
     Reference analogue: none (the reference keeps raw history); this is
     the training-data pipeline's dup-cluster step.
     """
@@ -425,6 +434,27 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)  # reused every round; truncate lineage once
     )
+    n_edges = edges.count()  # cheap: counts the materialized blocks
+    if n_edges <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in edges.collect():
+            u, v = row["u"], row["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN root so labels match the distributed fixpoint
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        return pairs.sparkSession.createDataFrame(rows or [], "id long, comp long")
     labels = (
         edges.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)

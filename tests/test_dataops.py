@@ -200,12 +200,29 @@ def test_connected_components_chain_and_islands(spark):
 def test_connected_components_long_path_converges(spark):
     # a 64-node path is the adversarial diameter case for plain
     # min-propagation; pointer doubling must still converge inside the
-    # iteration cap and label every node with the path min
+    # iteration cap and label every node with the path min.
+    # driver_threshold=0 forces the DISTRIBUTED iteration (the small-graph
+    # driver union-find would otherwise absorb this size)
     edges = [(i, i + 1) for i in range(64)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    rows = D.connected_components(pairs, max_iters=10).collect()
+    rows = D.connected_components(pairs, max_iters=10, driver_threshold=0).collect()
     assert len(rows) == 65
     assert {r["comp"] for r in rows} == {0}
+
+
+def test_connected_components_driver_and_distributed_agree(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r["id"], r["comp"]) for r in D.connected_components(pairs).collect()}
+    dist = {
+        (r["id"], r["comp"])
+        for r in D.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist and len(fast) > 0
 
 
 def test_pack_assignments_concat_and_chunk(spark):
