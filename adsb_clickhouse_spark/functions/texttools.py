@@ -48,6 +48,19 @@ def word_shingles(toks: Column, w: int = 3) -> Column:
     return F.array_distinct(raw)
 
 
+def word_ngrams(toks: Column, w: int = 2) -> Column:
+    """All w-word grams in order, NON-distinct (repetition counting needs
+    multiplicities — contrast :func:`word_shingles`). Empty array when the
+    doc has fewer than w tokens."""
+    return F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+            lambda i: F.array_join(F.slice(toks, i, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 # DuckDB twins of the helpers above, for composing oracle SQL strings.
 
 def duck_tokens(expr: str) -> str:
@@ -69,4 +82,14 @@ def duck_word_shingles(toks_expr: str, w: int = 3) -> str:
         f"list_transform(range(1, len({toks_expr}) - {w} + 2), "
         f"i -> array_to_string({toks_expr}[i : i + {w - 1}], ' ')) "
         f"ELSE [array_to_string({toks_expr}, ' ')] END)"
+    )
+
+
+def duck_word_ngrams(toks_expr: str, w: int = 2) -> str:
+    """Non-distinct twin of :func:`word_ngrams` (empty list when < w tokens)."""
+    return (
+        f"CASE WHEN len({toks_expr}) >= {w} THEN "
+        f"list_transform(range(1, len({toks_expr}) - {w} + 2), "
+        f"i -> array_to_string({toks_expr}[i : i + {w - 1}], ' ')) "
+        f"ELSE []::VARCHAR[] END"
     )

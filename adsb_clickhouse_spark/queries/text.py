@@ -188,6 +188,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_quality_sql() -> str:
+    from ..functions.texttools import duck_word_ngrams
+
     en = _duck_list(STOPWORDS["en"])
     return f"""
     WITH t AS (SELECT doc_id, {duck_tokens('text')} AS toks, text FROM documents),
@@ -196,16 +198,26 @@ def _duck_quality_sql() -> str:
                  length(text) AS n_chars,
                  len(list_filter(toks, x -> list_contains({en}, x))) AS n_stop,
                  len(list_distinct(toks)) AS n_uniq
-          FROM t)
-    SELECT doc_id,
+          FROM t),
+    bg AS (SELECT doc_id, unnest({duck_word_ngrams('toks', 2)}) AS bg FROM t),
+    bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+    rep AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+            FROM bgc GROUP BY 1)
+    SELECT m.doc_id AS doc_id,
            round(n_stop / greatest(n_tokens, 1), 4) AS stopword_ratio,
            round(n_uniq / greatest(n_tokens, 1), 4) AS unique_ratio,
            round(n_chars / greatest(n_tokens, 1), 4) AS mean_token_len,
+           round(coalesce(top_c, 0) / greatest(coalesce(n_bg, 0), 1), 4)
+             AS top_bigram_frac,
+           round(coalesce(dup_c, 0) / greatest(coalesce(n_bg, 0), 1), 4)
+             AS dup_bigram_frac,
            round(least(n_tokens / 100.0, 1.0) * (0.5 + 0.5 * (n_uniq / greatest(n_tokens, 1))), 4)
              AS quality_score,
            md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_fingerprint,
            md5(text) AS exact_fingerprint
-    FROM m ORDER BY doc_id
+    FROM m LEFT JOIN rep ON m.doc_id = rep.doc_id
+    ORDER BY doc_id
     """
 
 
@@ -213,16 +225,25 @@ def _duck_quality_sql() -> str:
     "text_quality",
     _duck_quality_sql(),
     doc=(
-        "Quality scoring + document fingerprinting in one projection pass: "
+        "Quality scoring + repetition signals + document fingerprinting: "
         "stopword ratio, lexical diversity, length signals composed into a "
-        "[0,1] score (Gopher/C4-style heuristics), plus the "
-        "order-insensitive bag-of-words md5 (catches shuffled near-dups) "
-        "and exact md5. Formerly two queries (text_quality, "
+        "[0,1] score, plus Gopher-style repetition filters — top_bigram_frac "
+        "(share of word-bigrams taken by the single most-repeated bigram) "
+        "and dup_bigram_frac (share of bigrams occurring more than once), "
+        "the boilerplate/loop-text detectors — plus the order-insensitive "
+        "bag-of-words md5 (catches shuffled near-dups) and exact md5. "
+        "Repetition counts run as explode → two-level groupBy on doc_id "
+        "(codegen + partial agg; a per-doc O(distinct×n) array-lambda would "
+        "be interpreted and ~5× slower at 10M grams — see "
+        "text_winnow_fingerprint's plan note), then one doc_id-keyed join "
+        "back to the projection pass. Formerly two queries (text_quality, "
         "text_fingerprint) — merged because the driver gate checks at most "
         "50 registry entries."
     ),
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texttools import word_ngrams
+
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     en = _spark_list(STOPWORDS["en"])
@@ -235,13 +256,28 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, lambda x: F.array_contains(en, x))).alias("n_stop"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
     )
+    rep = (
+        d.select("doc_id", F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_c"),
+            F.sum("count").alias("n_bg"),
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(F.lit(0))).alias("dup_c"),
+        )
+    )
     nt = F.greatest(F.col("n_tokens"), F.lit(1))
+    nbg = F.greatest(F.coalesce(F.col("n_bg"), F.lit(0)), F.lit(1))
     return (
-        m.select(
+        m.join(rep, "doc_id", "left")
+        .select(
             "doc_id",
             F.round(F.col("n_stop") / nt, 4).alias("stopword_ratio"),
             F.round(F.col("n_uniq") / nt, 4).alias("unique_ratio"),
             F.round(F.col("n_chars") / nt, 4).alias("mean_token_len"),
+            F.round(F.coalesce(F.col("top_c"), F.lit(0)) / nbg, 4).alias("top_bigram_frac"),
+            F.round(F.coalesce(F.col("dup_c"), F.lit(0)) / nbg, 4).alias("dup_bigram_frac"),
             F.round(
                 F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
                 * (0.5 + 0.5 * (F.col("n_uniq") / nt)),
