@@ -392,6 +392,56 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def decontamination_pairs(
+    train: DataFrame,
+    evalset: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Benchmark decontamination: (train_id, eval_id, containment) for
+    every train document whose w-shingle overlap covers ≥ ``threshold``
+    of an eval document's shingle set.
+
+    Containment = |S_train ∩ S_eval| / |S_eval| — the GPT-3/PaLM-style
+    n-gram contamination test, directional (a train doc that embeds a
+    whole eval doc scores 1.0 however much else it contains, where
+    Jaccard would dilute it).
+
+    Scale shape: the eval side is benchmark-sized (thousands of docs)
+    and FIXED while train grows to 100 TB, so the eval shingle index is
+    the canonical broadcast dim — the train index streams map-side
+    against it with no shuffle of the corpus, and only the (train, eval)
+    hit pairs reach the one groupBy. Contrast the dedup self-joins,
+    which must shuffle because both sides are corpus-sized.
+
+    Reference analogue: none (the reference keeps raw history); this is
+    the eval-leakage gate a training-data pipeline runs before export.
+    """
+    tr = _xx_shingle_index(train, text_col, id_col, w).withColumnsRenamed(
+        {"id": "train_id"}
+    )
+    ev = _xx_shingle_index(evalset, text_col, id_col, w).withColumnsRenamed(
+        {"id": "eval_id"}
+    )
+    ev_sizes = _shingle_sizes(evalset, text_col, id_col, w).withColumnsRenamed(
+        {"id": "eval_id", "n": "n_eval"}
+    )
+    common = (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(F.broadcast(ev_sizes), "eval_id")
+        .withColumn("containment", F.round(F.col("common") / F.col("n_eval"), 4))
+        .filter(F.col("containment") >= threshold)
+        .select("train_id", "eval_id", "containment")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     *,

@@ -63,6 +63,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAX_SHINGLE_FREQ = 20  # drop shingles in > this many docs before the join
 
+# Decontamination split: every 20th doc is the "benchmark eval set"; the
+# train side is the rest PLUS planted leaks — 60%-prefix copies of each
+# eval doc (ids +200000), whose shingle containment lands around 0.6.
+_DECON_EVAL_PRED = "doc_id % 20 = 0"
+_DUCK_DECON_TRAIN = f"""
+    SELECT doc_id, text FROM documents WHERE NOT ({_DECON_EVAL_PRED})
+    UNION ALL
+    SELECT doc_id + 200000, substring(text, 1, (length(text) * 3) // 5)
+    FROM documents WHERE {_DECON_EVAL_PRED}
+"""
+
 @register(
     "dedup_ngram_jaccard",
     f"""
@@ -87,11 +98,27 @@ _MAX_SHINGLE_FREQ = 20  # drop shingles in > this many docs before the join
         UNION
         SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
         WHERE r.lab < e.v),
-    cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+    cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+    ev AS (SELECT doc_id AS id, {duck_tokens('text')} AS toks
+           FROM documents WHERE {_DECON_EVAL_PRED}),
+    tr AS (SELECT doc_id AS id, {duck_tokens('text')} AS toks
+           FROM ({_DUCK_DECON_TRAIN}) t),
+    evsh AS (SELECT id, unnest({duck_word_shingles('toks', _W)}) AS s FROM ev),
+    trsh AS (SELECT id, unnest({duck_word_shingles('toks', _W)}) AS s FROM tr),
+    evsz AS (SELECT id, count(*) AS n FROM evsh GROUP BY id),
+    dcommon AS (SELECT t.id AS train_id, e.id AS eval_id, count(*) AS c
+                FROM trsh t JOIN evsh e ON t.s = e.s GROUP BY 1, 2),
+    decon AS (SELECT train_id, eval_id, round(c / n, 4) AS containment
+              FROM dcommon JOIN evsz ON dcommon.eval_id = evsz.id
+              WHERE round(c / n, 4) >= 0.3)
     SELECT 'pair' AS branch, id_a, id_b, jaccard FROM pairs
     UNION ALL
     SELECT 'cc' AS branch, id AS id_a, comp AS id_b, CAST(NULL AS DOUBLE) AS jaccard
     FROM cc
+    UNION ALL
+    SELECT 'decon' AS branch, train_id AS id_a, eval_id AS id_b,
+           containment AS jaccard
+    FROM decon
     ORDER BY branch, id_a, id_b
     """,
     doc=(
@@ -99,7 +126,13 @@ _MAX_SHINGLE_FREQ = 20  # drop shingles in > this many docs before the join
         "+ exact Jaccard ≥ 0.5; 'cc' = connected components over those "
         "pairs (id_b = component = min reachable doc id) — the dup-CLUSTER "
         "step a retention policy actually consumes (keep min id, drop the "
-        "rest). Candidate join touches only docs sharing a shingle (no "
+        "rest); 'decon' = benchmark decontamination (id_a = train doc, "
+        "id_b = eval doc, jaccard = directional shingle CONTAINMENT "
+        "|S_t∩S_e|/|S_e| ≥ 0.3) over a doc_id%20 eval split with planted "
+        "60%-prefix leaks — the eval side is fixed benchmark-sized, so its "
+        "index broadcasts and the 100 TB train side never shuffles "
+        "(operators/dedup.py::decontamination_pairs). Candidate join "
+        "touches only docs sharing a shingle (no "
         "O(n²)); shingles appearing in > 20 docs are dropped before the "
         "join on BOTH engines (hot-shingle skew control — stopword "
         "shingles carry no dedup signal, and at 100 TB the freq² pair "
@@ -118,6 +151,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, w=_W, threshold=0.5, max_shingle_freq=_MAX_SHINGLE_FREQ
     ).localCheckpoint(eager=True)
     cc = D.connected_components(pairs)
+    evalset = docs.filter(F.expr(_DECON_EVAL_PRED)).select("doc_id", "text")
+    train = (
+        docs.filter(~F.expr(_DECON_EVAL_PRED))
+        .select("doc_id", "text")
+        .unionByName(
+            evalset.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.expr("substring(text, 1, length(text) * 3 div 5)").alias("text"),
+            )
+        )
+    )
+    decon = D.decontamination_pairs(train, evalset, w=_W, threshold=0.3)
     return (
         pairs.select(F.lit("pair").alias("branch"), "id_a", "id_b", "jaccard")
         .unionByName(
@@ -126,6 +171,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("id").alias("id_a"),
                 F.col("comp").alias("id_b"),
                 F.lit(None).cast("double").alias("jaccard"),
+            )
+        )
+        .unionByName(
+            decon.select(
+                F.lit("decon").alias("branch"),
+                F.col("train_id").alias("id_a"),
+                F.col("eval_id").alias("id_b"),
+                F.col("containment").alias("jaccard"),
             )
         )
         .orderBy("branch", "id_a", "id_b")

@@ -45,6 +45,26 @@ def test_minhash_lsh_agrees_with_exact_jaccard(spark, docs):
     assert lsh <= true
 
 
+def test_decontamination_containment(spark, docs):
+    # eval doc 0; train includes its exact dup (3), a near-dup (1), and
+    # unrelated docs (2, 4) — containment is directional: |S_t∩S_e|/|S_e|
+    evalset = docs.filter(F.col("doc_id") == 0)
+    train = docs.filter(F.col("doc_id") != 0)
+    hits = {
+        (r["train_id"], r["eval_id"]): r["containment"]
+        for r in D.decontamination_pairs(train, evalset, threshold=0.3).collect()
+    }
+    assert hits[(3, 0)] == 1.0  # exact copy fully contains the eval doc
+    assert 0.3 <= hits[(1, 0)] < 1.0  # near-dup partially contains it
+    assert all(t not in (2, 4) for (t, _e) in hits)
+
+
+def test_decontamination_empty_when_clean(spark, docs):
+    evalset = docs.filter(F.col("doc_id") == 4)
+    train = docs.filter(F.col("doc_id").isin(0, 1, 2))
+    assert D.decontamination_pairs(train, evalset, threshold=0.3).count() == 0
+
+
 def test_simhash_near_dup_small_hamming(spark, docs):
     fp = {r["id"]: r["simhash"] for r in D.simhash(docs).collect()}
     ham = lambda a, b: bin(a ^ b).count("1")
