@@ -42,18 +42,24 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS) which Spark's
-    vectorized reader rejects; read it as long nanos (legacy conf, safe to
-    set at runtime) and floor to microseconds — exactly what DuckDB's
-    micro-precision TIMESTAMP does, so oracle comparisons stay exact.
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS). Depending on the
+    Spark version the reader either rejects it (pre-4.1: read as long nanos
+    via the legacy conf and floor to micros) or reads it as TIMESTAMP_NTZ
+    (4.1+). Both paths normalize to a session-TZ TIMESTAMP floored to
+    microseconds — exactly what DuckDB's micro-precision naive TIMESTAMP
+    holds, so oracle comparisons stay exact (session TZ is pinned to UTC in
+    session.py, making the NTZ→TZ cast a wall-clock no-op).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
