@@ -54,8 +54,8 @@ _PACK_BUDGET = 512  # context-window token budget for concat-and-chunk packing
           FROM base)
     SELECT doc_id, n_chars, n_tokens, n_ws_tokens, n_unique_tokens,
            chars_per_token, n_bpe_tokens, n_number_tokens, n_symbol_tokens,
-           strt // {_PACK_BUDGET} AS pack_id,
-           strt % {_PACK_BUDGET} AS pack_offset
+           CAST(strt // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(strt % {_PACK_BUDGET} AS BIGINT) AS pack_offset
     FROM s
     ORDER BY doc_id
     """,
@@ -131,7 +131,7 @@ def _duck_langid_sql() -> str:
     p AS (SELECT doc_id, lang AS labeled_lang, {pred} AS predicted_lang,
                  s_en, s_es, s_de, s_fr
           FROM s)
-    SELECT *, {rate} AS sample_rate,
+    SELECT *, CAST({rate} AS DOUBLE) AS sample_rate,
            ({h}) % {_SAMPLE_MOD} < CAST(({rate}) * {_SAMPLE_MOD} AS BIGINT)
              AS sample_keep
     FROM p ORDER BY doc_id

@@ -84,6 +84,25 @@ def main() -> int:
             n_weak += 1
             continue
         try:
+            # Type-hygiene gate first: DuckDB integer window/plain sum()
+            # returns HUGEINT (→ arrow decimal128(38,0)), which survives
+            # fetchall() as exact ints locally but degrades to float64 /
+            # Decimal through the pandas/Arrow fetch paths a driver
+            # harness uses — silently breaking the value hash while rows
+            # and schema stay green. Fail loudly here instead.
+            atbl = con.execute(oracles[name]).arrow()
+            bad = [
+                f.name for f in atbl.schema
+                if "decimal" in str(f.type).lower()
+            ]
+            if bad:
+                print(
+                    f"FAIL {name}: oracle columns {bad} are "
+                    "HUGEINT/DECIMAL — CAST them (AS BIGINT/DOUBLE) so "
+                    "driver-side Arrow/pandas fetch matches Spark types"
+                )
+                n_fail += 1
+                continue
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
