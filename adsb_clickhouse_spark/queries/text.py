@@ -201,16 +201,16 @@ def _duck_quality_sql() -> str:
           FROM t),
     bg AS (SELECT doc_id, unnest({duck_word_ngrams('toks', 2)}) AS bg FROM t),
     bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
-    rep AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg,
+    rep AS (SELECT doc_id, max(c) AS top_c,
                    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
             FROM bgc GROUP BY 1)
     SELECT m.doc_id AS doc_id,
            round(n_stop / greatest(n_tokens, 1), 4) AS stopword_ratio,
            round(n_uniq / greatest(n_tokens, 1), 4) AS unique_ratio,
            round(n_chars / greatest(n_tokens, 1), 4) AS mean_token_len,
-           round(coalesce(top_c, 0) / greatest(coalesce(n_bg, 0), 1), 4)
+           round(coalesce(top_c, 0) / greatest(n_tokens - 1, 1), 4)
              AS top_bigram_frac,
-           round(coalesce(dup_c, 0) / greatest(coalesce(n_bg, 0), 1), 4)
+           round(coalesce(dup_c, 0) / greatest(n_tokens - 1, 1), 4)
              AS dup_bigram_frac,
            round(least(n_tokens / 100.0, 1.0) * (0.5 + 0.5 * (n_uniq / greatest(n_tokens, 1))), 4)
              AS quality_score,
@@ -232,18 +232,18 @@ def _duck_quality_sql() -> str:
         "and dup_bigram_frac (share of bigrams occurring more than once), "
         "the boilerplate/loop-text detectors — plus the order-insensitive "
         "bag-of-words md5 (catches shuffled near-dups) and exact md5. "
-        "Repetition counts run as explode → two-level groupBy on doc_id "
-        "(codegen + partial agg; a per-doc O(distinct×n) array-lambda would "
-        "be interpreted and ~5× slower at 10M grams — see "
-        "text_winnow_fingerprint's plan note), then one doc_id-keyed join "
-        "back to the projection pass. Formerly two queries (text_quality, "
+        "Repetition counts run as position-explode → element_at pairing → "
+        "two-level groupBy on doc_id (fully whole-stage-codegen + partial "
+        "agg; building the bigram array via a transform lambda evaluates "
+        "interpreted per element, measured ~4× slower at sf0.1), then one "
+        "doc_id-keyed join back to the projection pass; total bigram count "
+        "is derived as n_tokens-1 in the projection, not aggregated. "
+        "Formerly two queries (text_quality, "
         "text_fingerprint) — merged because the driver gate checks at most "
         "50 registry entries."
     ),
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.texttools import word_ngrams
-
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     en = _spark_list(STOPWORDS["en"])
@@ -256,19 +256,34 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, lambda x: F.array_contains(en, x))).alias("n_stop"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
     )
+    # Bigram rows WITHOUT building the bigram array: a `transform`
+    # lambda evaluates interpreted per element (~3 s at sf0.1 for the
+    # array build alone); exploding positions and pairing via
+    # element_at/concat_ws stays inside whole-stage codegen (~0.5 s).
+    # The tk array is consumed in the same codegen stage, so it is
+    # never materialized per exploded row.
     rep = (
-        d.select("doc_id", F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("bg"))
+        d.select("doc_id", tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select("doc_id", "tk", F.explode(F.sequence(F.lit(2), F.size("tk"))).alias("i"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.element_at("tk", F.col("i") - 1), F.element_at("tk", F.col("i"))
+            ).alias("bg"),
+        )
         .groupBy("doc_id", "bg")
         .count()
         .groupBy("doc_id")
         .agg(
             F.max("count").alias("top_c"),
-            F.sum("count").alias("n_bg"),
             F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(F.lit(0))).alias("dup_c"),
         )
     )
     nt = F.greatest(F.col("n_tokens"), F.lit(1))
-    nbg = F.greatest(F.coalesce(F.col("n_bg"), F.lit(0)), F.lit(1))
+    # n_bg (total bigrams) is derivable as n_tokens-1 in the projection
+    # pass — no need to sum per-bigram counts in the rep aggregate.
+    nbg = F.greatest(F.col("n_tokens") - 1, F.lit(1))
     return (
         m.join(rep, "doc_id", "left")
         .select(
