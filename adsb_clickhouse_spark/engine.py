@@ -17,7 +17,7 @@ reproduces that surface on Spark:
 from __future__ import annotations
 
 import os
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -161,12 +161,20 @@ class AdsbEngine:
                     path = tables._current_snapshot_dir(path) or path
                 n_rows = n_parts = n_files = n_bytes = 0
                 if os.path.isdir(path):
-                    df = self.spark.read.parquet(path)
-                    n_rows = df.count()
+                    # row counts come from parquet FOOTER metadata, not a
+                    # table scan — exact (footers record num_rows) and
+                    # metadata-priced, like ClickHouse's system.parts. At
+                    # 100 TB a df.count() per table per stats call is a
+                    # full-corpus job; footers are a few KB per file.
+                    import pyarrow.parquet as pq_meta
+
                     for root, _dirs, files in os.walk(path):
                         pq = [f for f in files if f.endswith(".parquet")]
                         n_files += len(pq)
-                        n_bytes += sum(os.path.getsize(os.path.join(root, f)) for f in pq)
+                        for f in pq:
+                            fp = os.path.join(root, f)
+                            n_bytes += os.path.getsize(fp)
+                            n_rows += pq_meta.ParquetFile(fp).metadata.num_rows
                     n_parts = len(
                         [e for e in os.listdir(path) if e.startswith(tables.PARTITION_COL + "=")]
                     )
@@ -188,7 +196,7 @@ class AdsbEngine:
         batch dirs/day, ClickHouse's background merges keep part counts
         small (schema/schema-local.sql:186-187), and this is our merge.
         Returns {source: {"expired": [...], "compacted": [...]}}."""
-        today = (self.now or datetime.utcnow()).date()
+        today = (self.now or datetime.now(timezone.utc)).date()
         out: dict[str, dict[str, list[str]]] = {}
         for name, pipe in self.pipelines.items():
             cfg = SOURCES[name]

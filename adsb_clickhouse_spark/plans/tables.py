@@ -52,7 +52,7 @@ import os
 import shutil
 import time
 import uuid
-from datetime import date, datetime, timedelta
+from datetime import date, datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -342,7 +342,7 @@ def expire_history(
     how many batch directories the day accumulated. Interim batch-major
     trees (``batch_id=*/scrape_date=*``) are walked too, pruning batch
     dirs emptied by the expiry."""
-    cutoff = (now or datetime.utcnow().date()) - timedelta(days=ttl_days)
+    cutoff = (now or datetime.now(timezone.utc).date()) - timedelta(days=ttl_days)
     dropped = []
     if not os.path.isdir(path):
         return dropped

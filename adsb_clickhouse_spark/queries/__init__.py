@@ -42,13 +42,16 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS). Depending on the
-    Spark version the reader either rejects it (pre-4.1: read as long nanos
-    via the legacy conf and floor to micros) or reads it as TIMESTAMP_NTZ
-    (4.1+). Both paths normalize to a session-TZ TIMESTAMP floored to
-    microseconds — exactly what DuckDB's micro-precision naive TIMESTAMP
-    holds, so oracle comparisons stay exact (session TZ is pinned to UTC in
-    session.py, making the NTZ→TZ cast a wall-clock no-op).
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which the pinned
+    Spark (4.1.2) rejects outright unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set — with it, ``ts``
+    arrives as long nanos and we floor-div to micros. The
+    ``timestamp_ntz`` branch is forward-compat only: a future Spark that
+    reads NANOS natively would surface TIMESTAMP_NTZ, and we cast it to
+    session-TZ TIMESTAMP (pinned UTC in session.py, so the cast is a
+    wall-clock no-op). If that branch ever activates, verify the reader
+    FLOORS nanos to micros like DuckDB (a rounding reader would silently
+    break sub-microsecond oracle parity) — see tests/test_cleanse.py.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

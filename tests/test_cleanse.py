@@ -109,3 +109,33 @@ def test_cleanse_plan_stays_codegen(spark):
     raw = raw_batch(spark, LOCAL, n_aircraft=5, n_scrapes=1)
     plan = cleanse(raw, LOCAL, ingestion_time=STAMP())._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_events_ts_floors_nanos_to_micros(spark):
+    """events.parquet carries TIMESTAMP(NANOS); load_table must FLOOR to
+    micros exactly like DuckDB's micro-precision TIMESTAMP, whichever
+    reader branch is active (legacy long-nanos today, native NTZ on a
+    future Spark). Compares epoch-micros of every row against the raw
+    nanos column floor-divided — a rounding reader fails here before it
+    can silently break sub-microsecond oracle parity."""
+    import duckdb
+
+    from adsb_clickhouse_spark.queries import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_id"]: r["us"]
+        for r in load_table(spark, sf, "events")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .limit(2000)
+        .collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT event_id, epoch_us(ts) FROM "
+            f"'{sf}/events.parquet' WHERE event_id IN "
+            f"({','.join(str(k) for k in got)})"
+        ).fetchall()
+    )
+    assert got == want

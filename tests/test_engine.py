@@ -133,3 +133,6 @@ def test_table_stats_metadata_scan(engine):
     assert h["rows"] > 0 and h["partitions"] >= 1 and h["files"] >= 1 and h["bytes"] > 0
     s = stats[("positions_local", "state")]
     assert 0 < s["rows"] <= h["rows"]
+    # footer-metadata counts must stay EXACT: pin against a real scan
+    pipe = engine.pipelines["local"]
+    assert h["rows"] == engine.spark.read.parquet(pipe.history_path).count()

@@ -1,0 +1,126 @@
+"""Multi-source streaming soak at reference cadence (VERDICT r4 #4).
+
+All four scraper pipelines run CONCURRENTLY as real Structured
+Streaming queries (triggers 2 s/5 s/10 s/10 s from config.py, mirroring
+manifests/adsb-collectors/30-scrapers.yaml.example:54-252), sharing the
+combined/state table through the writer lock. Mid-soak we fire
+run_maintenance (TTL + closed-day compaction) while every writer is
+live, then kill one query and restart it on the same checkpoint.
+
+Asserts, per the advice item: exactly-once history counts per source
+(dedupe=False count == rows fed), no writer-lock timeout or any other
+streaming exception, open-day compaction never touching a live writer's
+partitions (row counts stay exact through maintenance), and the
+restarted query resumes its run scope without dup or loss.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+from adsb_clickhouse_spark.config import SOURCES
+from adsb_clickhouse_spark.engine import AdsbEngine
+from adsb_clickhouse_spark.plans import tables
+from adsb_clickhouse_spark.sources.fixtures import raw_batch
+from adsb_clickhouse_spark.sources.json_source import stream_json_lines
+
+NOW = datetime(2026, 1, 15, 12, 0, 0)
+
+
+def _feed(spark, fed, name, in_dir, *, seed=0, now=None):
+    raw = raw_batch(
+        spark, SOURCES[name], n_aircraft=5, n_scrapes=1,
+        with_edges=False, seed=seed, **({"now": now} if now else {}),
+    )
+    raw.coalesce(1).write.mode("append").json(in_dir)
+    fed[name] += raw.count()
+
+
+def _drain(queries, names=None):
+    for name, q in queries.items():
+        if names is None or name in names:
+            q.processAllAvailable()
+            assert q.exception() is None, f"{name}: {q.exception()}"
+
+
+def test_four_source_concurrent_soak_with_maintenance_and_restart(spark, tmp_base):
+    in_dirs = {}
+    fed = dict.fromkeys(SOURCES, 0)
+    eng = AdsbEngine(spark, tmp_base, now=NOW)
+    yesterday = NOW - timedelta(days=1)
+
+    for name in SOURCES:
+        in_dirs[name] = os.path.join(tmp_base, "incoming", name)
+        os.makedirs(in_dirs[name])
+        _feed(spark, fed, name, in_dirs[name], seed=1)
+    # local also gets yesterday-dated rows so a CLOSED day exists for
+    # mid-soak compaction to chew on while the writer stays live
+    _feed(spark, fed, "local", in_dirs["local"], seed=2, now=yesterday)
+
+    queries = {
+        name: eng.start_stream(name, stream_json_lines(spark, in_dirs[name], SOURCES[name]))
+        for name in SOURCES
+    }
+    run_ids = {name: eng.pipelines[name].run_id for name in SOURCES}
+    try:
+        _drain(queries)
+
+        # round 2 lands while all four queries are live (second batch in
+        # yesterday's partition → ≥2 batch dirs → compactable)
+        for name in SOURCES:
+            _feed(spark, fed, name, in_dirs[name], seed=3)
+        _feed(spark, fed, "local", in_dirs["local"], seed=4, now=yesterday)
+        _drain(queries)
+
+        counts_before = {
+            name: tables.read_history(
+                spark, eng.pipelines[name].history_path, dedupe=False
+            ).count()
+            for name in SOURCES
+        }
+
+        # maintenance fires MID-SOAK: every streaming query is still
+        # attached and polling. Only closed days may be compacted.
+        out = eng.run_maintenance()
+        assert any(v["compacted"] for v in out.values()), "closed day must compact"
+        closed_dir = os.path.join(
+            eng.pipelines["local"].history_path, f"scrape_date={yesterday.date()}"
+        )
+        batch_dirs = [e for e in os.listdir(closed_dir) if e.startswith("batch_id=")]
+        assert len(batch_dirs) == 1 and batch_dirs[0].startswith("batch_id=compact-")
+        for name in SOURCES:  # compaction/TTL changed no row counts
+            assert (
+                tables.read_history(
+                    spark, eng.pipelines[name].history_path, dedupe=False
+                ).count()
+                == counts_before[name]
+            )
+
+        # kill one query; its input keeps arriving while it is down
+        queries["global_stream"].stop()
+        for name in SOURCES:
+            _feed(spark, fed, name, in_dirs[name], seed=5)
+        _drain(queries, names=[n for n in SOURCES if n != "global_stream"])
+
+        # restart on the SAME checkpoint: same run scope, no dup, no loss
+        queries["global_stream"] = eng.start_stream(
+            "global_stream",
+            stream_json_lines(spark, in_dirs["global_stream"], SOURCES["global_stream"]),
+        )
+        assert eng.pipelines["global_stream"].run_id == run_ids["global_stream"]
+        _drain(queries)
+    finally:
+        for q in queries.values():
+            q.stop()
+
+    # exactly-once per source: every fed row in history exactly once
+    for name in SOURCES:
+        n = tables.read_history(
+            spark, eng.pipelines[name].history_path, dedupe=False
+        ).count()
+        assert n == fed[name], f"{name}: history={n} fed={fed[name]}"
+    # shared combined table survived 4-writer lock contention: one row/key
+    comb = tables.read_state(spark, os.path.join(tmp_base, "combined", "state"))
+    assert comb.count() > 0
+    assert comb.groupBy("icao24").count().filter("count > 1").count() == 0
