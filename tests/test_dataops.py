@@ -326,3 +326,45 @@ def test_multimodal_features_compose_with_knn(spark):
         id_col="media_id", vec_col="feature",
     ).first()
     assert out["neighbor_id"] == 2
+
+
+def test_ivf_lloyd_refined_recall_at_scale(spark):
+    """The Lloyd-refined IVF path (iters>0 — not SQL-expressible, so the
+    oracle gate runs iters=0) at the advice-mandated scale: 1M clustered
+    vectors, recall@k vs exact brute force at fixed nprobe. Companion of
+    the README probe row (tools/bench_ivf_scale.py)."""
+    from pyspark.sql import functions as F
+
+    from adsb_clickhouse_spark.operators.similarity import (
+        ivf_build,
+        ivf_search,
+        knn_bruteforce,
+    )
+    from tools.bench_ivf_scale import make_clustered_vectors
+
+    n, dim, n_lists, k, nprobe = 1_000_000, 32, 64, 10, 8
+    corpus = make_clustered_vectors(spark, n, dim, n_lists, seed=0).persist()
+    corpus.count()
+    queries = corpus.filter(F.col("vec_id") % 200_000 == 0).persist()  # 5 queries
+    try:
+        assignments, centroids = ivf_build(
+            corpus, n_lists=n_lists, iters=2, id_col="vec_id", vec_col="embedding"
+        )
+        got = {}
+        for r in ivf_search(
+            corpus, assignments, centroids, queries,
+            k=k, nprobe=nprobe, id_col="vec_id", vec_col="embedding",
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        want = {}
+        for r in knn_bruteforce(
+            corpus, queries, k=k, id_col="vec_id", vec_col="embedding", dim=dim
+        ).collect():
+            want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recall = sum(
+            len(got.get(q, set()) & nbrs) / len(nbrs) for q, nbrs in want.items()
+        ) / len(want)
+        assert recall >= 0.9, f"recall@{k}={recall}"
+    finally:
+        corpus.unpersist()
+        queries.unpersist()
