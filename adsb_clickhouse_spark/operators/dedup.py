@@ -400,6 +400,10 @@ def ngram_jaccard_pairs_prefix(
     ).select("id", "h", "n")
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # candidates carry both docs' |shingle-set| sizes straight from the
+    # ranking window's n (functionally dependent on the ids, so the
+    # distinct is unaffected) — the final Jaccard needs no sizes joins
+    # and the index subtree is evaluated two fewer times
     candidates = (
         a.join(
             b,
@@ -408,7 +412,12 @@ def ngram_jaccard_pairs_prefix(
             & (F.col("b.n") * F.lit(threshold) <= F.col("a.n"))
             & (F.col("a.n") * F.lit(threshold) <= F.col("b.n")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
         .distinct()
     )
     # verify against the (cheap, codegen'd) exploded index — measured
@@ -420,14 +429,11 @@ def ngram_jaccard_pairs_prefix(
     common = (
         candidates.join(fa, "id_a")
         .join(fb, (F.col("id_b") == F.col("idb2")) & (F.col("h") == F.col("hb")))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("common"))
     )
-    sizes = _shingle_sizes(docs, text_col, id_col, w)
     return (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4),
         )

@@ -707,3 +707,186 @@ def cosine_near_dup_pairs_lsh(
     return bucketed.groupBy("bucket").applyInPandas(
         score, "id_a long, id_b long, cos_sim double"
     )
+
+
+def pq_build(
+    vectors: DataFrame,
+    *,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product-quantization codebooks + codes: the memory-bounded ANN
+    path. The dim-D space splits into ``m`` subspaces of D/m dims; each
+    subspace gets its own ``ksub``-centroid quantizer, and a vector is
+    stored as m small codes (m bytes at ksub≤256) instead of D doubles —
+    at 100 TB of embeddings this is the difference between a rescoring
+    scan that fits in cluster memory and one that doesn't (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+    public method).
+
+    Returns ``(codes, centroids)``: codes is (id, code_0..code_{m-1})
+    and centroids an (m × ksub × D/m) numpy array. Determinism mirrors
+    ivf_build: centroids seed from the ksub ids with smallest md5(id)
+    (each seed vector sliced per subspace), assignment argmin ties take
+    the lowest code, and distances accumulate dimension-by-dimension
+    (_d2_fold) so the iters=0 machinery is oracle-twinnable in SQL;
+    Lloyd refinement (iters>0) runs per subspace as the same
+    Arrow-batched partial-sums reduce as ivf_build and is covered by
+    pytest recall tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    src = vectors.select(
+        _id_as_long(vectors, id_col, "id"), as_double(F.col(vec_col)).alias("v")
+    )
+    seeds = (
+        src.withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h")
+        .limit(ksub)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("pq_build: empty corpus — nothing to quantize")
+    ksub = len(seeds)  # clamp like ivf_build
+    dim = len(seeds[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"pq_build: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    full = np.stack([np.asarray(r["v"], dtype=np.float64) for r in seeds])
+    cent = np.stack([full[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partials(batches):
+            c = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.stack(pdf["v"].to_numpy())
+                rows = []
+                for j in range(m):
+                    sub = mat[:, j * dsub : (j + 1) * dsub]
+                    codes = _d2_fold(sub, c[j]).argmin(axis=1)
+                    for cc in np.unique(codes):
+                        sel = sub[codes == cc]
+                        rows.append((j, int(cc), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["j", "code", "n", "s"])
+
+        stats = src.mapInPandas(partials, "j int, code int, n long, s array<double>").collect()
+        sums = np.zeros_like(cent)
+        counts = np.zeros((m, ksub), dtype=np.int64)
+        for r in stats:
+            sums[r["j"], r["code"]] += np.asarray(r["s"])
+            counts[r["j"], r["code"]] += r["n"]
+        nonempty = counts > 0
+        for j in range(m):
+            ne = nonempty[j]
+            cent[j][ne] = sums[j][ne] / counts[j][ne, None]
+
+    bc = spark.sparkContext.broadcast(cent)
+
+    def encode(batches):
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["v"].to_numpy())
+            out = {"id": pdf["id"].to_numpy()}
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                out[f"code_{j}"] = _d2_fold(sub, c[j]).argmin(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    schema = "id long, " + ", ".join(f"code_{j} int" for j in range(m))
+    return src.mapInPandas(encode, schema), cent
+
+
+def pq_search(
+    codes: DataFrame,
+    centroids,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) probe over PQ codes: each query
+    precomputes one (m × ksub) lookup table of subspace dot products
+    driver-side (queries are probe-sized by contract, like ivf_search),
+    and every corpus vector is scored from its m codes alone — the
+    corpus scan touches codes, never raw vectors.
+
+    Scoring is approximate cosine against the RECONSTRUCTED vector:
+    cos ≈ Σ_j pd_j / (|q| · sqrt(Σ_j cn2_j)) where pd_j =
+    dot(q_sub_j, centroid) and cn2_j = |centroid|². Both sums are
+    FIXED-ORDER add chains (j = 0..m-1) and every dot is a sequential
+    fold, so the DuckDB oracle reproduces each double bit-for-bit; the
+    m lookup joins are broadcast (ksub·|queries| rows each) and the
+    whole scan stays in whole-stage codegen — no UDF, one corpus pass,
+    no shuffle until the per-query top-k window.
+    """
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    spark = codes.sparkSession
+    cent = np.asarray(centroids, dtype=np.float64)
+    m, ksub, dsub = cent.shape
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    qrows = queries.select(
+        _id_as_long(queries, id_col, "query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    lookups: list[list[tuple]] = [[] for _ in range(m)]
+    for r in qrows:
+        qv = [float(x) for x in r["qv"]]
+        qn = math.sqrt(fold_dot(qv, qv))
+        for j in range(m):
+            qs = qv[j * dsub : (j + 1) * dsub]
+            for c in range(ksub):
+                cv = [float(x) for x in cent[j][c]]
+                row = (r["query_id"], c, fold_dot(qs, cv), fold_dot(cv, cv))
+                lookups[j].append(row + ((qn,) if j == 0 else ()))
+
+    scored = codes.withColumnsRenamed({"id": "neighbor_id"})
+    for j in range(m):
+        cols = f"qid_{j} long, c_{j} int, pd_{j} double, cn2_{j} double"
+        if j == 0:
+            cols += ", qn double"
+        lk = spark.createDataFrame(lookups[j], cols)
+        cond = F.col(f"code_{j}") == F.col(f"c_{j}")
+        if j > 0:
+            cond = cond & (F.col("qid_0") == F.col(f"qid_{j}"))
+        scored = scored.join(F.broadcast(lk), cond).drop(f"c_{j}")
+        if j > 0:
+            scored = scored.drop(f"qid_{j}")
+
+    sp = F.col("pd_0")
+    sn = F.col("cn2_0")
+    for j in range(1, m):
+        sp = sp + F.col(f"pd_{j}")
+        sn = sn + F.col(f"cn2_{j}")
+    cand = (
+        scored.withColumnRenamed("qid_0", "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", sp / (F.col("qn") * F.sqrt(sn)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
+    )

@@ -65,6 +65,87 @@ def _sql_d2(a: str, b: str, dim: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _sql_d2_range(a: str, b: str, lo: int, hi: int) -> str:
+    """Squared L2 over 1-based index range [lo, hi] as the same explicit
+    left-to-right add chain as :func:`_sql_d2` — the per-subspace
+    distance for PQ code assignment."""
+    terms = [f"(({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}]))" for i in range(lo, hi + 1)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _duck_pq_ctes(m: int, ksub: int, dim: int) -> str:
+    """PQ CTE block: md5-seeded per-subspace codebooks (seed vectors
+    sliced), argmin code assignment per subspace, ADC lookup tables per
+    query, and fixed-order score assembly. Every double is a sequential
+    fold or an explicit left-assoc add chain, matching the numpy/driver
+    computation in operators/similarity.pq_build/pq_search
+    bit-for-bit."""
+    dsub = dim // m
+    ctes = [
+        f"""pq_seeds AS (
+      SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+               AS code
+      FROM (SELECT vec_id, v FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {ksub}))"""
+    ]
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        ctes.append(
+            f"""pq_c{j} AS (
+      SELECT vec_id, code FROM (
+        SELECT e.vec_id, s.code,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sql_d2_range('e.v', 's.v', lo, hi)},
+                                           s.code) AS rn
+        FROM e CROSS JOIN pq_seeds s) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""pq_lk{j} AS (
+      SELECT q.vec_id AS query_id, s.code,
+             list_dot_product(q.v[{lo}:{hi}], s.v[{lo}:{hi}]) AS pd,
+             list_dot_product(s.v[{lo}:{hi}], s.v[{lo}:{hi}]) AS cn2
+      FROM lq q CROSS JOIN pq_seeds s)"""
+        )
+    joins = " ".join(
+        f"JOIN pq_c{j} c{j} USING (vec_id)" for j in range(1, m)
+    )
+    ctes.append(
+        f"""pq_codes AS (
+      SELECT c0.vec_id, {', '.join(f'c{j}.code AS code_{j}' for j in range(m))}
+      FROM pq_c0 c0 {joins})"""
+    )
+    ctes.append(
+        "pq_qn AS (SELECT vec_id AS query_id, sqrt(list_dot_product(v, v)) AS qn FROM lq)"
+    )
+    sp = "l0.pd"
+    sn = "l0.cn2"
+    for j in range(1, m):
+        sp = f"({sp} + l{j}.pd)"
+        sn = f"({sn} + l{j}.cn2)"
+    lk_joins = " ".join(
+        f"JOIN pq_lk{j} l{j} ON l{j}.query_id = l0.query_id AND l{j}.code = cp.code_{j}"
+        for j in range(1, m)
+    )
+    ctes.append(
+        f"""pq_scored AS (
+      SELECT l0.query_id, cp.vec_id AS neighbor_id,
+             {sp} / (qn.qn * sqrt({sn})) AS cs
+      FROM pq_codes cp
+      JOIN pq_lk0 l0 ON l0.code = cp.code_0
+      {lk_joins}
+      JOIN pq_qn qn ON qn.query_id = l0.query_id
+      WHERE cp.vec_id != l0.query_id)"""
+    )
+    ctes.append(
+        """pq_ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rank
+      FROM pq_scored)"""
+    )
+    return ",\n    ".join(ctes)
+
+
 def _duck_ann_union_sql(
     n_planes: int = 8, dim: int = 64, n_lists: int = 16, nprobe: int = 4, k: int = 3
 ) -> str:
@@ -128,7 +209,8 @@ def _duck_ann_union_sql(
       SELECT query_id, neighbor_id, cs,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cs DESC, neighbor_id) AS rank
-      FROM mp_scored)
+      FROM mp_scored),
+    {_duck_pq_ctes(4, 8, dim)}
     SELECT 'ivf' AS method, query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
     FROM ivf_ranked WHERE rank <= {k}
     UNION ALL
@@ -137,6 +219,9 @@ def _duck_ann_union_sql(
     UNION ALL
     SELECT 'mp' AS method, query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
     FROM mp_ranked WHERE rank <= {k}
+    UNION ALL
+    SELECT 'pq' AS method, query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
+    FROM pq_ranked WHERE rank <= {k}
     ORDER BY method, query_id, rank
     """
 
@@ -145,7 +230,7 @@ def _duck_ann_union_sql(
     "sim_ann_lsh",
     _duck_ann_union_sql(),
     doc=(
-        "All three ANN scale paths in one tagged-union driver row. 'lsh': "
+        "All four ANN scale paths in one tagged-union driver row. 'lsh': "
         "8 deterministic ±1 hyperplanes (md5-derived, inlined into both "
         "engines) partition the corpus into 256 buckets and a query probes "
         "only its bucket. 'mp': the same index probed multi-probe (all "
@@ -155,9 +240,15 @@ def _duck_ann_union_sql(
         "pins the seeding/assignment/probe/rank machinery to the oracle; "
         "the Lloyd refinement is covered by pytest recall tests — "
         "cross-row float summation order makes iterated centroids "
-        "untwinable in SQL). At 100 TB the corpus is written partitioned "
-        "by bucket / list_id, so a probe is a partition-pruned scan in "
-        "every branch."
+        "untwinable in SQL). 'pq': product quantization with ADC scoring "
+        "— 4 subspaces × 8 md5-seeded centroids; each corpus vector is "
+        "scored from its 4 codes against per-query broadcast lookup "
+        "tables (fixed-order add chains, fold dots — bit-exact vs the "
+        "oracle), the memory-bounded path where the rescoring scan reads "
+        "codes instead of raw vectors. At 100 TB the corpus is written "
+        "partitioned by bucket / list_id, so a probe is a "
+        "partition-pruned scan in every branch, and PQ compresses the "
+        "candidate scan itself."
     ),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,7 +267,16 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = S.ivf_search(e, assignments, cents, q, k=3, nprobe=4).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
-    return ivf.unionByName(lsh).unionByName(mp).orderBy("method", "query_id", "rank")
+    codes, pq_cents = S.pq_build(e, m=4, ksub=8, iters=0)
+    pq = S.pq_search(codes, pq_cents, q, k=3).select(
+        F.lit("pq").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
+    )
+    return (
+        ivf.unionByName(lsh)
+        .unionByName(mp)
+        .unionByName(pq)
+        .orderBy("method", "query_id", "rank")
+    )
 
 
 def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) -> str:

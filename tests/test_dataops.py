@@ -368,3 +368,47 @@ def test_ivf_lloyd_refined_recall_at_scale(spark):
     finally:
         corpus.unpersist()
         queries.unpersist()
+
+
+def test_pq_adc_recall_lloyd_refined(spark):
+    """PQ/ADC with per-subspace Lloyd refinement (iters>0 — the oracle
+    gate pins iters=0). PQ is a coarse quantizer: same-cluster vectors
+    collapse to identical codes (their ADC scores tie exactly), so
+    exact-top-k recall is the wrong property to assert. The property
+    that matters is that ADC ranks the query's OWN latent cluster above
+    every other cluster — all returned neighbors must share the query's
+    cluster. Also pins code range and the one-row-per-vector encode
+    contract."""
+    from pyspark.sql import functions as F
+
+    from adsb_clickhouse_spark.operators.similarity import pq_build, pq_search
+    from tools.bench_ivf_scale import make_clustered_vectors
+
+    n, dim, m, ksub, k, n_clusters = 20_000, 32, 4, 16, 10, 32
+    corpus = make_clustered_vectors(spark, n, dim, n_clusters, seed=1).persist()
+    corpus.count()
+    queries = corpus.filter(F.col("vec_id") % 4000 == 0)  # 5 queries
+    try:
+        codes, cents = pq_build(corpus, m=m, ksub=ksub, iters=2)
+        codes = codes.persist()
+        assert codes.count() == n
+        rng = codes.agg(
+            *[F.min(f"code_{j}").alias(f"lo{j}") for j in range(m)],
+            *[F.max(f"code_{j}").alias(f"hi{j}") for j in range(m)],
+        ).first()
+        assert all(rng[f"lo{j}"] >= 0 and rng[f"hi{j}"] < ksub for j in range(m))
+
+        hits = pq_search(codes, cents, queries, k=k).collect()
+        assert len(hits) == 5 * k
+        for r in hits:  # generator assigns cluster = vec_id % n_clusters
+            assert r["neighbor_id"] % n_clusters == r["query_id"] % n_clusters, (
+                f"query {r['query_id']}: neighbor {r['neighbor_id']} from "
+                "a foreign cluster out-scored the home cluster"
+            )
+            # reconstructed cosine stays positive and meaningful even
+            # though ksub=16 codes must cover 32 clusters per subspace
+            # (each code averages ~2 cluster centers)
+            assert r["cos_sim"] > 0.5
+    finally:
+        corpus.unpersist()
+        codes.unpersist()
