@@ -76,12 +76,18 @@ def duck_salted_md5_long(expr: str, salt: int) -> str:
 
 
 def duck_word_shingles(toks_expr: str, w: int = 3) -> str:
-    """DuckDB list slicing is 1-based inclusive: toks[i : i+w-1] is w items."""
+    """DuckDB list slicing is 1-based inclusive: toks[i : i+w-1] is w items.
+
+    The short-doc fallback coalesces to '' because DuckDB's
+    ``array_to_string([])`` is NULL where Spark's ``array_join`` yields
+    '' — without it a zero-token doc's whole-doc shingle hashes to NULL
+    and silently drops out of every dedup join (found by the
+    adversarial-corpus parity suite, tests/test_text_edge_parity.py)."""
     return (
         f"list_distinct(CASE WHEN len({toks_expr}) >= {w} THEN "
         f"list_transform(range(1, len({toks_expr}) - {w} + 2), "
         f"i -> array_to_string({toks_expr}[i : i + {w - 1}], ' ')) "
-        f"ELSE [array_to_string({toks_expr}, ' ')] END)"
+        f"ELSE [coalesce(array_to_string({toks_expr}, ' '), '')] END)"
     )
 
 

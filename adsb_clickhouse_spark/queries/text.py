@@ -214,7 +214,8 @@ def _duck_quality_sql() -> str:
              AS dup_bigram_frac,
            round(least(n_tokens / 100.0, 1.0) * (0.5 + 0.5 * (n_uniq / greatest(n_tokens, 1))), 4)
              AS quality_score,
-           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_fingerprint,
+           md5(coalesce(array_to_string(list_sort(list_distinct(toks)), ' '), ''))
+             AS bag_fingerprint,
            md5(text) AS exact_fingerprint
     FROM m LEFT JOIN rep ON m.doc_id = rep.doc_id
     ORDER BY doc_id

@@ -412,3 +412,42 @@ def test_pq_adc_recall_lloyd_refined(spark):
     finally:
         corpus.unpersist()
         codes.unpersist()
+
+
+def test_pii_scrub_detects_and_masks(spark):
+    """PII curation pass: planted email/phone/IP/SSN spans are counted
+    per category and masked with category tokens; clean docs pass
+    through byte-identical with has_pii=false. TPC-H-style phone
+    groups (25-989-741-2988) and US 3-group phones both match."""
+    from pyspark.sql import Row
+
+    from adsb_clickhouse_spark.operators.scrub import pii_scrub
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="contact bob.smith+x@example.co.uk for details"),
+        Row(doc_id=2, text="call 555-123-4567 or 25-989-741-2988 now"),
+        Row(doc_id=3, text="server at 192.168.001.1 responded"),
+        Row(doc_id=4, text="ssn 123-45-6789 leaked"),
+        Row(doc_id=5, text="a perfectly clean document"),
+    ])
+    out = {r["id"]: r for r in pii_scrub(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["clean_text"] == "contact <EMAIL> for details"
+    assert out[2]["n_phone"] == 2 and out[2]["clean_text"] == "call <PHONE> or <PHONE> now"
+    assert out[3]["n_ipv4"] == 1 and "<IPV4>" in out[3]["clean_text"]
+    assert out[4]["n_ssn"] == 1 and out[4]["clean_text"] == "ssn <SSN> leaked"
+    assert not out[5]["has_pii"]
+    assert out[5]["clean_text"] == "a perfectly clean document"
+    assert all(out[i]["has_pii"] for i in (1, 2, 3, 4))
+
+
+def test_pii_scrub_stays_codegen(spark):
+    """The scrub pass is a single codegen projection — no Python UDF,
+    no shuffle (SURVEY §2.10 discipline)."""
+    from pyspark.sql import Row
+
+    from adsb_clickhouse_spark.operators.scrub import pii_scrub
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="x")])
+    plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan

@@ -1,0 +1,91 @@
+"""Adversarial-corpus oracle parity for the text family.
+
+The driver gate runs the text queries on well-behaved synthetic prose;
+this suite re-runs every text-family (and shingle-dedup) oracle pair on
+a corpus of pathological documents — empty, whitespace-only, shorter
+than the shingle/winnow gram width, unicode (accents, CJK, emoji),
+regex metacharacters, digit runs, single-char repetition — and asserts
+the same rowcount/schema/value-hash match the gate computes. Pins the
+Java-regex-vs-RE2 dialect discipline (TOKEN_RE, PII-free subset) and
+every length-edge branch (greatest(...,1) guards) across both engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+EDGE_DOCS = [
+    (0, "", "en", "edge", 0),
+    (1, " ", "en", "edge", 1),
+    (2, "\t\n  \n", "en", "edge", 5),
+    (3, "a", "en", "edge", 1),
+    (4, "ab", "en", "edge", 2),
+    (5, "short", "en", "edge", 5),
+    (6, "exactly8", "en", "edge", 8),
+    (7, "the the the the the the the the", "en", "edge", 31),
+    (8, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "en", "edge", 32),
+    (9, "1234567890 9876543210 000", "en", "edge", 25),
+    (10, "naïve café résumé über garçon", "fr", "edge", 29),
+    (11, "日本語のテキスト 中文文本 한국어", "en", "edge", 17),
+    (12, "emoji 🎉 party 🎉🎉 time", "en", "edge", 22),
+    (13, "regex meta .* +? [a-z] (x|y) \\ $^ {2,3}", "en", "edge", 39),
+    (14, "el la de que y en los se del las palabras", "es", "edge", 41),
+    (15, "der die und das ist von mit den im für wort", "de", "edge", 43),
+    (16, "mixed UPPER lower 123 punct!!! end.", "en", "edge", 35),
+    (17, "a b c d e f g h i j k l m n o p q r s t", "en", "edge", 39),
+    (18, "word " * 200, "en", "edge", 1000),
+]
+
+TEXT_QUERIES = [
+    "text_token_stats",
+    "text_langid",
+    "text_quality",
+    "text_winnow_fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_ngram_prefix_filter",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir(spark, tmp_path_factory):
+    """A fake sf dir holding only the adversarial documents table (the
+    text/dedup queries read nothing else)."""
+    base = str(tmp_path_factory.mktemp("edge_sf"))
+    df = spark.createDataFrame(
+        EDGE_DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # single file so DuckDB can read the same path glob-free
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "documents.parquet"))
+    return base
+
+
+@pytest.mark.parametrize("name", TEXT_QUERIES)
+def test_edge_corpus_oracle_parity(spark, edge_sf_dir, name):
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+    from tools.check_correctness import value_hash
+
+    sdf = entry_mod.queries()[name](spark, edge_sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{edge_sf_dir}/documents.parquet/*.parquet'"
+    )
+    res = con.execute(entry_mod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert len(srows) == len(drows), f"rowcount spark={len(srows)} duckdb={len(drows)}"
+    assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols)
+    assert value_hash(scols, srows) == value_hash(dcols, drows)
