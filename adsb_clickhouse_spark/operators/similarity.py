@@ -112,12 +112,24 @@ def knn_bruteforce(
     from pyspark.sql import Window
 
     dim = dim if dim is not None else _infer_dim(corpus, vec_col)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", _norm(F.col("cv"), dim))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", _norm(F.col("qv"), dim))
+    # zero-norm vectors have no cosine direction and would be a hard
+    # DIVIDE_BY_ZERO under Spark's ANSI mode — excluded by contract on
+    # both sides (the codegen norm chain doubles as the predicate; the
+    # DuckDB oracles carry the same list_dot_product(v, v) > 0 filter)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("cn", _norm(F.col("cv"), dim))
+        .filter(F.col("cn") > 0)
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("qn", _norm(F.col("qv"), dim))
+        .filter(F.col("qn") > 0)
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
@@ -301,8 +313,11 @@ def ann_lsh(
             ],
         )
         q = q.withColumn("bucket", F.explode(probe_arr))
+    # zero-norm contract (see knn_bruteforce): excluded on both sides
+    # before the join rather than crash ANSI division
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.filter(F.col("cn") > 0)
+        .join(F.broadcast(q.filter(F.col("qn") > 0)), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_sim", _dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))
@@ -529,9 +544,14 @@ def ivf_build(
     import pandas as pd
 
     spark = vectors.sparkSession
+    # zero-norm vectors are excluded from the index wholesale (not just
+    # at scoring): the codebook seed pool and centroid updates must see
+    # exactly the vectors the oracle's filtered corpus sees, or learned
+    # state diverges and every downstream assignment shifts
+    dim0 = _infer_dim(vectors, vec_col)
     src = vectors.select(
         _id_as_long(vectors, id_col, "id"), as_double(F.col(vec_col)).alias("v")
-    )
+    ).filter(_dot(F.col("v"), F.col("v"), dim0) > 0)
     seeds = (
         src.withColumn("h", F.md5(F.col("id").cast("string")))
         .orderBy("h")
@@ -623,6 +643,8 @@ def ivf_search(
     probe_rows = []
     for r in qrows:
         qv = np.asarray(r["qv"], dtype=np.float64)
+        if not np.any(qv):
+            continue  # zero-norm contract (see knn_bruteforce)
         d2 = _d2_fold(qv[None, :], cent)[0]
         for li in np.argsort(d2, kind="stable")[:nprobe]:
             probe_rows.append((r["query_id"], r["qv"], int(li)))
@@ -635,6 +657,7 @@ def ivf_search(
             _id_as_long(corpus, id_col, "neighbor_id"),
             as_double(F.col(vec_col)).alias("cv"),
         )
+        .filter(_dot(F.col("cv"), F.col("cv"), dim) > 0)  # zero-norm contract
         .join(assignments.withColumnsRenamed({"id": "neighbor_id"}), "neighbor_id")
         .join(F.broadcast(probes), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -741,9 +764,12 @@ def pq_build(
     import pandas as pd
 
     spark = vectors.sparkSession
+    # zero-norm exclusion mirrors ivf_build: codebooks are learned state
+    # and must be built over the same corpus the oracle filters
+    dim0 = _infer_dim(vectors, vec_col)
     src = vectors.select(
         _id_as_long(vectors, id_col, "id"), as_double(F.col(vec_col)).alias("v")
-    )
+    ).filter(_dot(F.col("v"), F.col("v"), dim0) > 0)
     seeds = (
         src.withColumn("h", F.md5(F.col("id").cast("string")))
         .orderBy("h")
@@ -854,6 +880,8 @@ def pq_search(
     for r in qrows:
         qv = [float(x) for x in r["qv"]]
         qn = math.sqrt(fold_dot(qv, qv))
+        if qn == 0.0:
+            continue  # zero-norm contract (see knn_bruteforce)
         for j in range(m):
             qs = qv[j * dsub : (j + 1) * dsub]
             for c in range(ksub):
@@ -882,6 +910,9 @@ def pq_search(
     cand = (
         scored.withColumnRenamed("qid_0", "query_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a zero reconstructed norm (all-zero codebook cells) has no
+        # cosine direction — excluded like zero-norm vectors everywhere
+        .filter(sn > 0)
         .withColumn("cos_sim", sp / (F.col("qn") * F.sqrt(sn)))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -23,7 +23,8 @@ _DUCK_COS = (
 @register(
     "sim_knn_bruteforce",
     f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -155,7 +156,8 @@ def _duck_ann_union_sql(
         for i, p in enumerate(planes)
     )
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     hashed AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
     lq AS (SELECT vec_id, v, bucket FROM hashed WHERE vec_id < 5),
     lsh_scored AS (
@@ -291,7 +293,8 @@ def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) ->
         for i, p in enumerate(planes)
     )
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     hashed AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -306,7 +309,8 @@ def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) ->
 @register(
     "sim_cosine_near_dup",
     f"""
-    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round({_DUCK_COS.format(a='a.v', b='b.v')}, 4) AS cos_sim

@@ -89,3 +89,64 @@ def test_edge_corpus_oracle_parity(spark, edge_sf_dir, name):
     assert len(srows) == len(drows), f"rowcount spark={len(srows)} duckdb={len(drows)}"
     assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols)
     assert value_hash(scols, srows) == value_hash(dcols, drows)
+
+
+SIM_QUERIES = ["sim_knn_bruteforce", "sim_ann_lsh", "sim_cosine_near_dup"]
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(spark, tmp_path_factory):
+    """Embeddings with adversarial rows: a zero vector as a QUERY id (3)
+    and as a corpus id (6), tiny-magnitude and negative vectors, plus
+    clustered normals — pins the zero-norm exclusion contract on both
+    engines (Spark ANSI mode would otherwise hard-fail DIVIDE_BY_ZERO)."""
+    import math
+
+    base = str(tmp_path_factory.mktemp("edge_emb"))
+    dim = 64
+    rows = []
+    for vid in range(20):
+        if vid in (3, 6):
+            vec = [0.0] * dim  # zero-norm: excluded by contract
+        elif vid == 7:
+            vec = [1e-12] * dim  # tiny but directional: kept
+        else:
+            c = vid % 4
+            vec = [math.sin(0.1 * (i + 1) * (c + 1)) + (0.01 * vid if i == 0 else 0.0)
+                   for i in range(dim)]
+        rows.append((vid, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "embeddings.parquet"))
+    return base
+
+
+@pytest.mark.parametrize("name", SIM_QUERIES)
+def test_edge_embeddings_oracle_parity(spark, edge_emb_dir, name):
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+    from tools.check_correctness import value_hash
+
+    sdf = entry_mod.queries()[name](spark, edge_emb_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert srows, "edge corpus must produce rows (zero vectors excluded, not fatal)"
+    # the zero-norm ids never appear on either side of any result
+    for r in srows:
+        d = dict(zip(scols, r))
+        for c in ("query_id", "neighbor_id", "id_a", "id_b"):
+            if c in d:
+                assert d[c] not in (3, 6), f"zero vector {d[c]} leaked into {name}"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{edge_emb_dir}/embeddings.parquet/*.parquet'"
+    )
+    res = con.execute(entry_mod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows), f"rowcount spark={len(srows)} duckdb={len(drows)}"
+    assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols)
+    assert value_hash(scols, srows) == value_hash(dcols, drows)
