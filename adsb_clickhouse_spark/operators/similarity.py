@@ -93,6 +93,18 @@ def as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def _nonzero_norm(vec) -> Column:
+    """norm² > 0 as a TINY aggregate-HOF tree. The unrolled 64-term
+    chain here would cost seconds of driver plan compilation per query
+    (the tree exceeds the JIT method limit and falls back to interpreted
+    eval anyway — module docstring); the fold lambda is interpreted per
+    row but the predicate only needs the BOOLEAN, which is
+    association-independent for non-negative terms: the sum is zero iff
+    every element squares to zero (including underflow), exactly
+    DuckDB's list_dot_product(v, v) > 0."""
+    return F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x) > 0
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -548,10 +560,9 @@ def ivf_build(
     # at scoring): the codebook seed pool and centroid updates must see
     # exactly the vectors the oracle's filtered corpus sees, or learned
     # state diverges and every downstream assignment shifts
-    dim0 = _infer_dim(vectors, vec_col)
     src = vectors.select(
         _id_as_long(vectors, id_col, "id"), as_double(F.col(vec_col)).alias("v")
-    ).filter(_dot(F.col("v"), F.col("v"), dim0) > 0)
+    ).filter(_nonzero_norm(F.col("v")))
     seeds = (
         src.withColumn("h", F.md5(F.col("id").cast("string")))
         .orderBy("h")
@@ -657,7 +668,7 @@ def ivf_search(
             _id_as_long(corpus, id_col, "neighbor_id"),
             as_double(F.col(vec_col)).alias("cv"),
         )
-        .filter(_dot(F.col("cv"), F.col("cv"), dim) > 0)  # zero-norm contract
+        .filter(_nonzero_norm(F.col("cv")))  # zero-norm contract
         .join(assignments.withColumnsRenamed({"id": "neighbor_id"}), "neighbor_id")
         .join(F.broadcast(probes), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -766,10 +777,9 @@ def pq_build(
     spark = vectors.sparkSession
     # zero-norm exclusion mirrors ivf_build: codebooks are learned state
     # and must be built over the same corpus the oracle filters
-    dim0 = _infer_dim(vectors, vec_col)
     src = vectors.select(
         _id_as_long(vectors, id_col, "id"), as_double(F.col(vec_col)).alias("v")
-    ).filter(_dot(F.col("v"), F.col("v"), dim0) > 0)
+    ).filter(_nonzero_norm(F.col("v")))
     seeds = (
         src.withColumn("h", F.md5(F.col("id").cast("string")))
         .orderBy("h")
