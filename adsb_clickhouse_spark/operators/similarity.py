@@ -132,15 +132,17 @@ def knn_bruteforce(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
         )
+        .filter(_nonzero_norm(F.col("cv")))  # before the norm projection:
+        # filtering on the cn column would inline the 64-term chain into
+        # the Filter node too, doubling the plan
         .withColumn("cn", _norm(F.col("cv"), dim))
-        .filter(F.col("cn") > 0)
     )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
         )
+        .filter(_nonzero_norm(F.col("qv")))
         .withColumn("qn", _norm(F.col("qv"), dim))
-        .filter(F.col("qn") > 0)
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
