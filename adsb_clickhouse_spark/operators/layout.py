@@ -1,0 +1,58 @@
+"""ANN storage layouts: the at-scale half of the similarity operators.
+
+The ANN docstrings promise that at 100 TB the corpus is *stored*
+partitioned by its index key (LSH ``bucket`` or IVF ``list_id``) so a
+probe is a partition-pruned scan instead of a corpus scan. This module
+is that promise made concrete: write the bucketed/assigned corpus as a
+directory-partitioned parquet layout, and probe it back with a filter
+that Spark turns into partition pruning (the scan's PartitionFilters —
+asserted by tests/test_dataops.py::test_ann_layout_probe_prunes).
+
+The same two functions serve both index families; only the key column
+differs (``bucket`` from hash_corpus, ``list_id`` from ivf_build).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_ann_layout(
+    indexed_corpus: DataFrame,
+    path: str,
+    *,
+    key_col: str,
+) -> None:
+    """Persist an indexed corpus partitioned by its index key.
+
+    ``indexed_corpus`` is hash_corpus output (has ``bucket``) or
+    corpus ⋈ ivf_build assignments (has ``list_id``). One directory per
+    key value; within each partition rows are written sorted by id so
+    per-id lookups skip row groups (same discipline as the history
+    table's within-file sort, plans/tables.py)."""
+    sort_cols = [c for c in indexed_corpus.columns if c.endswith("id")][:1]
+    df = indexed_corpus.repartition(F.col(key_col))
+    if sort_cols:
+        df = df.sortWithinPartitions(key_col, *sort_cols)
+    df.write.mode("overwrite").partitionBy(key_col).parquet(path)
+
+
+def probe_ann_layout(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[int],
+    *,
+    key_col: str,
+) -> DataFrame:
+    """Read only the probed partitions of a stored ANN layout.
+
+    The ``isin`` filter on the partition column reaches the scan as a
+    PartitionFilter — Spark lists only the matching ``key=value``
+    directories, so probe cost is proportional to nprobe/n_keys of the
+    corpus regardless of corpus size."""
+    return spark.read.parquet(path).filter(
+        F.col(key_col).isin([int(k) for k in keys])
+    )

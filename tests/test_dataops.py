@@ -451,3 +451,45 @@ def test_pii_scrub_stays_codegen(spark):
     plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_ann_layout_probe_prunes(spark, tmp_path, vectors):
+    """The stored-ANN-layout promise, proven at the plan level: writing
+    the corpus partitioned by its index key and probing a key subset
+    must (a) return exactly the matching rows and (b) reach the scan as
+    a PartitionFilter — the probe lists only the probed directories, so
+    cost scales with nprobe/n_keys, not corpus size."""
+    import os
+
+    from adsb_clickhouse_spark.operators.layout import (
+        probe_ann_layout,
+        write_ann_layout,
+    )
+
+    # LSH layout: bucket is the partition key
+    hashed = S.hash_corpus(vectors, n_planes=4, dim=16)
+    lsh_path = os.path.join(str(tmp_path), "lsh_layout")
+    write_ann_layout(hashed, lsh_path, key_col="bucket")
+    all_buckets = sorted(r["bucket"] for r in hashed.select("bucket").distinct().collect())
+    probe = all_buckets[:2]
+    got = probe_ann_layout(spark, lsh_path, probe, key_col="bucket")
+    want = {r["neighbor_id"] for r in hashed.filter(F.col("bucket").isin(probe)).collect()}
+    assert {r["neighbor_id"] for r in got.collect()} == want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
+    # only the probed directories exist in the scan: prune is physical
+    dirs = {e for e in os.listdir(lsh_path) if e.startswith("bucket=")}
+    assert len(dirs) == len(all_buckets)
+
+    # IVF layout: list_id is the partition key — same writer/prober
+    assignments, _cent = S.ivf_build(vectors, n_lists=4, iters=1)
+    indexed = (
+        vectors.withColumnRenamed("vec_id", "id").join(assignments, "id")
+    )
+    ivf_path = os.path.join(str(tmp_path), "ivf_layout")
+    write_ann_layout(indexed, ivf_path, key_col="list_id")
+    got2 = probe_ann_layout(spark, ivf_path, [0, 1], key_col="list_id")
+    want2 = {r["id"] for r in indexed.filter(F.col("list_id").isin([0, 1])).collect()}
+    assert {r["id"] for r in got2.collect()} == want2
+    plan2 = got2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan2
