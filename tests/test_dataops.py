@@ -493,3 +493,40 @@ def test_ann_layout_probe_prunes(spark, tmp_path, vectors):
     assert {r["id"] for r in got2.collect()} == want2
     plan2 = got2._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan2
+
+
+def test_pii_redact_complete_and_idempotent(spark):
+    """After one scrub pass no pattern matches remain (completeness) and
+    a second pass is a no-op (idempotence: category tokens contain no
+    digits or @, so they can never re-match) — over a seeded fuzz corpus
+    with planted PII at random offsets."""
+    import random
+
+    from pyspark.sql import Row
+
+    from adsb_clickhouse_spark.operators.scrub import (
+        PII_PATTERNS,
+        pii_redact,
+        pii_scrub,
+    )
+
+    rng = random.Random(42)
+    pii = ["a.b@c.io", "555-123-4567", "10.0.0.1", "987-65-4321",
+           "+44 123 456 7890", "alice+spam@mail.example.com"]
+    words = ["alpha", "beta", "gamma", "12", "x9", "...", "(y)"]
+    docs = []
+    for i in range(80):
+        toks = [rng.choice(words) for _ in range(rng.randint(0, 12))]
+        for _ in range(rng.randint(0, 3)):
+            toks.insert(rng.randint(0, len(toks)), rng.choice(pii))
+        docs.append(Row(doc_id=i, text=" ".join(toks)))
+    df = spark.createDataFrame(docs)
+    once = pii_scrub(df).select("id", F.col("clean_text").alias("text"))
+    # completeness: zero residual matches of ANY category
+    residual = pii_scrub(once, id_col="id")
+    assert residual.filter(F.col("has_pii")).count() == 0
+    # idempotence: second redaction changes nothing
+    twice = once.select("id", pii_redact(F.col("text")).alias("text2"))
+    joined = once.join(twice, "id")
+    assert joined.filter(F.col("text") != F.col("text2")).count() == 0
+    assert set(PII_PATTERNS) == {"email", "ssn", "ipv4", "phone"}

@@ -150,3 +150,51 @@ def test_edge_embeddings_oracle_parity(spark, edge_emb_dir, name):
     assert len(srows) == len(drows), f"rowcount spark={len(srows)} duckdb={len(drows)}"
     assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols)
     assert value_hash(scols, srows) == value_hash(dcols, drows)
+
+
+@pytest.fixture(scope="module")
+def fuzz_sf_dir(spark, tmp_path_factory):
+    """200 seeded-random documents over printable ASCII + unicode
+    sprinkles — the fuzzing complement to the hand-picked EDGE_DOCS."""
+    import random
+
+    rng = random.Random(20260813)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyz" "ABCDEFGH" "0123456789"
+        " " * 20 + ".,!?;:()[]{}<>@#$%^&*-_=+|~`'\"\\/" + "éüñ日本🎉"
+    )
+    docs = []
+    for i in range(200):
+        n = rng.randint(0, 120)
+        docs.append((i, "".join(rng.choice(alphabet) for _ in range(n)),
+                     rng.choice(["en", "es", "de", "fr"]), "fuzz", n))
+    base = str(tmp_path_factory.mktemp("fuzz_sf"))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "documents.parquet"))
+    return base
+
+
+@pytest.mark.parametrize("name", TEXT_QUERIES)
+def test_fuzz_corpus_oracle_parity(spark, fuzz_sf_dir, name):
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+    from tools.check_correctness import value_hash
+
+    sdf = entry_mod.queries()[name](spark, fuzz_sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{fuzz_sf_dir}/documents.parquet/*.parquet'"
+    )
+    res = con.execute(entry_mod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows), f"rowcount spark={len(srows)} duckdb={len(drows)}"
+    assert value_hash(scols, srows) == value_hash(dcols, drows)
