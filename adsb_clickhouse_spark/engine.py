@@ -168,8 +168,17 @@ class AdsbEngine:
                     # full-corpus job; footers are a few KB per file.
                     import pyarrow.parquet as pq_meta
 
-                    for root, _dirs, files in os.walk(path):
-                        pq = [f for f in files if f.endswith(".parquet")]
+                    for root, dirs, files in os.walk(path):
+                        # skip Spark staging/metadata paths (_temporary,
+                        # _SUCCESS, dot-files) exactly like Spark's own
+                        # reader — a live writer's half-committed part
+                        # has no footer and must not crash or inflate
+                        # the stats
+                        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                        pq = [
+                            f for f in files
+                            if f.endswith(".parquet") and not f.startswith(("_", "."))
+                        ]
                         n_files += len(pq)
                         for f in pq:
                             fp = os.path.join(root, f)

@@ -23,8 +23,12 @@ TOKEN_RE = "[a-z0-9]+"
 
 def tokens(text: Column) -> Column:
     """Lowercased alnum tokens; RE2-compatible pattern so Spark (Java
-    regex) and DuckDB (RE2) agree."""
-    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+    regex) and DuckDB (RE2) agree. NULL text tokenizes as empty text —
+    without the coalesce a NULL doc's shingle rows would diverge
+    between the engines (Spark xxhash64(NULL) is a non-null seed hash;
+    DuckDB's fallback is '') and silently cross-pair with empty docs on
+    one side only."""
+    return F.regexp_extract_all(F.lower(F.coalesce(text, F.lit(""))), F.lit(TOKEN_RE), 0)
 
 
 def md5_long(s: Column) -> Column:
@@ -36,35 +40,11 @@ def salted_md5_long(s: Column, salt: int) -> Column:
     return md5_long(F.concat(F.lit(f"{salt}|"), s))
 
 
-def word_shingles(toks: Column, w: int = 3) -> Column:
-    """Distinct w-word shingles (space-joined)."""
-    raw = F.when(
-        F.size(toks) >= w,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
-            lambda i: F.array_join(F.slice(toks, i, w), " "),
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    return F.array_distinct(raw)
-
-
-def word_ngrams(toks: Column, w: int = 2) -> Column:
-    """All w-word grams in order, NON-distinct (repetition counting needs
-    multiplicities — contrast :func:`word_shingles`). Empty array when the
-    doc has fewer than w tokens."""
-    return F.when(
-        F.size(toks) >= w,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
-            lambda i: F.array_join(F.slice(toks, i, w), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 # DuckDB twins of the helpers above, for composing oracle SQL strings.
 
 def duck_tokens(expr: str) -> str:
-    return f"regexp_extract_all(lower({expr}), '{TOKEN_RE}')"
+    """NULL-coalescing twin of :func:`tokens`."""
+    return f"regexp_extract_all(lower(coalesce({expr}, '')), '{TOKEN_RE}')"
 
 
 def duck_md5_long(expr: str) -> str:

@@ -35,7 +35,13 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     """Groups of byte-identical documents: (fingerprint, n_docs,
     canonical_id, doc_ids). Only groups with >1 member are returned."""
     return (
-        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint"))
+        # NULL text fingerprints as '' (the tokens()-family contract) —
+        # and unlike a NULL fingerprint it can match in equality joins
+        # on both engines
+        docs.select(
+            F.col(id_col),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fingerprint"),
+        )
         .groupBy("fingerprint")
         .agg(
             F.count("*").alias("n_docs"),
@@ -51,13 +57,12 @@ def _shingle_rows(docs: DataFrame, text_col: str, id_col: str, w: int) -> DataFr
 
     Positions explode via ``sequence()`` and each shingle is built per
     row with ``array_join(slice(tk, i, w))`` — regular codegen
-    expressions. Building the shingle ARRAY first (word_shingles'
-    ``transform`` lambda) evaluates interpreted per element and measured
+    expressions. Building the shingle ARRAY first (a ``transform`` lambda) evaluates interpreted per element and measured
     ~6× slower at sf0.1 (3.15 s vs 0.51 s for the hashed distinct
     index). The token array is consumed inside the same codegen stage,
     so it is never materialized per exploded row. Docs shorter than w
-    tokens yield one whole-doc shingle, matching word_shingles'
-    fallback."""
+    tokens yield one whole-doc shingle (the [whole-doc-join]
+    fallback the DuckDB twin duck_word_shingles also takes)."""
     tk = tokens(F.col(text_col))
     return (
         docs.select(F.col(id_col).alias("id"), tk.alias("tk"))
@@ -124,7 +129,7 @@ def _shingle_sizes(docs: DataFrame, text_col: str, id_col: str, w: int) -> DataF
     """|shingle-set| per doc as a count-distinct over the codegen row
     index — one exchange on id, with the partial aggregate deduping
     map-side (docs never span input tasks). The shuffle-free
-    alternative, ``size(word_shingles(...))``, prices the interpreted
+    alternative, sizing a transform-built shingle array, prices the interpreted
     array-lambda on every doc and measured slower end-to-end; the
     distinct count uses xxhash64 like the verify index (collisions
     would shift a Jaccard denominator — same negligible-P,

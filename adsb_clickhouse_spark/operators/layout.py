@@ -25,18 +25,22 @@ def write_ann_layout(
     path: str,
     *,
     key_col: str,
+    sort_col: str | None = None,
 ) -> None:
     """Persist an indexed corpus partitioned by its index key.
 
     ``indexed_corpus`` is hash_corpus output (has ``bucket``) or
     corpus ⋈ ivf_build assignments (has ``list_id``). One directory per
-    key value; within each partition rows are written sorted by id so
-    per-id lookups skip row groups (same discipline as the history
-    table's within-file sort, plans/tables.py)."""
-    sort_cols = [c for c in indexed_corpus.columns if c.endswith("id")][:1]
+    key value; pass ``sort_col`` (the row id) to additionally sort
+    within each partition so per-id lookups skip row groups (same
+    discipline as the history table's within-file sort,
+    plans/tables.py). Explicit rather than guessed — a name heuristic
+    would happily pick the partition key or an array column."""
+    if sort_col == key_col:
+        raise ValueError("sort_col must differ from the partition key")
     df = indexed_corpus.repartition(F.col(key_col))
-    if sort_cols:
-        df = df.sortWithinPartitions(key_col, *sort_cols)
+    if sort_col is not None:
+        df = df.sortWithinPartitions(key_col, sort_col)
     df.write.mode("overwrite").partitionBy(key_col).parquet(path)
 
 

@@ -35,11 +35,21 @@ PII_PATTERNS: dict[str, str] = {
 def pii_counts(text: Column) -> list[Column]:
     """One ``n_<kind>`` count column per PII category — corpus health
     metrics (aggregate for docs-with-PII rates, filter for drop
-    policies)."""
-    return [
-        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{kind}")
-        for kind, pat in PII_PATTERNS.items()
-    ]
+    policies).
+
+    Counts follow the same precedence as redaction: each pattern is
+    counted on the text with every higher-precedence category already
+    masked, so a span is attributed to exactly one category (a dotted
+    IP counts as ipv4, never also as phone). Category tokens contain no
+    digits or ``@``, so masking can't create new matches."""
+    cols = []
+    cur = text
+    for kind, pat in PII_PATTERNS.items():
+        cols.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{kind}")
+        )
+        cur = F.regexp_replace(cur, pat, f"<{kind.upper()}>")
+    return cols
 
 
 def pii_redact(text: Column) -> Column:

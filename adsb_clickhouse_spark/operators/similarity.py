@@ -656,8 +656,12 @@ def ivf_search(
     probe_rows = []
     for r in qrows:
         qv = np.asarray(r["qv"], dtype=np.float64)
-        if not np.any(qv):
-            continue  # zero-norm contract (see knn_bruteforce)
+        if not np.any(qv * qv):
+            # zero-norm contract (see knn_bruteforce) — tested on the
+            # SQUARES so a subnormal vector whose squares all underflow
+            # to 0 (norm == 0.0 exactly) is excluded like the oracle's
+            # list_dot_product(v, v) > 0 would exclude it
+            continue
         d2 = _d2_fold(qv[None, :], cent)[0]
         for li in np.argsort(d2, kind="stable")[:nprobe]:
             probe_rows.append((r["query_id"], r["qv"], int(li)))

@@ -41,7 +41,7 @@ def _spark_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact",
     f"""
     WITH corpus AS ({_DUCK_CORPUS}),
-    fp AS (SELECT doc_id, md5(text) AS f FROM corpus),
+    fp AS (SELECT doc_id, md5(coalesce(text, '')) AS f FROM corpus),
     g AS (SELECT f, count(*) AS n_docs, min(doc_id) AS canonical_id
           FROM fp GROUP BY f HAVING count(*) > 1)
     SELECT g.f AS fingerprint, g.n_docs AS n_docs,

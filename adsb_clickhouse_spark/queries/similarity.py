@@ -135,7 +135,7 @@ def _duck_pq_ctes(m: int, ksub: int, dim: int) -> str:
       JOIN pq_lk0 l0 ON l0.code = cp.code_0
       {lk_joins}
       JOIN pq_qn qn ON qn.query_id = l0.query_id
-      WHERE cp.vec_id != l0.query_id)"""
+      WHERE cp.vec_id != l0.query_id AND {sn} > 0)"""
     )
     ctes.append(
         """pq_ranked AS (

@@ -35,7 +35,8 @@ _PACK_BUDGET = 512  # context-window token budget for concat-and-chunk packing
 @register(
     "text_token_stats",
     rf"""
-    WITH base AS (
+    WITH d0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    base AS (
       SELECT doc_id,
              length(text) AS n_chars,
              len({duck_tokens('text')}) AS n_tokens,
@@ -46,7 +47,7 @@ _PACK_BUDGET = 512  # context-window token budget for concat-and-chunk packing
              len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
              len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
              len(regexp_extract_all(text, '[^a-z0-9\s]')) AS n_symbol_tokens
-      FROM documents),
+      FROM d0),
     s AS (SELECT *,
                  coalesce(sum(n_bpe_tokens) OVER (ORDER BY doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -76,7 +77,10 @@ _PACK_BUDGET = 512  # context-window token budget for concat-and-chunk packing
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import pack_assignments
 
-    d = load_table(spark, sf_dir, "documents")
+    # NULL text counts as empty text (the tokens()-family contract)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
     toks = tokens(F.col("text"))
     bpe = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
     base = d.select(

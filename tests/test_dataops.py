@@ -434,6 +434,9 @@ def test_pii_scrub_detects_and_masks(spark):
     assert out[1]["n_email"] == 1 and out[1]["clean_text"] == "contact <EMAIL> for details"
     assert out[2]["n_phone"] == 2 and out[2]["clean_text"] == "call <PHONE> or <PHONE> now"
     assert out[3]["n_ipv4"] == 1 and "<IPV4>" in out[3]["clean_text"]
+    # precedence-aware counts: the dotted IP is NOT double-counted as a
+    # phone (counts run on the progressively-redacted text)
+    assert out[3]["n_phone"] == 0
     assert out[4]["n_ssn"] == 1 and out[4]["clean_text"] == "ssn <SSN> leaked"
     assert not out[5]["has_pii"]
     assert out[5]["clean_text"] == "a perfectly clean document"
@@ -469,7 +472,7 @@ def test_ann_layout_probe_prunes(spark, tmp_path, vectors):
     # LSH layout: bucket is the partition key
     hashed = S.hash_corpus(vectors, n_planes=4, dim=16)
     lsh_path = os.path.join(str(tmp_path), "lsh_layout")
-    write_ann_layout(hashed, lsh_path, key_col="bucket")
+    write_ann_layout(hashed, lsh_path, key_col="bucket", sort_col="neighbor_id")
     all_buckets = sorted(r["bucket"] for r in hashed.select("bucket").distinct().collect())
     probe = all_buckets[:2]
     got = probe_ann_layout(spark, lsh_path, probe, key_col="bucket")
@@ -487,7 +490,7 @@ def test_ann_layout_probe_prunes(spark, tmp_path, vectors):
         vectors.withColumnRenamed("vec_id", "id").join(assignments, "id")
     )
     ivf_path = os.path.join(str(tmp_path), "ivf_layout")
-    write_ann_layout(indexed, ivf_path, key_col="list_id")
+    write_ann_layout(indexed, ivf_path, key_col="list_id", sort_col="id")
     got2 = probe_ann_layout(spark, ivf_path, [0, 1], key_col="list_id")
     want2 = {r["id"] for r in indexed.filter(F.col("list_id").isin([0, 1])).collect()}
     assert {r["id"] for r in got2.collect()} == want2

@@ -37,6 +37,7 @@ EDGE_DOCS = [
     (16, "mixed UPPER lower 123 punct!!! end.", "en", "edge", 35),
     (17, "a b c d e f g h i j k l m n o p q r s t", "en", "edge", 39),
     (18, "word " * 200, "en", "edge", 1000),
+    (19, None, "en", "edge", 0),  # NULL text: tokenizes as empty (contract)
 ]
 
 TEXT_QUERIES = [
