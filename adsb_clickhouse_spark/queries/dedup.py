@@ -295,12 +295,22 @@ def _duck_prefix_jaccard_sql(t: float = 0.5) -> str:
     "dedup_ngram_prefix_filter",
     _duck_prefix_jaccard_sql(),
     doc=(
-        "Exact Jaccard >= 0.5 pairs via prefix filtering (AllPairs/PPJoin): "
-        "docs index only the |S|-ceil(t|S|)+1 globally-rarest shingles; "
-        "J>=t pairs must collide there. Identical output to "
-        "dedup_ngram_jaccard with a quadratically smaller candidate join."
+        "Exact Jaccard >= 0.5 pairs with AUTO physical-strategy "
+        "selection (operators/dedup.ngram_jaccard_pairs_auto): one cheap "
+        "aggregate estimates the naive join's mean candidate fan-out "
+        "(sum f^2 / sum f over shingle doc-frequencies) and picks the "
+        "naive inverted-index join below the measured crossover (~10.7 "
+        "at bench scale, where its fixed costs win) or prefix filtering "
+        "(AllPairs/PPJoin — docs index only the |S|-ceil(t|S|)+1 "
+        "globally-rarest shingles, so hot template shingles never enter "
+        "the candidate join) above it (fan-out >= 112 on every "
+        "boilerplate corpus in tools/bench_prefix_crossover.py). Both "
+        "paths are exact, so the oracle (spelled as the prefix plan) "
+        "pins the output either way; the prefix machinery itself is "
+        "additionally pinned Spark-vs-Spark by "
+        "tests/test_dataops.py::test_jaccard_auto_selects_and_agrees."
     ),
 )
 def dedup_ngram_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs_prefix(docs, w=_W, threshold=0.5).orderBy("id_a", "id_b")
+    return D.ngram_jaccard_pairs_auto(docs, w=_W, threshold=0.5).orderBy("id_a", "id_b")

@@ -147,6 +147,39 @@ def _duck_pq_ctes(m: int, ksub: int, dim: int) -> str:
     return ",\n    ".join(ctes)
 
 
+def _duck_ivfpq_ctes(m: int) -> str:
+    """IVF-ADC branch: the composed index — candidates pruned to each
+    query's probed inverted lists (the `probes`/`assigned` CTEs the
+    'ivf' branch already defines), scored from PQ codes via the ADC
+    lookup CTEs the 'pq' branch already defines. Pure composition: no
+    new learned state, so the iters=0 determinism story carries over
+    unchanged (operators/similarity.ivfpq_build)."""
+    sp = "l0.pd"
+    sn = "l0.cn2"
+    for j in range(1, m):
+        sp = f"({sp} + l{j}.pd)"
+        sn = f"({sn} + l{j}.cn2)"
+    lk_joins = " ".join(
+        f"JOIN pq_lk{j} l{j} ON l{j}.query_id = p.query_id AND l{j}.code = cp.code_{j}"
+        for j in range(1, m)
+    )
+    return f"""ivfpq_scored AS (
+      SELECT p.query_id, cp.vec_id AS neighbor_id,
+             {sp} / (qn.qn * sqrt({sn})) AS cs
+      FROM probes p
+      JOIN assigned a ON a.list_id = p.list_id
+      JOIN pq_codes cp ON cp.vec_id = a.vec_id
+      JOIN pq_lk0 l0 ON l0.query_id = p.query_id AND l0.code = cp.code_0
+      {lk_joins}
+      JOIN pq_qn qn ON qn.query_id = p.query_id
+      WHERE cp.vec_id != p.query_id AND {sn} > 0),
+    ivfpq_ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rank
+      FROM ivfpq_scored)"""
+
+
 def _duck_ann_union_sql(
     n_planes: int = 8, dim: int = 64, n_lists: int = 16, nprobe: int = 4, k: int = 3
 ) -> str:
@@ -212,9 +245,13 @@ def _duck_ann_union_sql(
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cs DESC, neighbor_id) AS rank
       FROM mp_scored),
-    {_duck_pq_ctes(4, 8, dim)}
+    {_duck_pq_ctes(4, 8, dim)},
+    {_duck_ivfpq_ctes(4)}
     SELECT 'ivf' AS method, query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
     FROM ivf_ranked WHERE rank <= {k}
+    UNION ALL
+    SELECT 'ivfpq' AS method, query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
+    FROM ivfpq_ranked WHERE rank <= {k}
     UNION ALL
     SELECT 'lsh' AS method, query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
     FROM lsh_ranked WHERE rank <= {k}
@@ -232,7 +269,7 @@ def _duck_ann_union_sql(
     "sim_ann_lsh",
     _duck_ann_union_sql(),
     doc=(
-        "All four ANN scale paths in one tagged-union driver row. 'lsh': "
+        "All five ANN scale paths in one tagged-union driver row. 'lsh': "
         "8 deterministic ±1 hyperplanes (md5-derived, inlined into both "
         "engines) partition the corpus into 256 buckets and a query probes "
         "only its bucket. 'mp': the same index probed multi-probe (all "
@@ -247,10 +284,17 @@ def _duck_ann_union_sql(
         "scored from its 4 codes against per-query broadcast lookup "
         "tables (fixed-order add chains, fold dots — bit-exact vs the "
         "oracle), the memory-bounded path where the rescoring scan reads "
-        "codes instead of raw vectors. At 100 TB the corpus is written "
-        "partitioned by bucket / list_id, so a probe is a "
-        "partition-pruned scan in every branch, and PQ compresses the "
-        "candidate scan itself."
+        "codes instead of raw vectors. 'ivfpq': the composed IVF-ADC "
+        "index — candidates pruned to each query's nprobe inverted "
+        "lists AND scored from PQ codes via the same broadcast ADC "
+        "tables; pure composition of the two oracled halves, so the "
+        "iters=0 determinism carries over. At 100 TB the corpus is "
+        "written partitioned by bucket / list_id, so a probe is a "
+        "partition-pruned scan in every branch, and ivfpq is THE "
+        "stored layout: write_ann_layout(codes ⋈ assignments, "
+        "key_col='list_id') makes a probe read nprobe/n_lists "
+        "directories of m-int codes (operators/similarity."
+        "ivfpq_probe_stored)."
     ),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,11 +314,19 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
     codes, pq_cents = S.pq_build(e, m=4, ksub=8, iters=0)
+    # one encode pass feeds both the flat-PQ branch and the composed
+    # IVF-ADC branch (codes ⋈ list assignments = the stored index table)
+    codes = codes.localCheckpoint(eager=False)
     pq = S.pq_search(codes, pq_cents, q, k=3).select(
         F.lit("pq").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
+    indexed = codes.join(assignments, "id")
+    ivfpq = S.ivfpq_search(indexed, cents, pq_cents, q, k=3, nprobe=4).select(
+        F.lit("ivfpq").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
+    )
     return (
-        ivf.unionByName(lsh)
+        ivf.unionByName(ivfpq)
+        .unionByName(lsh)
         .unionByName(mp)
         .unionByName(pq)
         .orderBy("method", "query_id", "rank")

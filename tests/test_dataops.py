@@ -45,6 +45,37 @@ def test_minhash_lsh_agrees_with_exact_jaccard(spark, docs):
     assert lsh <= true
 
 
+def test_jaccard_auto_selects_and_agrees(spark):
+    """The auto-strategy Jaccard operator: the fan-out estimate lands
+    on opposite sides of the cutoff for a rare-shingle corpus (naive)
+    vs a boilerplate-heavy corpus (prefix), the sampled estimator stays
+    on the right side, and all three operators (naive / prefix / auto)
+    return identical pairs on the corpus where they disagree most."""
+    from tools.bench_prefix_crossover import synth_corpus
+
+    plain = synth_corpus(spark, 300, 0)  # unique tails only
+    # the fan-out statistic grows with corpus size in the boilerplate
+    # regime (hot-shingle freq = n_docs): 300 docs sit below the
+    # crossover (fan-out ~34), 1000 above (~112) — which is exactly the
+    # behavior the auto-select wants (naive IS right for small corpora)
+    boiler = synth_corpus(spark, 1000, 16)  # hot template + tails
+    fo_plain = D.estimate_naive_fanout(plain)
+    fo_boiler = D.estimate_naive_fanout(boiler)
+    assert fo_plain < D.NAIVE_FANOUT_CUTOFF < fo_boiler
+    # deterministic hash-sampling keeps the decision on the same side
+    fo_sampled = D.estimate_naive_fanout(boiler, sample_mod=4)
+    assert fo_sampled > D.NAIVE_FANOUT_CUTOFF
+    # exactness: all three strategies agree pair-for-pair
+    naive = sorted(map(tuple, D.ngram_jaccard_pairs(boiler, threshold=0.5).collect()))
+    prefix = sorted(
+        map(tuple, D.ngram_jaccard_pairs_prefix(boiler, threshold=0.5).collect())
+    )
+    auto = sorted(
+        map(tuple, D.ngram_jaccard_pairs_auto(boiler, threshold=0.5).collect())
+    )
+    assert naive == prefix == auto
+
+
 def test_decontamination_containment(spark, docs):
     # eval doc 0; train includes its exact dup (3), a near-dup (1), and
     # unrelated docs (2, 4) — containment is directional: |S_t∩S_e|/|S_e|
@@ -330,9 +361,12 @@ def test_multimodal_features_compose_with_knn(spark):
 
 def test_ivf_lloyd_refined_recall_at_scale(spark):
     """The Lloyd-refined IVF path (iters>0 — not SQL-expressible, so the
-    oracle gate runs iters=0) at the advice-mandated scale: 1M clustered
-    vectors, recall@k vs exact brute force at fixed nprobe. Companion of
-    the README probe row (tools/bench_ivf_scale.py)."""
+    oracle gate runs iters=0): clustered vectors at a size that keeps
+    the default pytest suite fast, recall@k vs exact brute force at
+    fixed nprobe. The full 1M-vector scale probe lives in
+    tools/bench_ivf_scale.py (README row) — advisor-requested split so
+    small machines can run `pytest tests/` without a multi-minute,
+    memory-heavy test."""
     from pyspark.sql import functions as F
 
     from adsb_clickhouse_spark.operators.similarity import (
@@ -342,10 +376,10 @@ def test_ivf_lloyd_refined_recall_at_scale(spark):
     )
     from tools.bench_ivf_scale import make_clustered_vectors
 
-    n, dim, n_lists, k, nprobe = 1_000_000, 32, 64, 10, 8
+    n, dim, n_lists, k, nprobe = 100_000, 32, 64, 10, 8
     corpus = make_clustered_vectors(spark, n, dim, n_lists, seed=0).persist()
     corpus.count()
-    queries = corpus.filter(F.col("vec_id") % 200_000 == 0).persist()  # 5 queries
+    queries = corpus.filter(F.col("vec_id") % 20_000 == 0).persist()  # 5 queries
     try:
         assignments, centroids = ivf_build(
             corpus, n_lists=n_lists, iters=2, id_col="vec_id", vec_col="embedding"
@@ -368,6 +402,159 @@ def test_ivf_lloyd_refined_recall_at_scale(spark):
     finally:
         corpus.unpersist()
         queries.unpersist()
+
+
+def test_ivfpq_full_probe_matches_flat_pq(spark):
+    """nprobe = n_lists degrades IVF-ADC to flat PQ: the list pruning
+    admits every candidate, so results must equal pq_search exactly
+    (same ADC scoring, same tie-break) — the matched-candidate-budget
+    equivalence that pins the composition's scoring half."""
+    from pyspark.sql import functions as F
+
+    from adsb_clickhouse_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_search,
+        pq_search,
+    )
+    from tools.bench_ivf_scale import make_clustered_vectors
+
+    corpus = make_clustered_vectors(spark, 2_000, 16, 8, seed=2).persist()
+    corpus.count()
+    q = corpus.filter(F.col("vec_id") < 3)
+    try:
+        indexed, coarse, pq_cents = ivfpq_build(
+            corpus, n_lists=4, m=4, ksub=8, iters=2
+        )
+        indexed = indexed.persist()
+        flat = pq_search(
+            indexed.select("id", *[f"code_{j}" for j in range(4)]), pq_cents, q, k=5
+        ).collect()
+        full = ivfpq_search(indexed, coarse, pq_cents, q, k=5, nprobe=4).collect()
+        assert sorted(map(tuple, full)) == sorted(map(tuple, flat))
+    finally:
+        corpus.unpersist()
+        indexed.unpersist()
+
+
+def test_ivfpq_narrow_probe_cluster_recall(spark):
+    """Lloyd-refined IVF-ADC at a narrow probe: every returned neighbor
+    shares the query's latent cluster (PQ collapses same-cluster
+    vectors to tied codes — cluster membership, not exact-rank order,
+    is the meaningful recall property; see test_pq_adc docstring), and
+    candidates only come from the probed inverted lists."""
+    from pyspark.sql import functions as F
+
+    from adsb_clickhouse_spark.operators.similarity import ivfpq_build, ivfpq_search
+    from tools.bench_ivf_scale import make_clustered_vectors
+
+    n_clusters = 8
+    corpus = make_clustered_vectors(spark, 4_000, 16, n_clusters, seed=3).persist()
+    corpus.count()
+    q = corpus.filter(F.col("vec_id").isin(0, 1, 2))
+    try:
+        indexed, coarse, pq_cents = ivfpq_build(
+            corpus, n_lists=n_clusters, m=4, ksub=16, iters=3
+        )
+        indexed = indexed.persist()
+        out = ivfpq_search(indexed, coarse, pq_cents, q, k=5, nprobe=1).collect()
+        assert len(out) == 15  # 3 queries × k
+        for r in out:
+            assert r["neighbor_id"] % n_clusters == r["query_id"] % n_clusters
+        # pruning semantics: with nprobe=1 every neighbor sits in the
+        # query's own (single probed) inverted list
+        lists = {r["id"]: r["list_id"] for r in indexed.select("id", "list_id").collect()}
+        for r in out:
+            assert lists[r["neighbor_id"]] == lists[r["query_id"]]
+    finally:
+        corpus.unpersist()
+        indexed.unpersist()
+
+
+def test_ivfpq_rerank_full_budget_matches_bruteforce(spark):
+    """IVFADC+R at full budget degrades to exact search: nprobe =
+    n_lists admits every candidate and rerank ≥ corpus size rescores
+    them all with the same codegen cosine chain knn_bruteforce uses —
+    results must be identical (values, ranks, tie-breaks). This pins
+    the rerank stage's scoring to the exact path bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from adsb_clickhouse_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_search,
+        knn_bruteforce,
+    )
+    from tools.bench_ivf_scale import make_clustered_vectors
+
+    corpus = make_clustered_vectors(spark, 1_000, 16, 4, seed=5).persist()
+    corpus.count()
+    q = corpus.filter(F.col("vec_id") < 2)
+    try:
+        indexed, coarse, pq_cents = ivfpq_build(
+            corpus, n_lists=4, m=4, ksub=8, iters=2, keep_vectors=True
+        )
+        indexed = indexed.persist()
+        exact = knn_bruteforce(corpus, q, k=4).collect()
+        rr = ivfpq_search(
+            indexed, coarse, pq_cents, q, k=4, nprobe=4, rerank=2_000
+        ).collect()
+        assert sorted(map(tuple, rr)) == sorted(map(tuple, exact))
+        # narrow probe with rerank budget ≥ list size: the probe is
+        # exact WITHIN its probed list, so well-separated clusters
+        # recover the exact top-k. (A budget below the list size would
+        # not: this corpus is so tight that PQ collapses each cluster
+        # to one code, ADC ties id-break, and high-id true neighbors
+        # fall off the shortlist — the make_clustered_vectors noise
+        # docstring; bench_ivfpq_stored measures the realistic regime.)
+        nr = ivfpq_search(
+            indexed, coarse, pq_cents, q, k=4, nprobe=1, rerank=300
+        ).collect()
+        exact_s = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        nr_s = {(r["query_id"], r["neighbor_id"]) for r in nr}
+        assert len(nr_s & exact_s) / len(exact_s) >= 0.9
+    finally:
+        corpus.unpersist()
+        indexed.unpersist()
+
+
+def test_ivfpq_stored_probe_matches_and_prunes(spark, tmp_path):
+    """The stored IVF-ADC layout: codes written partitionBy(list_id)
+    via write_ann_layout, probed back with ivfpq_probe_stored — results
+    must equal the in-memory ivfpq_search bit-for-bit AND the scan must
+    carry the probe as a PartitionFilter (probe cost ∝ nprobe/n_lists,
+    never corpus size)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adsb_clickhouse_spark.operators.layout import write_ann_layout
+    from adsb_clickhouse_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_probe_stored,
+        ivfpq_search,
+    )
+    from tools.bench_ivf_scale import make_clustered_vectors
+
+    corpus = make_clustered_vectors(spark, 2_000, 16, 8, seed=4).persist()
+    corpus.count()
+    q = corpus.filter(F.col("vec_id") < 2)
+    path = os.path.join(str(tmp_path), "ivfpq_layout")
+    try:
+        indexed, coarse, pq_cents = ivfpq_build(
+            corpus, n_lists=8, m=4, ksub=8, iters=2
+        )
+        indexed = indexed.persist()
+        write_ann_layout(indexed, path, key_col="list_id", sort_col="id")
+        mem = ivfpq_search(indexed, coarse, pq_cents, q, k=4, nprobe=2).collect()
+        stored = ivfpq_probe_stored(
+            spark, path, coarse, pq_cents, q, k=4, nprobe=2
+        )
+        assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, mem))
+        plan = stored._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "list_id" in plan.split("PartitionFilters")[1][:200]
+    finally:
+        corpus.unpersist()
+        indexed.unpersist()
 
 
 def test_pq_adc_recall_lloyd_refined(spark):
@@ -441,6 +628,37 @@ def test_pii_scrub_detects_and_masks(spark):
     assert not out[5]["has_pii"]
     assert out[5]["clean_text"] == "a perfectly clean document"
     assert all(out[i]["has_pii"] for i in (1, 2, 3, 4))
+
+
+def test_pii_scrub_null_text_and_extended_shapes(spark):
+    """NULL text follows the NULL-as-'' contract (zero counts,
+    has_pii=false, clean_text='' — NOT NULL, which would drop the doc
+    from both filter(has_pii) and filter(~has_pii)); parenthesized US
+    phones and +cc (0) international forms are redacted; out-of-range
+    dotted quads (999.999.999.999) are never counted as ipv4 — they
+    fall through to the dotted-phone shape (safe over-redaction)."""
+    from pyspark.sql import Row
+
+    from adsb_clickhouse_spark.operators.scrub import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=None),
+            Row(doc_id=2, text="call (555) 123-4567 today"),
+            Row(doc_id=3, text="or +44 (0) 20 7946 0958 from abroad"),
+            Row(doc_id=4, text="bogus quad 999.999.999.999 is not an ip"),
+            Row(doc_id=5, text="zero-padded 192.168.001.1 is"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in pii_scrub(docs).collect()}
+    assert out[1]["has_pii"] is False and out[1]["clean_text"] == ""
+    assert all(out[1][f"n_{k}"] == 0 for k in ("email", "ssn", "ipv4", "phone"))
+    assert out[2]["n_phone"] == 1 and out[2]["clean_text"] == "call <PHONE> today"
+    assert out[3]["n_phone"] == 1 and "<PHONE>" in out[3]["clean_text"]
+    # octet range guard: categorized as phone (dotted shape), never ipv4
+    assert out[4]["n_ipv4"] == 0 and out[4]["n_phone"] == 1
+    assert out[5]["n_ipv4"] == 1 and "<IPV4>" in out[5]["clean_text"]
 
 
 def test_pii_scrub_stays_codegen(spark):

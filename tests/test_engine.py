@@ -136,3 +136,23 @@ def test_table_stats_metadata_scan(engine):
     # footer-metadata counts must stay EXACT: pin against a real scan
     pipe = engine.pipelines["local"]
     assert h["rows"] == engine.spark.read.parquet(pipe.history_path).count()
+    # a writer crashing between write and commit can leave a torn file
+    # OUTSIDE _temporary — stats must skip it (not crash, not count it)
+    import os
+
+    part_dir = next(
+        os.path.join(pipe.history_path, d)
+        for d in os.listdir(pipe.history_path)
+        if d.startswith("scrape_date=")
+    )
+    torn = os.path.join(part_dir, "part-torn.parquet")
+    with open(torn, "wb") as fh:
+        fh.write(b"PAR1not-actually-a-footer")
+    try:
+        h2 = {
+            (r["table"], r["kind"]): r for r in engine.table_stats().collect()
+        }[("positions_local", "history")]
+        assert h2["rows"] == h["rows"] and h2["files"] == h["files"]
+        assert h2["bytes"] == h["bytes"]
+    finally:
+        os.remove(torn)

@@ -22,12 +22,21 @@ import time
 sys.path.insert(0, ".")
 
 
-def make_clustered_vectors(spark, n: int, dim: int, n_clusters: int, *, seed: int = 0):
+def make_clustered_vectors(
+    spark, n: int, dim: int, n_clusters: int, *, seed: int = 0, noise: float = 0.5
+):
     """(vec_id long, embedding array<double>) — n vectors in n_clusters
     well-separated latent clusters. Fully deterministic regardless of
     partitioning: every value is a pure function of (vec_id, dim index)
     via quasi-random sin folding, so reruns and different parallelism
-    produce the identical corpus (no RNG-per-partition seeding traps)."""
+    produce the identical corpus (no RNG-per-partition seeding traps).
+
+    ``noise`` scales the within-cluster spread. The tight default (0.5
+    vs center scale 4.0) makes cluster membership unambiguous — right
+    for coarse-quantizer recall tests, but degenerate for PQ: every
+    member collapses to the same code and ADC ties id-break. Raise it
+    (e.g. 2.0) for a corpus where PQ codes must discriminate WITHIN a
+    cluster — the regime real embedding corpora live in."""
     import numpy as np
     import pandas as pd
 
@@ -42,8 +51,8 @@ def make_clustered_vectors(spark, n: int, dim: int, n_clusters: int, *, seed: in
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             cl = ids % c.shape[0]
-            noise = np.sin(np.outer(ids + 1, mults)) * 0.5
-            mat = c[cl] + noise
+            nz = np.sin(np.outer(ids + 1, mults)) * noise
+            mat = c[cl] + nz
             yield pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
 
     return (
