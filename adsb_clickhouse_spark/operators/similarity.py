@@ -1200,3 +1200,97 @@ def ivfpq_probe_stored(
         return adc
     cand_vecs = scan.select(F.col("id").alias("neighbor_id"), "v")
     return _exact_rerank(spark, adc, cand_vecs, qrows, qnorms, k)
+
+
+def semdedup(
+    vectors: DataFrame,
+    *,
+    threshold: float = 0.45,
+    n_lists: int = 16,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup: semantic deduplication = k-means clustering + within-
+    cluster cosine pruning (Abbas et al., "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication", 2023 — public
+    arXiv paper; no reference-repo equivalent, this is a training-data
+    extension).
+
+    Cluster the corpus with the SAME deterministic k-means the IVF index
+    uses (:func:`ivf_build` — md5-seeded, iters=0 twins in SQL), then
+    within each cluster drop every document that has a LOWER-id neighbor
+    with cosine ≥ ``threshold``. Keep-lowest-id is the deterministic
+    stand-in for the paper's keep-one-per-neighborhood policy (the paper
+    keeps the point farthest from the centroid; any single-survivor rule
+    gives the same dedup factor).
+
+    Returns one row per DROPPED document: (id, witness, cos_sim) where
+    ``witness`` is the smallest-id neighbor that condemned it and
+    ``cos_sim`` the rounded cosine to that witness.
+
+    Scale shape: ONE shuffle (groupBy list_id) and a per-cluster
+    quadratic numpy kernel — the whole point of SemDeDup is that
+    clustering first makes the O(n²) pairwise step O(Σ c_i²) with
+    c_i ≈ n/n_lists, so at 100 TB you grow ``n_lists`` ∝ n (the paper
+    uses 50k clusters for 7.5B docs) and each cluster stays a bounded
+    in-memory tile. No driver collect of the corpus; only the
+    (n_lists × dim) centroid matrix is broadcast. Pass a precomputed
+    ``assignments`` (e.g. the stored IVF layout's ``list_id`` column) to
+    skip the build and make this a pure partition-local pass over the
+    stored index.
+
+    Float parity: the in-cluster gram matrix accumulates DIMENSION BY
+    DIMENSION (the same left-fold association as DuckDB's
+    ``list_dot_product``), rounds to 4 decimals and THEN applies the
+    threshold — identical to :func:`cosine_near_dup_pairs_blocked`, so
+    the DuckDB oracle reproduces the dropped set bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if assignments is None:
+        assignments, _ = ivf_build(
+            vectors, n_lists=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    src = vectors.select(
+        _id_as_long(vectors, id_col, "id"), as_double(F.col(vec_col)).alias("v")
+    ).filter(_nonzero_norm(F.col("v")))
+    grouped = src.join(assignments, "id")
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"id": pd.Series(dtype="int64"), "witness": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+        if len(pdf) < 2:
+            return empty
+        order = np.argsort(pdf["id"].to_numpy(dtype=np.int64), kind="stable")
+        ids = pdf["id"].to_numpy(dtype=np.int64)[order]
+        mat = np.stack(pdf["v"].to_numpy())[order]
+        # dimension-ordered fold (oracle association; see docstring)
+        acc = np.outer(mat[:, 0], mat[:, 0])
+        for i in range(1, mat.shape[1]):
+            acc = acc + np.outer(mat[:, i], mat[:, i])
+        nrm_acc = mat[:, 0] * mat[:, 0]
+        for i in range(1, mat.shape[1]):
+            nrm_acc = nrm_acc + mat[:, i] * mat[:, i]
+        nrm = np.sqrt(nrm_acc)
+        cos = np.round(acc / np.outer(nrm, nrm), 4)
+        # ids ascending ⇒ "has a lower-id neighbor" = any True strictly
+        # above the diagonal in column j; argmax finds the FIRST (= the
+        # smallest witness id)
+        hit = np.triu(cos >= threshold, k=1)
+        dropped = hit.any(axis=0)
+        if not dropped.any():
+            return empty
+        j = np.nonzero(dropped)[0]
+        w = hit[:, j].argmax(axis=0)
+        return pd.DataFrame(
+            {"id": ids[j], "witness": ids[w], "cos_sim": cos[w, j]}
+        )
+
+    return grouped.groupBy("list_id").applyInPandas(
+        prune, "id long, witness long, cos_sim double"
+    )

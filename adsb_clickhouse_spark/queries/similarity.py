@@ -375,7 +375,28 @@ def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) ->
         UNION
         SELECT eg.v, r.lab FROM reach r JOIN edges eg ON eg.u = r.id
         WHERE r.lab < eg.v),
-    cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+    cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+    sd_cents AS (
+      SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+               AS list_id
+      FROM (SELECT vec_id, v FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)),
+    sd_assigned AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT e.vec_id, e.v, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sql_d2('e.v', 'c.v', 64)}, c.list_id)
+                 AS rn
+        FROM e CROSS JOIN sd_cents c) WHERE rn = 1),
+    sd_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_DUCK_COS.format(a='a.v', b='b.v')}, 4) AS cos_sim
+      FROM sd_assigned a JOIN sd_assigned b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
+    sd AS (
+      SELECT id_b AS did, id_a AS wit, cos_sim,
+             row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+      FROM sd_pairs WHERE cos_sim >= 0.45)
     SELECT 'exact' AS method, id_a, id_b, cos_sim FROM pairs
     WHERE cos_sim >= 0.45
     UNION ALL
@@ -384,10 +405,13 @@ def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) ->
     SELECT 'cc' AS method, id AS id_a, comp AS id_b,
            CAST(NULL AS DOUBLE) AS cos_sim
     FROM cc
+    UNION ALL
+    SELECT 'semdedup' AS method, did AS id_a, wit AS id_b, cos_sim
+    FROM sd WHERE rn = 1
     ORDER BY method, id_a, id_b
     """,
     doc=(
-        "Embedding-cosine near-dup, three branches in one tagged union: "
+        "Embedding-cosine near-dup, four branches in one tagged union: "
         "'exact' = O(n²) baseline, tile-blocked so no driver collect or "
         "broadcast matrix (B(B+1)/2 bounded-memory tasks, "
         "operators/similarity.py::cosine_near_dup_pairs_blocked); 'lsh' "
@@ -397,7 +421,15 @@ def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) ->
         "pairs (id_b = component = min reachable vec id) via the same "
         "hash-to-min + pointer-doubling connected components the text "
         "dedup family uses — pairs are evidence, clusters are what a "
-        "keep-one-per-group retention policy consumes. All three "
+        "keep-one-per-group retention policy consumes; 'semdedup' = "
+        "SemDeDup (Abbas et al. 2023): k-means-cluster-then-prune — the "
+        "corpus is clustered with the SAME md5-seeded iters=0 k-means "
+        "the IVF index oracles, and within each cluster every doc with "
+        "a lower-id neighbor at cosine ≥ 0.45 is dropped (id_a = "
+        "dropped doc, id_b = the smallest-id witness). One shuffle + a "
+        "per-cluster numpy tile — O(n²) becomes O(Σ c_i²), the paper's "
+        "whole point; at 100 TB n_lists grows ∝ n so clusters stay "
+        "bounded (operators/similarity.py::semdedup). All four "
         "oracle-verified in one driver row ('cc' via recursive CTE)."
     ),
 )
@@ -422,4 +454,15 @@ def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("id_b"),
         F.lit(None).cast("double").alias("cos_sim"),
     )
-    return exact.unionByName(lsh).unionByName(cc).orderBy("method", "id_a", "id_b")
+    sd = S.semdedup(e, threshold=0.45, n_lists=16, iters=0).select(
+        F.lit("semdedup").alias("method"),
+        F.col("id").alias("id_a"),
+        F.col("witness").alias("id_b"),
+        "cos_sim",
+    )
+    return (
+        exact.unionByName(lsh)
+        .unionByName(cc)
+        .unionByName(sd)
+        .orderBy("method", "id_a", "id_b")
+    )

@@ -751,3 +751,47 @@ def test_pii_redact_complete_and_idempotent(spark):
     joined = once.join(twice, "id")
     assert joined.filter(F.col("text") != F.col("text2")).count() == 0
     assert set(PII_PATTERNS) == {"email", "ssn", "ipv4", "phone"}
+
+
+# ---------------------------------------------------------------- semdedup
+
+
+def test_semdedup_drops_all_but_cluster_head(spark, vectors):
+    """5 planted clusters of 8 near-identical vectors: SemDeDup at a
+    high threshold keeps each cluster's lowest id and condemns (almost)
+    every other member with a same-planted-cluster witness. "Almost":
+    k-means may split a planted cluster across cells — the paper's
+    accepted cluster-boundary recall miss — so we assert ≥ 30 of the 35
+    possible drops, never a cluster head, and witness semantics exactly."""
+    out = S.semdedup(vectors, threshold=0.9, n_lists=5, iters=3).collect()
+    dropped = {r["id"] for r in out}
+    assert dropped.isdisjoint({0, 1, 2, 3, 4})  # heads have no lower-id witness
+    assert len(dropped) >= 30
+    for r in out:
+        assert r["witness"] < r["id"]
+        assert r["witness"] % 5 == r["id"] % 5  # witness from the same planted cluster
+        assert r["cos_sim"] >= 0.9
+
+
+def test_semdedup_threshold_above_one_drops_nothing(spark, vectors):
+    out = S.semdedup(vectors, threshold=1.01, n_lists=5, iters=3).collect()
+    assert out == []
+
+
+def test_semdedup_precomputed_assignments_skip_build(spark, vectors):
+    """Passing the stored IVF layout's assignments makes semdedup a pure
+    partition-local pass — results identical to the self-built path."""
+    assignments, _ = S.ivf_build(vectors, n_lists=5, iters=3)
+    a = sorted(map(tuple, S.semdedup(vectors, threshold=0.9, n_lists=5, iters=3).collect()))
+    b = sorted(map(tuple, S.semdedup(vectors, threshold=0.9, assignments=assignments).collect()))
+    assert a == b
+
+
+def test_semdedup_zero_norm_vectors_excluded(spark, vectors):
+    """Zero-norm rows can neither be dropped nor serve as witnesses —
+    the shared nonzero-norm contract of every cosine path."""
+    with_zero = vectors.union(
+        spark.createDataFrame([(99, [0.0] * 16)], "vec_id long, embedding array<double>")
+    )
+    out = S.semdedup(with_zero, threshold=0.9, n_lists=5, iters=3).collect()
+    assert all(r["id"] != 99 and r["witness"] != 99 for r in out)
