@@ -1,0 +1,278 @@
+"""End-to-end training-data curation pipeline.
+
+Composes the training-data operator families into the standard curation
+funnel (the CCNet / Gopher / RefinedWeb shape — all public papers):
+
+    PII scrub → language ID (+ stratified hash quota) → quality filter
+    → MinHash-LSH near-dedup (cluster, keep-lowest-id) → sequence packing
+
+Each stage is one of the already-oracled operators; this module owns the
+REUSABLE signal builders (``langid_signals`` / ``quality_signals`` — the
+driver rows `text_langid` / `text_quality` in queries/text.py are thin
+orderBy wrappers over them) and the composition.
+
+Scale shape of the composed pipeline, stage by stage:
+
+- scrub + signals: pure whole-stage-codegen projections (PII regex
+  chain, stopword-intersect scores, length/diversity ratios) plus ONE
+  aggregation pass for the Gopher bigram-repetition signals — no UDF.
+- filters: predicate on the signal columns; at 100 TB these push into
+  the scan of a signals table if the scored stage is materialized.
+- near-dedup: banded MinHash (bucket join) → exact-Jaccard verify →
+  pointer-doubling connected components; survivors keep each
+  component's smallest id. Exact duplicates collide in every band, so
+  near-dedup subsumes the exact pass.
+- packing: two-pass exact global prefix sum (range shuffle + broadcast
+  offsets), never a single-task window.
+
+The ``filtered`` boundary is persisted by default: it feeds the shingle
+index, the component join AND the packing pass, and re-deriving the
+regex/signal projection three times is the one genuinely wasteful
+recompute in the lineage. Callers at cluster scale should replace the
+persist with a parquet write of the scored stage (the natural audit
+artifact anyway).
+
+No reference-repo equivalent (the reference is an ADS-B pipeline); the
+funnel design follows the public data-curation literature cited above.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texttools import md5_long, tokens
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "on", "for", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "im", "für"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "dans"],
+}
+LANGS = ["en", "es", "de", "fr"]  # tie precedence
+SAMPLE_RATES = {"en": 0.25, "es": 0.5, "de": 0.75, "fr": 1.0}
+SAMPLE_MOD = 10000
+
+
+def _lang_array(words: list[str]) -> Column:
+    return F.array(*[F.lit(w) for w in words])
+
+
+def langid_signals(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """(doc_id, [labeled_lang], predicted_lang, s_en..s_fr, sample_rate,
+    sample_keep): distinct-stopword-hit scores per language, argmax with
+    fixed precedence, and the deterministic hash-quota stratified
+    sample (md5(doc_id) mod 10000 < rate·10000). A pure projection —
+    no shuffle; the hash quota needs no global counts, so it is stable
+    when the corpus grows (see the text_langid driver row's doc)."""
+    cols = [F.col(id_col).alias("doc_id")]
+    if lang_col is not None:
+        cols.append(F.col(lang_col).alias("labeled_lang"))
+    t = docs.select(*cols, tokens(F.col(text_col)).alias("toks"))
+    for lg in LANGS:
+        t = t.withColumn(
+            f"s_{lg}", F.size(F.array_intersect(F.col("toks"), _lang_array(STOPWORDS[lg])))
+        )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    rate_expr = None
+    for lg in LANGS:
+        cond = F.when(F.col("predicted_lang") == lg, F.lit(SAMPLE_RATES[lg]))
+        rate_expr = cond if rate_expr is None else rate_expr.when(
+            F.col("predicted_lang") == lg, F.lit(SAMPLE_RATES[lg])
+        )
+    keep = (
+        md5_long(F.col("doc_id").cast("string")) % SAMPLE_MOD
+        < (rate_expr * SAMPLE_MOD).cast("long")
+    )
+    out_cols = ["doc_id"] + (["labeled_lang"] if lang_col is not None else [])
+    return (
+        t.select(*out_cols, pred.alias("predicted_lang"), "s_en", "s_es", "s_de", "s_fr")
+        .withColumn("sample_rate", rate_expr)
+        .withColumn("sample_keep", keep)
+    )
+
+
+def quality_signals(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, stopword_ratio, unique_ratio, mean_token_len,
+    top_bigram_frac, dup_bigram_frac, quality_score, bag_fingerprint,
+    exact_fingerprint): quality + Gopher repetition + fingerprints.
+
+    Plan: one codegen projection pass for the ratio/score/fingerprint
+    columns; the repetition signals run as position-explode →
+    element_at bigram rows → two-level groupBy (partial agg; a
+    `transform`-built bigram array evaluates interpreted per element,
+    measured ~4× slower at sf0.1), then one doc_id join back. Total
+    bigram count is derived as n_tokens-1 in the projection — not
+    aggregated (see the text_quality driver row's doc)."""
+    toks = tokens(F.col(text_col))
+    en = _lang_array(STOPWORDS["en"])
+    m = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.size(F.filter(toks, lambda x: F.array_contains(en, x))).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    rep = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select("doc_id", "tk", F.explode(F.sequence(F.lit(2), F.size("tk"))).alias("i"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.element_at("tk", F.col("i") - 1), F.element_at("tk", F.col("i"))
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_c"),
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(F.lit(0))).alias(
+                "dup_c"
+            ),
+        )
+    )
+    nt = F.greatest(F.col("n_tokens"), F.lit(1))
+    nbg = F.greatest(F.col("n_tokens") - 1, F.lit(1))
+    return m.join(rep, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.col("n_stop") / nt, 4).alias("stopword_ratio"),
+        F.round(F.col("n_uniq") / nt, 4).alias("unique_ratio"),
+        F.round(F.col("n_chars") / nt, 4).alias("mean_token_len"),
+        F.round(F.coalesce(F.col("top_c"), F.lit(0)) / nbg, 4).alias("top_bigram_frac"),
+        F.round(F.coalesce(F.col("dup_c"), F.lit(0)) / nbg, 4).alias("dup_bigram_frac"),
+        F.round(
+            F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+            * (0.5 + 0.5 * (F.col("n_uniq") / nt)),
+            4,
+        ).alias("quality_score"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct("toks")), " ")).alias(
+            "bag_fingerprint"
+        ),
+        F.md5("__text").alias("exact_fingerprint"),
+    )
+
+
+@dataclass
+class CurationResult:
+    """Stage DataFrames of one curate_documents run. Lazy — nothing has
+    executed until a stage is acted on; ``funnel()`` runs one count job
+    per stage (the `filtered` boundary is persisted, so later stages
+    don't re-derive the scrub/signal projections)."""
+
+    scored: DataFrame      # every input doc + signal/PII columns
+    filtered: DataFrame    # after lang/quality/PII/quota policy
+    dropped_dups: DataFrame  # (id, component) for near-dup losers
+    kept: DataFrame        # filtered minus dup losers
+    packed: DataFrame      # kept + pack_id / pack_offset
+
+    def funnel(self) -> dict[str, int]:
+        return {
+            "input": self.scored.count(),
+            "filtered": self.filtered.count(),
+            "dropped_dups": self.dropped_dups.count(),
+            "kept": self.kept.count(),
+            "packs": (
+                self.packed.agg(F.max("pack_id").alias("m")).collect()[0]["m"] or 0
+            )
+            + 1,
+        }
+
+
+def curate_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    keep_langs: tuple[str, ...] | None = None,
+    apply_lang_quota: bool = False,
+    min_quality: float = 0.0,
+    max_dup_bigram_frac: float = 1.0,
+    drop_pii_docs: bool = False,
+    redact: bool = True,
+    dedup_threshold: float = 0.5,
+    pack_budget: int = 512,
+    persist_filtered: bool = True,
+) -> CurationResult:
+    """Run the full curation funnel over a document corpus.
+
+    The text that flows DOWNSTREAM of the scrub stage (dedup shingles,
+    packing token counts, and the `clean_text` column of every returned
+    stage) is the REDACTED text when ``redact=True`` — redaction-then-
+    dedup is the order that prevents two docs differing only in a
+    phone number from escaping the near-dup net.
+    """
+    from .dedup import connected_components, minhash_lsh_pairs
+    from .packing import pack_assignments
+    from .scrub import pii_scrub
+
+    scrubbed = pii_scrub(docs, text_col=text_col, id_col=id_col).withColumnRenamed(
+        "id", "doc_id"
+    )
+    if not redact:
+        scrubbed = scrubbed.drop("clean_text").join(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("clean_text")),
+            "doc_id",
+        )
+    lang = langid_signals(docs, text_col=text_col, id_col=id_col, lang_col=lang_col)
+    qual = quality_signals(docs, text_col=text_col, id_col=id_col)
+    scored = scrubbed.join(lang, "doc_id").join(qual, "doc_id")
+
+    cond = (F.col("quality_score") >= min_quality) & (
+        F.col("dup_bigram_frac") <= max_dup_bigram_frac
+    )
+    if keep_langs is not None:
+        cond = cond & F.col("predicted_lang").isin(list(keep_langs))
+    if apply_lang_quota:
+        cond = cond & F.col("sample_keep")
+    if drop_pii_docs:
+        cond = cond & ~F.col("has_pii")
+    filtered = scored.filter(cond)
+    if persist_filtered:
+        filtered = filtered.persist()
+
+    pairs = minhash_lsh_pairs(
+        filtered, text_col="clean_text", id_col="doc_id", threshold=dedup_threshold
+    )
+    comps = connected_components(pairs)
+    dropped = comps.filter(F.col("id") != F.col("comp"))
+    kept = filtered.join(
+        dropped.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    packed = pack_assignments(
+        kept.withColumn("n_tokens", F.size(tokens(F.col("clean_text")))),
+        budget=pack_budget,
+        token_col="n_tokens",
+        order_col="doc_id",
+    )
+    return CurationResult(
+        scored=scored,
+        filtered=filtered,
+        dropped_dups=dropped.withColumnRenamed("comp", "component"),
+        kept=kept,
+        packed=packed,
+    )

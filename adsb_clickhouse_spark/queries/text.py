@@ -12,21 +12,15 @@ from pyspark.sql import functions as F
 from ..functions.texttools import duck_tokens, tokens
 from . import load_table, register
 
-STOPWORDS = {
-    "en": ["the", "and", "of", "to", "in", "is", "on", "for", "with", "as"],
-    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
-    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "im", "für"],
-    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "dans"],
-}
-_LANGS = ["en", "es", "de", "fr"]  # tie precedence
+# signal constants + Spark-side builders live in operators/curation.py
+# (the curation pipeline composes them; these rows are their oracles)
+from ..operators.curation import LANGS as _LANGS
+from ..operators.curation import SAMPLE_MOD as _SAMPLE_MOD
+from ..operators.curation import SAMPLE_RATES, STOPWORDS
 
 
 def _duck_list(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
-
-
-def _spark_list(words: list[str]):
-    return F.array(*[F.lit(w) for w in words])
 
 
 _PACK_BUDGET = 512  # context-window token budget for concat-and-chunk packing
@@ -101,16 +95,6 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-# target mix for deterministic per-stratum downsampling (keyed by the
-# PREDICTED language — classify, then rebalance, as a curation pipeline
-# would). A doc is kept iff md5(doc_id) mod 10000 < rate*10000: pure
-# function of the id, so the sample is reproducible run-to-run, needs no
-# coordination or state at 100 TB, and is stable under corpus growth
-# (adding docs never flips an existing doc's keep bit).
-SAMPLE_RATES = {"en": 0.25, "es": 0.5, "de": 0.75, "fr": 1.0}
-_SAMPLE_MOD = 10000
-
-
 def _duck_langid_sql() -> str:
     from ..functions.texttools import duck_md5_long
 
@@ -158,37 +142,10 @@ def _duck_langid_sql() -> str:
     ),
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.texttools import md5_long
+    from ..operators.curation import langid_signals
 
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.col("lang").alias("labeled_lang"), tokens(F.col("text")).alias("toks"))
-    for lg in _LANGS:
-        t = t.withColumn(f"s_{lg}", F.size(F.array_intersect(F.col("toks"), _spark_list(STOPWORDS[lg]))))
-    pred = (
-        F.when(
-            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_fr")),
-            "en",
-        )
-        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
-        .when(F.col("s_de") >= F.col("s_fr"), "de")
-        .otherwise("fr")
-    )
-    rate_expr = None
-    for lg in _LANGS:
-        cond = F.when(F.col("predicted_lang") == lg, F.lit(SAMPLE_RATES[lg]))
-        rate_expr = cond if rate_expr is None else rate_expr.when(
-            F.col("predicted_lang") == lg, F.lit(SAMPLE_RATES[lg])
-        )
-    keep = (
-        md5_long(F.col("doc_id").cast("string")) % _SAMPLE_MOD
-        < (rate_expr * _SAMPLE_MOD).cast("long")
-    )
-    return (
-        t.select("doc_id", "labeled_lang", pred.alias("predicted_lang"), "s_en", "s_es", "s_de", "s_fr")
-        .withColumn("sample_rate", rate_expr)
-        .withColumn("sample_keep", keep)
-        .orderBy("doc_id")
-    )
+    return langid_signals(d).orderBy("doc_id")
 
 
 def _duck_quality_sql() -> str:
@@ -249,65 +206,10 @@ def _duck_quality_sql() -> str:
     ),
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import quality_signals
+
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    en = _spark_list(STOPWORDS["en"])
-    m = d.select(
-        "doc_id",
-        F.col("text"),
-        toks.alias("toks"),
-        F.size(toks).alias("n_tokens"),
-        F.length("text").alias("n_chars"),
-        F.size(F.filter(toks, lambda x: F.array_contains(en, x))).alias("n_stop"),
-        F.size(F.array_distinct(toks)).alias("n_uniq"),
-    )
-    # Bigram rows WITHOUT building the bigram array: a `transform`
-    # lambda evaluates interpreted per element (~3 s at sf0.1 for the
-    # array build alone); exploding positions and pairing via
-    # element_at/concat_ws stays inside whole-stage codegen (~0.5 s).
-    # The tk array is consumed in the same codegen stage, so it is
-    # never materialized per exploded row.
-    rep = (
-        d.select("doc_id", tokens(F.col("text")).alias("tk"))
-        .filter(F.size("tk") >= 2)
-        .select("doc_id", "tk", F.explode(F.sequence(F.lit(2), F.size("tk"))).alias("i"))
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", F.element_at("tk", F.col("i") - 1), F.element_at("tk", F.col("i"))
-            ).alias("bg"),
-        )
-        .groupBy("doc_id", "bg")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.max("count").alias("top_c"),
-            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(F.lit(0))).alias("dup_c"),
-        )
-    )
-    nt = F.greatest(F.col("n_tokens"), F.lit(1))
-    # n_bg (total bigrams) is derivable as n_tokens-1 in the projection
-    # pass — no need to sum per-bigram counts in the rep aggregate.
-    nbg = F.greatest(F.col("n_tokens") - 1, F.lit(1))
-    return (
-        m.join(rep, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.round(F.col("n_stop") / nt, 4).alias("stopword_ratio"),
-            F.round(F.col("n_uniq") / nt, 4).alias("unique_ratio"),
-            F.round(F.col("n_chars") / nt, 4).alias("mean_token_len"),
-            F.round(F.coalesce(F.col("top_c"), F.lit(0)) / nbg, 4).alias("top_bigram_frac"),
-            F.round(F.coalesce(F.col("dup_c"), F.lit(0)) / nbg, 4).alias("dup_bigram_frac"),
-            F.round(
-                F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
-                * (0.5 + 0.5 * (F.col("n_uniq") / nt)),
-                4,
-            ).alias("quality_score"),
-            F.md5(F.array_join(F.array_sort(F.array_distinct("toks")), " ")).alias("bag_fingerprint"),
-            F.md5("text").alias("exact_fingerprint"),
-        )
-        .orderBy("doc_id")
-    )
+    return quality_signals(d).orderBy("doc_id")
 
 
 def _duck_winnow_sql(k: int = 8, w: int = 4) -> str:

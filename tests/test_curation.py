@@ -1,0 +1,131 @@
+"""End-to-end curation pipeline (operators/curation.py): the composed
+scrub → langid → quality → near-dedup → pack funnel over a corpus with
+planted PII, near-duplicates, repetitive boilerplate, and NULL text."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from adsb_clickhouse_spark.operators import curation as C
+
+
+def _mk_docs(spark):
+    base_en = (
+        "the quick brown fox jumps over the lazy dog and runs to the river "
+        "with great speed for the morning hunt is on as every fox knows"
+    )
+    base_fr = (
+        "le renard brun rapide saute sur le chien et court dans les bois "
+        "avec une grande vitesse du matin pour la chasse de la"
+    )
+    rows = [
+        # 0/1: near-identical English pair (one token differs) -> near-dup
+        (0, base_en, "en"),
+        (1, base_en.replace("river", "stream"), "en"),
+        # 2: distinct English doc
+        (2, "the cat sat on the mat and looked out of the window for hours "
+            "watching birds fly past in the autumn wind as leaves fell", "en"),
+        # 3/4: differ ONLY by phone number -> dup after redaction
+        (3, base_en + " call me at 555-123-4567 today", "en"),
+        (4, base_en + " call me at 555-999-8888 today", "en"),
+        # 5: French doc
+        (5, base_fr, "fr"),
+        # 6: repetitive boilerplate (one bigram loops) -> high dup_bigram_frac
+        (6, " ".join(["click here"] * 30), "en"),
+        # 7: PII-free short doc
+        (7, "hello world this is a tiny note", "en"),
+        # 8: NULL text
+        (8, None, "en"),
+        # 9: PII doc (email)
+        (9, "the report is ready contact bob@example.com for the file and "
+            "read it before the meeting starts tomorrow morning with the team", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+@pytest.fixture()
+def docs(spark):
+    return _mk_docs(spark)
+
+
+def test_curation_funnel_and_dedup(spark, docs):
+    res = C.curate_documents(
+        docs,
+        keep_langs=("en",),
+        min_quality=0.1,
+        max_dup_bigram_frac=0.8,
+        dedup_threshold=0.5,
+        pack_budget=32,
+    )
+    f = res.funnel()
+    assert f["input"] == 10
+    # dropped by policy: 5 (fr), 6 (repetitive), 8 (NULL -> quality 0)
+    filtered_ids = {r["doc_id"] for r in res.filtered.select("doc_id").collect()}
+    assert 5 not in filtered_ids          # language policy
+    assert 6 not in filtered_ids          # Gopher repetition policy
+    assert 8 not in filtered_ids          # empty doc scores 0 quality
+    # near-dups keep the lowest id: 1 condemned by 0; 4 condemned by 3
+    kept_ids = {r["doc_id"] for r in res.kept.select("doc_id").collect()}
+    assert 0 in kept_ids and 1 not in kept_ids
+    assert f["kept"] == f["filtered"] - f["dropped_dups"]
+    assert kept_ids <= filtered_ids
+
+
+def test_curation_redaction_then_dedup_catches_pii_variant_dups(spark, docs):
+    """Docs 3 and 4 differ only in a phone number — after redaction both
+    carry the same <PHONE> token, so the near-dup net catches them."""
+    res = C.curate_documents(docs, dedup_threshold=0.5, pack_budget=64)
+    dropped = {r["id"] for r in res.dropped_dups.collect()}
+    # 3 and 4 redact to the SAME text; both sit in the 0/1/3/4 near-dup
+    # component (3 adds only a few tokens to doc 0), whose head survives
+    assert 4 in dropped and 0 not in dropped
+    comp = {r["id"]: r["component"] for r in res.dropped_dups.collect()}
+    assert comp[4] == 0 and comp.get(3, 0) == 0
+    clean = {
+        r["doc_id"]: r["clean_text"]
+        for r in res.scored.select("doc_id", "clean_text").collect()
+    }
+    assert "<PHONE>" in clean[3] and "<PHONE>" in clean[4]
+    assert "555-123-4567" not in clean[3]
+
+
+def test_curation_drop_pii_policy(spark, docs):
+    res = C.curate_documents(docs, drop_pii_docs=True)
+    filtered_ids = {r["doc_id"] for r in res.filtered.select("doc_id").collect()}
+    assert {3, 4, 9}.isdisjoint(filtered_ids)  # phone, phone, email docs
+    assert 2 in filtered_ids
+
+
+def test_curation_packing_matches_concat_and_chunk(spark, docs):
+    """pack_id/pack_offset must equal the driver-side concat-and-chunk
+    over the kept docs in doc_id order."""
+    budget = 32
+    res = C.curate_documents(docs, keep_langs=("en",), pack_budget=budget)
+    rows = sorted(
+        res.packed.select("doc_id", "n_tokens", "pack_id", "pack_offset").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    start = 0
+    for r in rows:
+        assert (r["pack_id"], r["pack_offset"]) == (start // budget, start % budget)
+        start += r["n_tokens"]
+
+
+def test_curation_lang_quota_is_hash_deterministic(spark, docs):
+    a = C.curate_documents(docs, apply_lang_quota=True)
+    b = C.curate_documents(docs, apply_lang_quota=True)
+    ia = sorted(r["doc_id"] for r in a.filtered.select("doc_id").collect())
+    ib = sorted(r["doc_id"] for r in b.filtered.select("doc_id").collect())
+    assert ia == ib
+
+
+def test_signal_builders_match_driver_rows(spark, docs):
+    """langid_signals/quality_signals are the same computation the
+    text_langid/text_quality driver rows run (those delegate here) —
+    spot-check the signal semantics on a known corpus."""
+    lang = {r["doc_id"]: r["predicted_lang"] for r in C.langid_signals(docs).collect()}
+    assert lang[0] == "en" and lang[5] == "fr"
+    qual = {r["doc_id"]: r for r in C.quality_signals(docs).collect()}
+    assert qual[6]["dup_bigram_frac"] > 0.9        # looped boilerplate
+    assert qual[2]["dup_bigram_frac"] <= 0.2
+    assert qual[8]["quality_score"] == 0.0         # NULL text
