@@ -795,3 +795,68 @@ def test_semdedup_zero_norm_vectors_excluded(spark, vectors):
     )
     out = S.semdedup(with_zero, threshold=0.9, n_lists=5, iters=3).collect()
     assert all(r["id"] != 99 and r["witness"] != 99 for r in out)
+
+
+# ------------------------------------------------------- winnow near-dup
+
+
+def test_winnow_near_dup_catches_partial_overlap(spark):
+    """Two documents sharing one long block inside otherwise-unrelated
+    text: whole-doc Jaccard sits far below any sane threshold, but the
+    shared substring guarantees common winnowing fingerprints."""
+    from adsb_clickhouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        winnow_near_dup_pairs,
+    )
+
+    block = "the quarterly report shows strong growth across all regions this year"
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta " + block + " epsilon zeta eta theta"),
+            (1, "completely different opening words here " + block + " and a different tail too"),
+            (2, "nothing in common with anything else at all whatsoever in this text"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_near_dup_pairs(docs, min_common=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+    assert pairs[0]["n_common"] >= 3
+    # whole-doc Jaccard misses the same pair at the standard threshold
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared substring of length >= k+w-1 yields >= 1 common
+    fingerprint (the Schleimer et al. guarantee)."""
+    from adsb_clickhouse_spark.operators.dedup import winnow_fingerprints
+
+    shared = "abcdefghijk"  # length 11 = k+w-1 for k=8, w=4
+    docs = spark.createDataFrame(
+        [(0, "xxxx " + shared + " yyyy"), (1, "zzzz " + shared + " wwww")],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=8, w=4)
+    common = (
+        fp.filter(F.col("doc_id") == 0)
+        .select("fingerprint")
+        .intersect(fp.filter(F.col("doc_id") == 1).select("fingerprint"))
+        .count()
+    )
+    assert common >= 1
+
+
+def test_winnow_near_dup_hot_fingerprint_cap(spark):
+    """A fingerprint present in every doc is dropped by max_fp_freq —
+    template boilerplate can't quadratically inflate the join."""
+    from adsb_clickhouse_spark.operators.dedup import winnow_near_dup_pairs
+
+    boiler = "standard footer text appears on every single page of the site"
+    docs = spark.createDataFrame(
+        [(i, f"unique content number {i} with words " + boiler) for i in range(20)],
+        "doc_id long, text string",
+    )
+    capped = winnow_near_dup_pairs(docs, min_common=1, max_fp_freq=10).collect()
+    uncapped = winnow_near_dup_pairs(docs, min_common=1, max_fp_freq=None).count()
+    assert uncapped == 190  # all C(20,2) pairs share the boilerplate
+    assert len(capped) < 190
