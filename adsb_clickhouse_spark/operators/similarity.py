@@ -1250,14 +1250,34 @@ def semdedup(
     import numpy as np
     import pandas as pd
 
-    if assignments is None:
-        assignments, _ = ivf_build(
-            vectors, n_lists=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
-        )
     src = vectors.select(
         _id_as_long(vectors, id_col, "id"), as_double(F.col(vec_col)).alias("v")
     ).filter(_nonzero_norm(F.col("v")))
-    grouped = src.join(assignments, "id")
+    if assignments is not None:
+        # precomputed (stored-layout) path: one equi-join on id
+        grouped = src.join(assignments, "id")
+    else:
+        # self-built path: run the assignment pass ourselves, carrying v
+        # through — one mapInPandas instead of ivf_build's (id, list_id)
+        # output re-joined to the vectors (a sort-merge self-join: two
+        # exchanges + sorts the plan doesn't need)
+        _, cent = ivf_build(
+            vectors, n_lists=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        bc = src.sparkSession.sparkContext.broadcast(cent)
+
+        def assign_with_v(batches):
+            c = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.stack(pdf["v"].to_numpy())
+                pdf = pdf.assign(list_id=_d2_fold(mat, c).argmin(axis=1).astype("int32"))
+                yield pdf
+
+        grouped = src.mapInPandas(
+            assign_with_v, "id long, v array<double>, list_id int"
+        )
 
     def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(
