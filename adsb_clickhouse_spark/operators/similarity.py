@@ -1211,6 +1211,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assignments: DataFrame | None = None,
+    tile: int = 2048,
 ) -> DataFrame:
     """SemDeDup: semantic deduplication = k-means clustering + within-
     cluster cosine pruning (Abbas et al., "SemDeDup: Data-efficient
@@ -1279,6 +1280,12 @@ def semdedup(
             assign_with_v, "id long, v array<double>, list_id int"
         )
 
+    # ``tile`` = column-tile width for the in-cluster gram matrix: task
+    # memory is O(c × tile) doubles instead of O(c²), so one skewed
+    # cluster (the boilerplate-embedding regime) degrades to more tiles,
+    # never an OOM
+    TILE = tile
+
     def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(
             {"id": pd.Series(dtype="int64"), "witness": pd.Series(dtype="int64"),
@@ -1289,26 +1296,41 @@ def semdedup(
         order = np.argsort(pdf["id"].to_numpy(dtype=np.int64), kind="stable")
         ids = pdf["id"].to_numpy(dtype=np.int64)[order]
         mat = np.stack(pdf["v"].to_numpy())[order]
-        # dimension-ordered fold (oracle association; see docstring)
-        acc = np.outer(mat[:, 0], mat[:, 0])
-        for i in range(1, mat.shape[1]):
-            acc = acc + np.outer(mat[:, i], mat[:, i])
+        n = len(ids)
         nrm_acc = mat[:, 0] * mat[:, 0]
         for i in range(1, mat.shape[1]):
             nrm_acc = nrm_acc + mat[:, i] * mat[:, i]
         nrm = np.sqrt(nrm_acc)
-        cos = np.round(acc / np.outer(nrm, nrm), 4)
-        # ids ascending ⇒ "has a lower-id neighbor" = any True strictly
-        # above the diagonal in column j; argmax finds the FIRST (= the
-        # smallest witness id)
-        hit = np.triu(cos >= threshold, k=1)
-        dropped = hit.any(axis=0)
-        if not dropped.any():
+        rows = np.arange(n)[:, None]
+        out_id, out_w, out_cos = [], [], []
+        for b0 in range(1, n, TILE):  # column 0 has no lower-id neighbor
+            b1 = min(b0 + TILE, n)
+            sub = mat[b0:b1]
+            # dimension-ordered fold (oracle association; see docstring)
+            acc = np.outer(mat[:, 0], sub[:, 0])
+            for i in range(1, mat.shape[1]):
+                acc = acc + np.outer(mat[:, i], sub[:, i])
+            cos = np.round(acc / np.outer(nrm, nrm[b0:b1]), 4)
+            # ids ascending ⇒ "has a lower-id neighbor" = any True
+            # strictly above the diagonal in column j; argmax finds the
+            # FIRST (= the smallest witness id)
+            hit = (cos >= threshold) & (rows < np.arange(b0, b1)[None, :])
+            dropped = hit.any(axis=0)
+            if not dropped.any():
+                continue
+            j = np.nonzero(dropped)[0]
+            w = hit[:, j].argmax(axis=0)
+            out_id.append(ids[b0:b1][j])
+            out_w.append(ids[w])
+            out_cos.append(cos[w, j])
+        if not out_id:
             return empty
-        j = np.nonzero(dropped)[0]
-        w = hit[:, j].argmax(axis=0)
         return pd.DataFrame(
-            {"id": ids[j], "witness": ids[w], "cos_sim": cos[w, j]}
+            {
+                "id": np.concatenate(out_id),
+                "witness": np.concatenate(out_w),
+                "cos_sim": np.concatenate(out_cos),
+            }
         )
 
     return grouped.groupBy("list_id").applyInPandas(

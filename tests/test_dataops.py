@@ -860,3 +860,14 @@ def test_winnow_near_dup_hot_fingerprint_cap(spark):
     uncapped = winnow_near_dup_pairs(docs, min_common=1, max_fp_freq=None).count()
     assert uncapped == 190  # all C(20,2) pairs share the boilerplate
     assert len(capped) < 190
+
+
+def test_semdedup_tiled_kernel_matches_untiled(spark, vectors):
+    """tile=4 forces many column tiles on every cluster; results must be
+    identical to the single-tile path (same rounding, same first-witness
+    semantics across tile boundaries)."""
+    a = sorted(map(tuple, S.semdedup(vectors, threshold=0.9, n_lists=5, iters=3).collect()))
+    b = sorted(
+        map(tuple, S.semdedup(vectors, threshold=0.9, n_lists=5, iters=3, tile=4).collect())
+    )
+    assert a == b and len(a) >= 30

@@ -15,7 +15,8 @@ roughly halves the within-cluster pairwise work, so wall time is
 reported at two cluster counts.
 
 Usage: python tools/bench_semdedup_scale.py [n_vectors] [dim]
-Defaults: 1_000_000 vectors, 32 dims; n_lists ∈ {64, 128}; iters=2.
+Defaults: 1_000_000 vectors, 32 dims; n_lists ∈ {n/1000, 2n/1000}
+(cluster size, not cluster count, stays bounded); iters=2.
 Prints one JSON line; headline numbers live in README's measured scale
 behavior table.
 """
@@ -66,7 +67,11 @@ def main() -> int:
 
     planted = sum(1 for i in range(n) if i % 10 == 1 and i >= 1)
     out = {"n_vectors": n, "dim": dim, "planted_dups": planted}
-    for n_lists in (64, 128):
+    # n_lists grows ∝ n (the documented SemDeDup contract: cluster size,
+    # not cluster count, is what must stay bounded); two counts probe the
+    # O(Σ c_i²) scaling directly
+    base_lists = max(64, n // 1000)
+    for n_lists in (base_lists, 2 * base_lists):
         t0 = time.time()
         dropped = semdedup(vecs, threshold=0.99, n_lists=n_lists, iters=2)
         rows = dropped.select("id", "witness").collect()
