@@ -765,3 +765,112 @@ def winnow_near_dup_pairs(
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def duplicated_substring_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """(doc_id, n_dup_tokens, n_dup_spans, dedup_text): exact duplicated-
+    substring removal at token granularity (the ExactSubstr pass of Lee
+    et al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022 — re-expressed on k-gram hashes instead of a suffix array,
+    the standard distributed approximation).
+
+    Semantics: a token k-gram whose hash occurs at ≥2 positions anywhere
+    in the corpus (across documents OR repeated within one) is
+    *duplicated*; every token position covered by at least one duplicated
+    k-gram occurrence is removed. ``dedup_text`` is the surviving tokens
+    re-joined in order, ``n_dup_tokens`` the removed-position count, and
+    ``n_dup_spans`` the number of maximal removed runs. Documents shorter
+    than ``k`` tokens have no k-grams and survive whole; NULL text is
+    empty text (the tokens()-family contract).
+
+    Plan — four bounded shuffles, everything between them codegen:
+
+    1. gram rows (doc_id, pos, h): position-explode + ``slice``/
+       ``concat_ws``/md5 as column functions (the measured-fast shape
+       from the shingle/bigram family — a ``transform``-built gram array
+       evaluates interpreted per element).
+    2. groupBy h → the ≥2-occurrence dup-hash set (map-side partial agg
+       on a 60-bit key; most grams in a natural corpus are unique, so
+       the post-filter set is small relative to the index).
+    3. join gram rows to dup hashes (shuffle on h), then groupBy doc_id
+       → the per-doc sorted dup-start array.
+    4. left-join the start arrays back to the token projection on
+       doc_id, position-explode the tokens, and evaluate coverage as an
+       OR-chain of k ``array_contains(starts, t-j)`` probes — pure
+       whole-stage codegen, no window (a frame-bounded window max would
+       need the same doc_id exchange plus a sort). ``prev_covered`` is
+       the same chain shifted by one, so span starts need no ``lag``.
+       The final groupBy doc_id rides the join's existing partitioning.
+
+    At 100 TB the dup-set shuffle (2) is the cost center and is exactly
+    the shingle-index shuffle every other dedup family already pays; the
+    coverage pass adds zero exchanges beyond its doc_id join."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    grams = (
+        d.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            md5_long(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), k))).alias(
+                "h"
+            ),
+        )
+    )
+    dup = grams.groupBy("h").agg(F.count("*").alias("__c")).filter(
+        F.col("__c") >= 2
+    ).select("h")
+    starts = (
+        grams.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("__starts"))
+    )
+    rows = (
+        d.join(starts, "doc_id", "left")
+        .withColumn(
+            "__starts",
+            F.coalesce(F.col("__starts"), F.expr("CAST(array() AS array<int>)")),
+        )
+        .select("doc_id", "__starts", F.posexplode("toks").alias("p0", "token"))
+        .withColumn("t", F.col("p0") + 1)
+    )
+    covered = None
+    prev = None
+    for j in range(k):
+        c = F.expr(f"array_contains(__starts, t - {j})")
+        p = F.expr(f"array_contains(__starts, t - 1 - {j})")
+        covered = c if covered is None else (covered | c)
+        prev = p if prev is None else (prev | p)
+    rows = rows.withColumn("__cov", covered).withColumn(
+        "__span_start", covered & ~prev
+    )
+    agg = rows.groupBy("doc_id").agg(
+        F.sum(F.col("__cov").cast("long")).alias("n_dup_tokens"),
+        F.sum(F.col("__span_start").cast("long")).alias("n_dup_spans"),
+        F.expr(
+            "array_join(transform(sort_array(collect_list("
+            "CASE WHEN NOT __cov THEN struct(t, token) END)), x -> x.token), ' ')"
+        ).alias("dedup_text"),
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )

@@ -26,6 +26,45 @@ def _duck_list(words: list[str]) -> str:
 _PACK_BUDGET = 512  # context-window token budget for concat-and-chunk packing
 
 
+_SUBSTR_K = 8  # duplicated-substring removal k-gram width
+
+
+def _duck_substr_dedup_ctes(k: int = _SUBSTR_K) -> str:
+    """CTE chain oracle-twinning operators/dedup.duplicated_substring_stats
+    (window-max formulation — same RESULT as Spark's codegen OR-chain)."""
+    from ..functions.texttools import duck_md5_long
+
+    gh = duck_md5_long(f"array_to_string(toks[pos : pos + {k - 1}], ' ')")
+    return f"""
+    tk AS (SELECT doc_id, {duck_tokens('text')} AS toks FROM d0),
+    g0 AS (SELECT doc_id, toks,
+                  unnest(range(1, len(toks) - {k} + 2)) AS pos
+           FROM tk WHERE len(toks) >= {k}),
+    g AS (SELECT doc_id, pos, {gh} AS h FROM g0),
+    duph AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    st AS (SELECT doc_id, pos FROM g JOIN duph USING (h)),
+    tr AS (SELECT doc_id, unnest(toks) AS token,
+                  unnest(range(1, len(toks) + 1)) AS t
+           FROM tk),
+    cv AS (SELECT tr.doc_id AS doc_id, tr.t AS t, tr.token AS token,
+                  max(CASE WHEN st.pos IS NOT NULL THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY tr.doc_id ORDER BY tr.t
+                          ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
+                    AS covered
+           FROM tr LEFT JOIN st ON tr.doc_id = st.doc_id AND tr.t = st.pos),
+    sp AS (SELECT *,
+                  CASE WHEN covered = 1 AND coalesce(
+                         lag(covered) OVER (PARTITION BY doc_id ORDER BY t), 0
+                       ) = 0 THEN 1 ELSE 0 END AS span_start
+           FROM cv),
+    dd AS (SELECT doc_id,
+                  CAST(sum(covered) AS BIGINT) AS n_dup_tokens,
+                  CAST(sum(span_start) AS BIGINT) AS n_dup_spans,
+                  coalesce(string_agg(CASE WHEN covered = 0 THEN token END,
+                                      ' ' ORDER BY t), '') AS dedup_text
+           FROM sp GROUP BY doc_id)"""
+
+
 @register(
     "text_token_stats",
     rf"""
@@ -46,12 +85,16 @@ _PACK_BUDGET = 512  # context-window token budget for concat-and-chunk packing
                  coalesce(sum(n_bpe_tokens) OVER (ORDER BY doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS strt
-          FROM base)
-    SELECT doc_id, n_chars, n_tokens, n_ws_tokens, n_unique_tokens,
+          FROM base),
+    {_duck_substr_dedup_ctes()}
+    SELECT s.doc_id AS doc_id, n_chars, n_tokens, n_ws_tokens, n_unique_tokens,
            chars_per_token, n_bpe_tokens, n_number_tokens, n_symbol_tokens,
            CAST(strt // {_PACK_BUDGET} AS BIGINT) AS pack_id,
-           CAST(strt % {_PACK_BUDGET} AS BIGINT) AS pack_offset
-    FROM s
+           CAST(strt % {_PACK_BUDGET} AS BIGINT) AS pack_offset,
+           coalesce(n_dup_tokens, 0) AS n_dup_tokens,
+           coalesce(n_dup_spans, 0) AS n_dup_spans,
+           coalesce(dedup_text, '') AS dedup_text
+    FROM s LEFT JOIN dd ON s.doc_id = dd.doc_id
     ORDER BY doc_id
     """,
     doc=(
@@ -65,10 +108,17 @@ _PACK_BUDGET = 512  # context-window token budget for concat-and-chunk packing
         "are an exact global prefix sum WITHOUT a single-task window — "
         "two-pass range shuffle + broadcast offsets "
         "(operators/packing.py); DuckDB oracles it with a plain window "
-        "sum."
+        "sum. Round 6 adds the exact duplicated-substring removal pass "
+        "(Lee et al. ACL 2022, ExactSubstr re-expressed on k-gram "
+        "hashes): n_dup_tokens / n_dup_spans / dedup_text — token "
+        "positions covered by any corpus-duplicated 8-gram are removed "
+        "and the survivors re-joined (operators/dedup.py::"
+        "duplicated_substring_stats; the oracle twins it with a "
+        "window-max coverage formulation)."
     ),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicated_substring_stats
     from ..operators.packing import pack_assignments
 
     # NULL text counts as empty text (the tokens()-family contract)
@@ -90,9 +140,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias("n_number_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9\s]"), 0)).alias("n_symbol_tokens"),
     )
-    return pack_assignments(
+    packed = pack_assignments(
         base, budget=_PACK_BUDGET, token_col="n_bpe_tokens", order_col="doc_id"
-    ).orderBy("doc_id")
+    )
+    dd = duplicated_substring_stats(d, k=_SUBSTR_K)
+    return packed.join(dd, "doc_id").orderBy("doc_id")
 
 
 def _duck_langid_sql() -> str:

@@ -871,3 +871,59 @@ def test_semdedup_tiled_kernel_matches_untiled(spark, vectors):
         map(tuple, S.semdedup(vectors, threshold=0.9, n_lists=5, iters=3, tile=4).collect())
     )
     assert a == b and len(a) >= 30
+
+
+# ---------------------------------------------------------------- substr dedup
+
+
+def test_duplicated_substring_stats_removes_shared_run(spark):
+    """Two docs share a 6-token run; with k=4 every 4-gram inside the
+    run is corpus-duplicated, so exactly those 6 positions are removed
+    from both docs as ONE span, and the unique remainders survive."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight {shared} nine ten"),
+        (3, "totally unrelated text with none of those words at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.duplicated_substring_stats(d, k=4).collect()}
+    assert out[1]["n_dup_tokens"] == 6 and out[1]["n_dup_spans"] == 1
+    assert out[1]["dedup_text"] == "one two three four five six"
+    assert out[2]["n_dup_tokens"] == 6 and out[2]["n_dup_spans"] == 1
+    assert out[2]["dedup_text"] == "seven eight nine ten"
+    assert out[3]["n_dup_tokens"] == 0 and out[3]["n_dup_spans"] == 0
+    assert out[3]["dedup_text"] == rows[2][1]
+
+
+def test_duplicated_substring_stats_within_doc_and_short_docs(spark):
+    """A k-gram repeated WITHIN one doc is duplicated (count>=2 is
+    global, not distinct-doc); docs shorter than k have no grams; NULL
+    text is empty text; two spans stay two spans."""
+    rep = "a b c d"  # k=4 gram repeated twice inside doc 1
+    rows = [
+        (1, f"{rep} xx yy zz ww {rep}"),
+        (2, "tiny doc"),
+        (3, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.duplicated_substring_stats(d, k=4).collect()}
+    assert out[1]["n_dup_tokens"] == 8 and out[1]["n_dup_spans"] == 2
+    assert out[1]["dedup_text"] == "xx yy zz ww"
+    assert out[2]["n_dup_tokens"] == 0 and out[2]["dedup_text"] == "tiny doc"
+    assert out[3]["n_dup_tokens"] == 0 and out[3]["dedup_text"] == ""
+
+
+def test_duplicated_substring_overlapping_spans_merge(spark):
+    """Overlapping duplicated k-gram windows merge into one maximal
+    span: docs 1/2 share 'p q r s t' (k=4 -> starts at two overlapping
+    positions) and the coverage union is a single 5-token span."""
+    rows = [
+        (1, "u1 u2 p q r s t u3"),
+        (2, "v1 p q r s t v2 v3"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.duplicated_substring_stats(d, k=4).collect()}
+    assert out[1]["n_dup_tokens"] == 5 and out[1]["n_dup_spans"] == 1
+    assert out[1]["dedup_text"] == "u1 u2 u3"
+    assert out[2]["dedup_text"] == "v1 v2 v3"
