@@ -77,6 +77,55 @@ def global_exclusive_prefix_sum(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_idx, start_tok, n_tok, chunk_text): overlapping
+    fixed-stride token windows — the chunking step of RAG indexing and
+    long-document training prep. Chunk ``i`` starts at token
+    ``i*stride + 1`` (1-based) and carries up to ``chunk_tokens`` tokens;
+    chunks overlap by ``chunk_tokens - stride``. A document of ``n``
+    tokens yields ``1 + ceil((n - chunk_tokens)/stride)`` chunks
+    (``n <= chunk_tokens`` — including the zero-token/NULL doc — yields
+    exactly one, so every document stays represented downstream).
+
+    Plan: one projection pass — tokenize, explode the chunk-index
+    ``sequence`` (integer arithmetic, no float ceil), then ``slice`` /
+    ``concat_ws`` per exploded row so the chunk text is built in
+    whole-stage codegen. No shuffle at all: chunking is embarrassingly
+    parallel and at 100 TB runs at parquet-scan speed; downstream
+    consumers (embedding, fingerprinting) see chunk rows already
+    co-partitioned with their source split."""
+    from ..functions.texttools import tokens
+
+    c, s = int(chunk_tokens), int(stride)
+    if s <= 0 or c <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    n_chunks = F.expr(f"CASE WHEN n <= {c} THEN 1 ELSE 1 + ((n - {c} + {s} - 1) div {s}) END")
+    return (
+        d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * s + 1).alias("start_tok"),
+            F.greatest(
+                F.least(F.lit(c), F.col("n") - F.col("chunk_idx") * s), F.lit(0)
+            ).alias("n_tok"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("chunk_idx") * s + 1, c)
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def pack_assignments(
     docs: DataFrame,
     *,

@@ -264,7 +264,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_signals(d).orderBy("doc_id")
 
 
-def _duck_winnow_sql(k: int = 8, w: int = 4) -> str:
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24
+
+
+def _duck_winnow_sql(
+    k: int = 8, w: int = 4, c: int = _CHUNK_TOKENS, s: int = _CHUNK_STRIDE
+) -> str:
     from ..functions.texttools import duck_md5_long
 
     grams = f"list_transform(range(1, greatest(length(text) - {k} + 1, 1) + 1), i -> substr(text, i, {k}))"
@@ -273,11 +279,24 @@ def _duck_winnow_sql(k: int = 8, w: int = 4) -> str:
         f"list_transform(range(1, greatest(len(h) - {w} + 1, 1) + 1), "
         f"i -> list_aggregate(h[i : i + {w - 1}], 'min'))"
     )
+    chash = duck_md5_long(
+        f"coalesce(array_to_string(toks[i * {s} + 1 : i * {s} + {c}], ' '), '')"
+    )
     return f"""
     WITH g AS (SELECT doc_id, {hashes} AS h FROM documents),
-    fp AS (SELECT doc_id, list_sort(list_distinct({minima})) AS fps FROM g)
-    SELECT doc_id, unnest(fps) AS fingerprint FROM fp
-    ORDER BY doc_id, fingerprint
+    fp AS (SELECT doc_id, list_sort(list_distinct({minima})) AS fps FROM g),
+    tk AS (SELECT doc_id, {duck_tokens('text')} AS toks,
+                  len({duck_tokens('text')}) AS n
+           FROM documents),
+    ci AS (SELECT doc_id, toks,
+                  unnest(range(0, CASE WHEN n <= {c} THEN 1
+                                       ELSE 1 + (n - {c} + {s} - 1) // {s} END)) AS i
+           FROM tk),
+    cf AS (SELECT DISTINCT doc_id, {chash} AS fingerprint FROM ci)
+    SELECT 'winnow' AS method, doc_id, unnest(fps) AS fingerprint FROM fp
+    UNION ALL
+    SELECT 'chunk' AS method, doc_id, fingerprint FROM cf
+    ORDER BY method, doc_id, fingerprint
     """
 
 
@@ -285,11 +304,17 @@ def _duck_winnow_sql(k: int = 8, w: int = 4) -> str:
     "text_winnow_fingerprint",
     _duck_winnow_sql(),
     doc=(
-        "Winnowing document fingerprint (Schleimer et al.): rolling "
-        "character 8-gram hashes, minimum per 4-hash window, distinct "
-        "minima as the fingerprint set. Local-alignment near-dup "
-        "detection that survives insertions/reorderings; array builtins "
-        "only, one projection pass."
+        "Document fingerprinting, two schemes in one tagged union. "
+        "'winnow' (Schleimer et al., SIGMOD 2003): rolling character "
+        "8-gram hashes, minimum per 4-hash window, distinct minima — "
+        "the content-defined fingerprint that survives insertions and "
+        "reorderings. 'chunk': md5 of each overlapping fixed-stride "
+        "token window (32 tokens, stride 24) — the fixed-grid "
+        "fingerprint that doubles as the RAG/training chunker "
+        "(operators/packing.py::chunk_documents emits the full chunk "
+        "rows with offsets+text; this row oracles its boundaries and "
+        "content via the chunk hashes). Both branches are pure "
+        "projection passes (explode + codegen md5), no UDF."
     ),
 )
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,10 +342,21 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     no sort) measured 7.9 s — the w-fold row blowup into the partial
     aggregate costs more than the frame-bounded min saves. The
     exploded-window shape stays the measured winner."""
+    from ..functions.texttools import md5_long
     from ..operators.dedup import winnow_fingerprints
+    from ..operators.packing import chunk_documents
 
     d = load_table(spark, sf_dir, "documents")
-    return winnow_fingerprints(d, k=8, w=4).orderBy("doc_id", "fingerprint")
+    win = winnow_fingerprints(d, k=8, w=4).select(
+        F.lit("winnow").alias("method"), "doc_id", "fingerprint"
+    )
+    ch = (
+        chunk_documents(d, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE)
+        .select("doc_id", md5_long(F.col("chunk_text")).alias("fingerprint"))
+        .distinct()
+        .select(F.lit("chunk").alias("method"), "doc_id", "fingerprint")
+    )
+    return win.unionByName(ch).orderBy("method", "doc_id", "fingerprint")
 
 
 # text_bpe_ish_tokens was folded into text_token_stats (the driver's

@@ -927,3 +927,42 @@ def test_duplicated_substring_overlapping_spans_merge(spark):
     assert out[1]["n_dup_tokens"] == 5 and out[1]["n_dup_spans"] == 1
     assert out[1]["dedup_text"] == "u1 u2 u3"
     assert out[2]["dedup_text"] == "v1 v2 v3"
+
+
+# ------------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_offsets_and_overlap(spark):
+    """12 tokens, chunk=5, stride=3 -> starts 1,4,7,10; the tail chunk
+    is short; overlapping windows share stride-overlap tokens."""
+    from adsb_clickhouse_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(1, 13))
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(d, chunk_tokens=5, stride=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["start_tok"] for r in rows] == [1, 4, 7, 10]
+    assert [r["n_tok"] for r in rows] == [5, 5, 5, 3]
+    assert rows[0]["chunk_text"] == "t1 t2 t3 t4 t5"
+    assert rows[1]["chunk_text"] == "t4 t5 t6 t7 t8"
+    assert rows[-1]["chunk_text"] == "t10 t11 t12"
+
+
+def test_chunk_documents_short_and_null_docs(spark):
+    """Docs at or under one chunk produce exactly one chunk; NULL text
+    produces one empty chunk (every doc stays represented)."""
+    from adsb_clickhouse_spark.operators.packing import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "x " * 5)], "doc_id long, text string"
+    )
+    out = {}
+    for r in chunk_documents(d, chunk_tokens=5, stride=3).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    assert len(out[1]) == 1 and out[1][0]["chunk_text"] == "a b c"
+    assert out[1][0]["n_tok"] == 3
+    assert len(out[2]) == 1 and out[2][0]["chunk_text"] == ""
+    assert out[2][0]["n_tok"] == 0
+    assert len(out[3]) == 1 and out[3][0]["n_tok"] == 5
