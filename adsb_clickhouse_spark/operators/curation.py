@@ -56,8 +56,75 @@ SAMPLE_RATES = {"en": 0.25, "es": 0.5, "de": 0.75, "fr": 1.0}
 SAMPLE_MOD = 10000
 
 
+MIX_ALPHA = 0.5       # temperature exponent on domain counts
+MIX_BUDGET_FRAC = 0.5  # corpus fraction the mixture targets
+MIX_SALT = 77          # hash salt so mix_keep is independent of sample_keep
+
+
 def _lang_array(words: list[str]) -> Column:
     return F.array(*[F.lit(w) for w in words])
+
+
+def domain_mixture(
+    docs: DataFrame,
+    *,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = MIX_ALPHA,
+    budget_frac: float = MIX_BUDGET_FRAC,
+    mod: int = SAMPLE_MOD,
+) -> DataFrame:
+    """(doc_id, <domain_col>, mix_rate_bp, mix_keep): temperature-based
+    domain rebalancing — the data-mixing step of pretraining pipelines
+    (unigram-mixture reweighting as in the Pile / DoReMi-style heuristic
+    baselines, all public work).
+
+    A domain with ``c`` docs gets sampling weight ``c^alpha / Σ c^alpha``
+    (``alpha < 1`` flattens the mixture toward small domains; ``alpha=1``
+    keeps natural proportions), a target of ``weight · budget_frac · N``
+    docs, and so a per-doc keep rate of ``min(1, target/c)``, published
+    as ``mix_rate_bp`` (floor of rate·mod). ``mix_keep`` is the
+    deterministic hash-quota decision — salted differently from the
+    language quota so the two samplers are independent.
+
+    Scale shape: one tiny groupBy(domain) agg (domain cardinality ≪
+    corpus), a single-row totals cross-join, and a broadcast join of the
+    per-domain rates back onto the corpus — the keep decision itself is
+    a pure per-row projection, so the operator adds ZERO corpus-sized
+    shuffles and is stable when the corpus grows (rates shift only as
+    domain counts shift)."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(domain_col).alias("__domain")
+    )
+    counts = d.groupBy("__domain").agg(F.count("*").alias("c"))
+    tot = counts.agg(
+        F.sum(F.pow("c", F.lit(float(alpha)))).alias("s"),
+        F.sum("c").alias("n"),
+    )
+    # the rate expression is written IDENTICALLY (same association order)
+    # in the DuckDB oracle — both engines evaluate it in float64
+    rate = F.least(
+        F.lit(1.0),
+        F.pow("c", F.lit(float(alpha)))
+        / F.col("s")
+        * F.lit(float(budget_frac))
+        * F.col("n")
+        / F.col("c"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "__domain",
+        F.floor(rate * int(mod)).cast("long").alias("mix_rate_bp"),
+    )
+    return d.join(F.broadcast(rates), "__domain").select(
+        "doc_id",
+        F.col("__domain").alias(domain_col),
+        "mix_rate_bp",
+        (
+            md5_long(F.concat(F.lit(f"{MIX_SALT}|"), F.col("doc_id").cast("string")))
+            % int(mod)
+            < F.col("mix_rate_bp")
+        ).alias("mix_keep"),
+    )
 
 
 def langid_signals(

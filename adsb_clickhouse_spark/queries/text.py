@@ -149,6 +149,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_langid_sql() -> str:
     from ..functions.texttools import duck_md5_long
+    from ..operators.curation import MIX_ALPHA, MIX_BUDGET_FRAC, MIX_SALT
 
     scores = ", ".join(
         f"len(list_intersect(toks, {_duck_list(STOPWORDS[lg])})) AS s_{lg}"
@@ -164,17 +165,32 @@ def _duck_langid_sql() -> str:
         + " ".join(f"WHEN '{lg}' THEN {SAMPLE_RATES[lg]}" for lg in _LANGS)
         + " END"
     )
-    h = duck_md5_long("CAST(doc_id AS VARCHAR)")
+    h = duck_md5_long("CAST(p.doc_id AS VARCHAR)")
+    mh = duck_md5_long(f"'{MIX_SALT}|' || CAST(p.doc_id AS VARCHAR)")
+    # association order matches operators/curation.domain_mixture exactly
+    mrate = (
+        f"least(1.0, power(c, {MIX_ALPHA}) / s * {MIX_BUDGET_FRAC} * n / c)"
+    )
     return f"""
     WITH t AS (SELECT doc_id, lang, {duck_tokens('text')} AS toks FROM documents),
     s AS (SELECT doc_id, lang, {scores} FROM t),
     p AS (SELECT doc_id, lang AS labeled_lang, {pred} AS predicted_lang,
                  s_en, s_es, s_de, s_fr
-          FROM s)
-    SELECT *, CAST({rate} AS DOUBLE) AS sample_rate,
+          FROM s),
+    mix0 AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+    mixt AS (SELECT sum(power(c, {MIX_ALPHA})) AS s, sum(c) AS n FROM mix0),
+    mixr AS (SELECT source, CAST(floor({mrate} * {_SAMPLE_MOD}) AS BIGINT)
+                    AS mix_rate_bp
+             FROM mix0, mixt)
+    SELECT p.*, CAST({rate} AS DOUBLE) AS sample_rate,
            ({h}) % {_SAMPLE_MOD} < CAST(({rate}) * {_SAMPLE_MOD} AS BIGINT)
-             AS sample_keep
-    FROM p ORDER BY doc_id
+             AS sample_keep,
+           d.source AS source, mixr.mix_rate_bp AS mix_rate_bp,
+           ({mh}) % {_SAMPLE_MOD} < mixr.mix_rate_bp AS mix_keep
+    FROM p
+    JOIN documents d ON p.doc_id = d.doc_id
+    JOIN mixr ON d.source = mixr.source
+    ORDER BY p.doc_id
     """
 
 
@@ -190,14 +206,21 @@ def _duck_langid_sql() -> str:
         "stratified sampler: exact-fraction samplers need a global count "
         "per stratum (two passes + a shuffle); the hash quota is a pure "
         "per-row function — reproducible, coordination-free, and stable "
-        "when the corpus grows."
+        "when the corpus grows. Round 6 adds the temperature-based "
+        "domain-mixture sampler (source, mix_rate_bp, mix_keep): domain "
+        "weight c^0.5/Σc^0.5 over the source column, target = "
+        "weight·0.5·N docs, keep rate min(1, target/c) as an "
+        "independent salted hash quota — the data-mixing step of "
+        "pretraining prep (operators/curation.py::domain_mixture; tiny "
+        "per-domain agg + broadcast join, zero corpus-sized shuffles)."
     ),
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.curation import langid_signals
+    from ..operators.curation import domain_mixture, langid_signals
 
     d = load_table(spark, sf_dir, "documents")
-    return langid_signals(d).orderBy("doc_id")
+    mix = domain_mixture(d)
+    return langid_signals(d).join(mix, "doc_id").orderBy("doc_id")
 
 
 def _duck_quality_sql() -> str:

@@ -129,3 +129,51 @@ def test_signal_builders_match_driver_rows(spark, docs):
     assert qual[6]["dup_bigram_frac"] > 0.9        # looped boilerplate
     assert qual[2]["dup_bigram_frac"] <= 0.2
     assert qual[8]["quality_score"] == 0.0         # NULL text
+
+
+def test_domain_mixture_alpha_one_is_natural_proportions(spark):
+    """alpha=1 makes every domain's keep rate exactly budget_frac: the
+    temperature-free mixture is a uniform downsample."""
+    from adsb_clickhouse_spark.operators.curation import domain_mixture
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_mixture(d, alpha=1.0, budget_frac=0.5, mod=10000)
+    rates = {r["source"]: r["mix_rate_bp"] for r in out.select("source", "mix_rate_bp").distinct().collect()}
+    assert rates == {"big": 5000, "small": 5000}
+
+
+def test_domain_mixture_flattens_toward_small_domains(spark):
+    """alpha<1 upweights small domains: the small domain's rate strictly
+    exceeds the big one's, and a tiny domain saturates at rate 1."""
+    from adsb_clickhouse_spark.operators.curation import domain_mixture
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(1000 + i, "small") for i in range(90)]
+        + [(2000 + i, "tiny") for i in range(10)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_mixture(d, alpha=0.5, budget_frac=0.5, mod=10000)
+    rates = {r["source"]: r["mix_rate_bp"] for r in out.select("source", "mix_rate_bp").distinct().collect()}
+    # sqrt weights: S = 30 + 9.49 + 3.16; small's target (111) exceeds
+    # its 90 docs, so BOTH small domains saturate at rate 1 while the
+    # big one is cut to ~39% — exactly the flattening alpha<1 buys
+    assert rates["tiny"] == 10000 and rates["small"] == 10000
+    assert rates["big"] < 4000
+    kept = {r["source"]: r["n"] for r in out.filter("mix_keep").groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert kept["tiny"] == 10 and kept["small"] == 90
+    assert 0 < kept["big"] < 450
+
+
+def test_domain_mixture_budget_is_met_without_clipping(spark):
+    """When no domain saturates, expected kept mass sums to
+    budget_frac * N (rates weighted by domain size)."""
+    from adsb_clickhouse_spark.operators.curation import domain_mixture
+
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_mixture(d, alpha=0.5, budget_frac=0.25, mod=10000)
+    per = out.select("source", "mix_rate_bp").distinct().collect()
+    expected = sum(100 * r["mix_rate_bp"] / 10000 for r in per)
+    assert abs(expected - 100) < 1  # 0.25 * 400, up to floor rounding
