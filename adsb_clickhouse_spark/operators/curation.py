@@ -243,6 +243,69 @@ def quality_signals(
     )
 
 
+SPLIT_SALT = 91  # independent of the langid / mixture sampler salts
+
+
+def dedup_aware_split(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    train_buckets: int = 8,
+    val_buckets: int = 1,
+    mod: int = 10,
+) -> DataFrame:
+    """(doc_id, split_bucket, split): leakage-free train/val/test
+    assignment — the split is a hash of the document's duplicate-GROUP
+    key, not of the document, so duplicates can never straddle splits
+    (the classic eval-contamination bug when splitting by row hash).
+
+    Default (exact) mode groups byte-identical documents: group key =
+    md5 of the (NULL-as-'') text, bucket = salted 60-bit hash of that
+    key mod ``mod``, buckets [0, train) → 'train', [train, train+val) →
+    'val', rest → 'test'. A pure projection — ZERO shuffles at any
+    scale, reproducible, and stable under corpus growth (a new document
+    never moves an old one's split).
+
+    Near-dup mode: pass ``pairs`` (id_a, id_b edges from any of the
+    near-dup operators) and the group key becomes the connected-
+    component representative, so whole near-dup clusters land in one
+    split; costs the CC passes, leaves the projection otherwise
+    unchanged. ``tests/test_curation.py`` asserts the no-straddling
+    invariant in both modes."""
+    tb, vb = int(train_buckets), int(val_buckets)
+    if not (0 < tb and 0 <= vb and tb + vb < mod):
+        raise ValueError("need 0 < train_buckets, train+val < mod")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__gkey"),
+    )
+    if pairs is not None:
+        from .dedup import connected_components
+
+        comps = connected_components(pairs)
+        d = (
+            d.join(comps.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .withColumn(
+                "__gkey",
+                F.coalesce(F.col("comp").cast("string"), F.col("__gkey")),
+            )
+            .drop("comp")
+        )
+    bucket = (
+        md5_long(F.concat(F.lit(f"{SPLIT_SALT}|"), F.col("__gkey"))) % int(mod)
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        bucket.alias("split_bucket"),
+        F.when(bucket < tb, "train")
+        .when(bucket < tb + vb, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 @dataclass
 class CurationResult:
     """Stage DataFrames of one curate_documents run. Lazy — nothing has

@@ -224,9 +224,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_quality_sql() -> str:
-    from ..functions.texttools import duck_word_ngrams
+    from ..functions.texttools import duck_md5_long, duck_word_ngrams
+    from ..operators.curation import SPLIT_SALT
 
     en = _duck_list(STOPWORDS["en"])
+    sb = duck_md5_long(f"'{SPLIT_SALT}|' || md5(coalesce(text, ''))") + " % 10"
     return f"""
     WITH t AS (SELECT doc_id, {duck_tokens('text')} AS toks, text FROM documents),
     m AS (SELECT doc_id, text, toks,
@@ -252,7 +254,10 @@ def _duck_quality_sql() -> str:
              AS quality_score,
            md5(coalesce(array_to_string(list_sort(list_distinct(toks)), ' '), ''))
              AS bag_fingerprint,
-           md5(text) AS exact_fingerprint
+           md5(text) AS exact_fingerprint,
+           CAST({sb} AS INTEGER) AS split_bucket,
+           CASE WHEN {sb} < 8 THEN 'train'
+                WHEN {sb} = 8 THEN 'val' ELSE 'test' END AS split
     FROM m LEFT JOIN rep ON m.doc_id = rep.doc_id
     ORDER BY doc_id
     """
@@ -277,14 +282,24 @@ def _duck_quality_sql() -> str:
         "is derived as n_tokens-1 in the projection, not aggregated. "
         "Formerly two queries (text_quality, "
         "text_fingerprint) — merged because the driver gate checks at most "
-        "50 registry entries."
+        "50 registry entries. Round 6 adds the dedup-aware train/val/test "
+        "split (split_bucket, split): the bucket is a salted hash of the "
+        "duplicate-GROUP key (the exact fingerprint), so byte-identical "
+        "docs can never straddle splits — eval-leakage-free by "
+        "construction (operators/curation.py::dedup_aware_split, which "
+        "also takes near-dup pair edges to split whole clusters "
+        "together; pure projection, zero shuffles)."
     ),
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.curation import quality_signals
+    from ..operators.curation import dedup_aware_split, quality_signals
 
     d = load_table(spark, sf_dir, "documents")
-    return quality_signals(d).orderBy("doc_id")
+    return (
+        quality_signals(d)
+        .join(dedup_aware_split(d), "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 _CHUNK_TOKENS = 32

@@ -177,3 +177,46 @@ def test_domain_mixture_budget_is_met_without_clipping(spark):
     per = out.select("source", "mix_rate_bp").distinct().collect()
     expected = sum(100 * r["mix_rate_bp"] / 10000 for r in per)
     assert abs(expected - 100) < 1  # 0.25 * 400, up to floor rounding
+
+
+def test_dedup_aware_split_no_exact_dup_straddles(spark):
+    """Byte-identical docs always land in the same split, splits are
+    deterministic, and bucket boundaries map to the right names."""
+    from adsb_clickhouse_spark.operators.curation import dedup_aware_split
+
+    rows = [(i, f"unique document number {i}") for i in range(200)]
+    rows += [(1000 + i, rows[i][1]) for i in range(50)]  # 50 exact dups
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_aware_split(d).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    for i in range(50):
+        assert split_of[i] == split_of[1000 + i]
+    buckets = {r["split_bucket"] for r in out}
+    assert buckets <= set(range(10))
+    names = {r["split_bucket"]: r["split"] for r in out}
+    for b, s in names.items():
+        assert s == ("train" if b < 8 else "val" if b == 8 else "test")
+    # all three splits are populated at this corpus size
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+    # re-running gives the identical assignment
+    again = {r["doc_id"]: r["split"] for r in dedup_aware_split(d).collect()}
+    assert again == split_of
+
+
+def test_dedup_aware_split_near_dup_clusters_stay_together(spark):
+    """With near-dup pair edges, whole connected clusters share one
+    split even though their texts (and exact fingerprints) differ."""
+    from adsb_clickhouse_spark.operators.curation import dedup_aware_split
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [(i, f"{base} variant{i}") for i in range(20)]  # one big near-dup cluster
+    rows += [(100 + i, f"totally unrelated text {i} " + " ".join(f"w{i}{j}" for j in range(8))) for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    from adsb_clickhouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(d, threshold=0.5)
+    out = dedup_aware_split(d, pairs=pairs).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    cluster = {split_of[i] for i in range(20)}
+    assert len(cluster) == 1  # the whole near-dup cluster shares a split
+    assert len(split_of) == 40
