@@ -347,6 +347,12 @@ def curate_documents(
     dedup_threshold: float = 0.5,
     pack_budget: int = 512,
     persist_filtered: bool = True,
+    apply_domain_mixture: bool = False,
+    domain_col: str = "source",
+    mixture_alpha: float = MIX_ALPHA,
+    mixture_budget_frac: float = MIX_BUDGET_FRAC,
+    remove_dup_substrings: int | None = None,
+    assign_splits: bool = False,
 ) -> CurationResult:
     """Run the full curation funnel over a document corpus.
 
@@ -355,6 +361,25 @@ def curate_documents(
     stage) is the REDACTED text when ``redact=True`` — redaction-then-
     dedup is the order that prevents two docs differing only in a
     phone number from escaping the near-dup net.
+
+    Optional round-6 stages, in funnel order:
+
+    - ``apply_domain_mixture``: temperature-rebalance domains
+      (``domain_mixture``) as part of the policy filter — rates come
+      from the FULL corpus counts (computed pre-filter, like the lang
+      quota, so the two samplers stay independent of the other
+      policies).
+    - ``remove_dup_substrings=k``: after near-dedup, excise token spans
+      covered by corpus-duplicated k-grams from the SURVIVORS' text
+      (``duplicated_substring_stats`` over the kept set — the Lee et al.
+      order: document dedup first, then substring dedup inside what
+      remains); ``clean_text`` and the packing token counts downstream
+      see the excised text.
+    - ``assign_splits``: leakage-free train/val/test on the packed
+      output — the split key is the near-dup COMPONENT (the same pairs
+      the dedup stage built), falling back to the exact fingerprint for
+      unpaired docs, so near-dup survivors and any residual cluster
+      members can never straddle splits.
     """
     from .dedup import connected_components, minhash_lsh_pairs
     from .packing import pack_assignments
@@ -381,6 +406,16 @@ def curate_documents(
         cond = cond & F.col("sample_keep")
     if drop_pii_docs:
         cond = cond & ~F.col("has_pii")
+    if apply_domain_mixture:
+        mix = domain_mixture(
+            docs,
+            domain_col=domain_col,
+            id_col=id_col,
+            alpha=mixture_alpha,
+            budget_frac=mixture_budget_frac,
+        ).select("doc_id", "mix_keep")
+        scored = scored.join(mix, "doc_id")
+        cond = cond & F.col("mix_keep")
     filtered = scored.filter(cond)
     if persist_filtered:
         filtered = filtered.persist()
@@ -393,12 +428,28 @@ def curate_documents(
     kept = filtered.join(
         dropped.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
     )
+    if remove_dup_substrings is not None:
+        from .dedup import duplicated_substring_stats
+
+        excised = duplicated_substring_stats(
+            kept, text_col="clean_text", id_col="doc_id", k=int(remove_dup_substrings)
+        ).select("doc_id", "dedup_text", "n_dup_tokens")
+        kept = (
+            kept.drop("clean_text")
+            .join(excised, "doc_id")
+            .withColumnRenamed("dedup_text", "clean_text")
+        )
     packed = pack_assignments(
         kept.withColumn("n_tokens", F.size(tokens(F.col("clean_text")))),
         budget=pack_budget,
         token_col="n_tokens",
         order_col="doc_id",
     )
+    if assign_splits:
+        splits = dedup_aware_split(
+            kept.select("doc_id", F.col("clean_text").alias("text")), pairs=pairs
+        ).select("doc_id", "split_bucket", "split")
+        packed = packed.join(splits, "doc_id")
     return CurationResult(
         scored=scored,
         filtered=filtered,

@@ -220,3 +220,34 @@ def test_dedup_aware_split_near_dup_clusters_stay_together(spark):
     cluster = {split_of[i] for i in range(20)}
     assert len(cluster) == 1  # the whole near-dup cluster shares a split
     assert len(split_of) == 40
+
+
+def test_curation_round6_stages_compose(spark, docs):
+    """Domain mixture + substring excision + split assignment compose
+    into the funnel: survivors' clean_text has corpus-duplicated 8-gram
+    spans excised, every packed row carries a split, and no two docs
+    with the same near-dup component straddle splits."""
+    d = docs.withColumn(
+        "source", F.when(F.col("doc_id") < 5, "web").otherwise("books")
+    )
+    res = C.curate_documents(
+        d,
+        apply_domain_mixture=True,
+        mixture_alpha=1.0,
+        mixture_budget_frac=1.0,  # rate 1.0 everywhere: mixture is a no-op gate
+        remove_dup_substrings=8,
+        assign_splits=True,
+        pack_budget=64,
+    )
+    rows = res.packed.collect()
+    assert rows and all(r["split"] in ("train", "val", "test") for r in rows)
+    # docs 0 and 3 share the 24-token base_en prefix; if both survive
+    # dedup, the shared 8-grams are corpus-duplicated and excised
+    by_id = {r["doc_id"]: r for r in rows}
+    survivors = set(by_id)
+    shared_pair = {0, 3} & survivors
+    if len(shared_pair) == 2:
+        assert by_id[0]["n_dup_tokens"] > 0 and by_id[3]["n_dup_tokens"] > 0
+    # mixture at rate 1.0 must not drop anyone the other policies kept
+    base = C.curate_documents(d, pack_budget=64)
+    assert {r["doc_id"] for r in base.packed.collect()} == survivors
