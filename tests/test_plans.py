@@ -34,9 +34,29 @@ def test_q05_joins_are_broadcast(spark):
 
 def test_no_python_eval_on_relational_paths(spark):
     for name in ["q01_pricing_summary", "q03_order_revenue", "adsb_latest_per_key",
-                 "dedup_simhash", "text_quality", "sim_knn_bruteforce"]:
+                 "dedup_simhash", "text_quality", "sim_knn_bruteforce",
+                 "text_token_stats", "text_langid", "text_winnow_fingerprint"]:
         plan = _plan(spark, name)
         assert "EvalPython" not in plan, name
+
+
+def test_substring_dedup_coverage_is_window_free(spark):
+    """The duplicated-substring coverage pass must stay a codegen
+    OR-chain projection — no Window operator (the rejected alternative
+    buys the same answer for an extra doc_id sort) and no Python."""
+    from adsb_clickhouse_spark.operators.dedup import duplicated_substring_stats
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h x y")],
+        "doc_id long, text string",
+    )
+    plan = (
+        duplicated_substring_stats(d, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan and "EvalPython" not in plan
 
 
 def test_stride_sample_has_no_single_partition_window(spark):
