@@ -353,6 +353,7 @@ def curate_documents(
     mixture_budget_frac: float = MIX_BUDGET_FRAC,
     remove_dup_substrings: int | None = None,
     assign_splits: bool = False,
+    retention: str = "min_id",
 ) -> CurationResult:
     """Run the full curation funnel over a document corpus.
 
@@ -380,6 +381,14 @@ def curate_documents(
       the dedup stage built), falling back to the exact fingerprint for
       unpaired docs, so near-dup survivors and any residual cluster
       members can never straddle splits.
+    - ``retention``: which member of each near-dup cluster survives —
+      ``'min_id'`` (deterministic canonical id, the default) or
+      ``'max_quality'`` (keep the member with the highest
+      quality_score, ties to the smaller id — the policy real curation
+      runs use, since near-dup clusters often mix a clean original
+      with boilerplate-wrapped copies). Both are one ``max_by``/``min``
+      aggregate per component — no window, no extra shuffle beyond the
+      component join.
     """
     from .dedup import connected_components, minhash_lsh_pairs
     from .packing import pack_assignments
@@ -424,7 +433,28 @@ def curate_documents(
         filtered, text_col="clean_text", id_col="doc_id", threshold=dedup_threshold
     )
     comps = connected_components(pairs)
-    dropped = comps.filter(F.col("id") != F.col("comp"))
+    if retention == "min_id":
+        dropped = comps.filter(F.col("id") != F.col("comp"))
+    elif retention == "max_quality":
+        members = comps.join(
+            filtered.select(F.col("doc_id").alias("id"), "quality_score"), "id"
+        )
+        winners = members.groupBy("comp").agg(
+            F.max_by(
+                "id",
+                F.struct(
+                    F.col("quality_score"),
+                    (-F.col("id")).cast("double").alias("neg_id"),
+                ),
+            ).alias("__winner")
+        )
+        dropped = (
+            members.join(winners, "comp")
+            .filter(F.col("id") != F.col("__winner"))
+            .select("id", "comp")
+        )
+    else:
+        raise ValueError(f"unknown retention policy: {retention!r}")
     kept = filtered.join(
         dropped.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
     )

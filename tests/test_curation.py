@@ -251,3 +251,30 @@ def test_curation_round6_stages_compose(spark, docs):
     # mixture at rate 1.0 must not drop anyone the other policies kept
     base = C.curate_documents(d, pack_budget=64)
     assert {r["doc_id"] for r in base.packed.collect()} == survivors
+
+
+def test_curation_max_quality_retention(spark, docs):
+    """retention='max_quality' keeps the highest-quality member of each
+    near-dup cluster instead of the lowest id: doc 3 (base_en + extra
+    tokens) outscores doc 0 (longer docs score higher up to 100
+    tokens), so with quality retention 3 survives and 0 drops; with the
+    default min_id retention it's the other way around."""
+    by_min = C.curate_documents(docs, dedup_threshold=0.5)
+    by_q = C.curate_documents(docs, dedup_threshold=0.5, retention="max_quality")
+    kept_min = {r["doc_id"] for r in by_min.kept.select("doc_id").collect()}
+    kept_q = {r["doc_id"] for r in by_q.kept.select("doc_id").collect()}
+    # same cluster structure: identical number of survivors
+    assert len(kept_min) == len(kept_q)
+    assert 0 in kept_min and 3 not in kept_min
+    qual = {r["doc_id"]: r["quality_score"] for r in C.quality_signals(docs).collect()}
+    assert qual[3] > qual[0]
+    assert 3 in kept_q and 0 not in kept_q
+    # exactly one survivor per cluster either way
+    comp_min = {r["id"] for r in by_min.dropped_dups.collect()}
+    comp_q = {r["id"] for r in by_q.dropped_dups.collect()}
+    assert len(comp_min) == len(comp_q)
+
+
+def test_curation_bad_retention_raises(spark, docs):
+    with pytest.raises(ValueError):
+        C.curate_documents(docs, retention="newest")
