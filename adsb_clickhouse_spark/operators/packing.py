@@ -77,6 +77,82 @@ def global_exclusive_prefix_sum(
     )
 
 
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    *,
+    packs_per_shard: int = 64,
+    token_col: str = "n_tokens",
+    fmt: str = "json",
+) -> dict:
+    """Export a packed corpus as deterministic, token-budgeted training
+    shards plus a manifest — the hand-off artifact a training loader
+    consumes (JSONL shard files of ~packs_per_shard × pack-budget
+    tokens each, the standard pretraining corpus layout).
+
+    Shard assignment is a pure function of ``pack_id`` (``pack_id div
+    packs_per_shard``), so shards are reproducible, contiguous in the
+    packing order, and capped at packs_per_shard context windows (± the
+    documents straddling a shard's first/last window). The write is one
+    shuffle: ``repartition(shard_id)`` co-locates each shard, then
+    ``partitionBy(shard_id)`` lays out one directory per shard — at
+    cluster scale every shard is written by one task with no
+    driver-side data movement.
+
+    Returns (and writes to ``<path>/_manifest.json``) per-shard row and
+    token counts — the manifest aggregate is shard-count-sized, the one
+    deliberately driver-sized collect here.
+    """
+    if packs_per_shard <= 0:
+        raise ValueError("packs_per_shard must be positive")
+    df = packed.withColumn(
+        "shard_id", F.expr(f"pack_id div {int(packs_per_shard)}").cast("long")
+    )
+    (
+        df.repartition(F.col("shard_id"))
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .format(fmt)
+        .save(path)
+    )
+    stats = (
+        df.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(token_col).alias("tokens"),
+            F.min("pack_id").alias("first_pack"),
+            F.max("pack_id").alias("last_pack"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    manifest = {
+        "format": fmt,
+        "packs_per_shard": int(packs_per_shard),
+        "n_shards": len(stats),
+        "total_rows": int(sum(r["rows"] for r in stats)),
+        "total_tokens": int(sum(r["tokens"] or 0 for r in stats)),
+        "shards": [
+            {
+                "shard_id": int(r["shard_id"]),
+                "rows": int(r["rows"]),
+                "tokens": int(r["tokens"] or 0),
+                "first_pack": int(r["first_pack"]),
+                "last_pack": int(r["last_pack"]),
+            }
+            for r in stats
+        ],
+    }
+    import json
+    import os
+
+    # local-FS manifest write; at cluster scale swap for the Hadoop FS
+    # API — the payload is shard-count-sized either way
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
+
+
 def chunk_documents(
     docs: DataFrame,
     *,

@@ -5,7 +5,15 @@ MinHash stage's planted-recall numbers are calibrated on) pushed through
 the full funnel — scrub → langid → quality → near-dedup → pack — with
 end-to-end wall time and per-stage counts.
 
-Usage: python tools/bench_curation_scale.py [n_docs]
+With ``--full`` the round-6 stages run too: domain-mixture rebalance
+over a synthetic skewed source column (90/9/1% web/books/wiki),
+duplicated-substring excision of the survivors (k=8), and leakage-free
+split assignment keyed on the near-dup components (one survivor per
+component by construction — the no-straddling invariant itself is
+pinned by tests/test_curation.py); the probe reports split sizes and
+total excised tokens.
+
+Usage: python tools/bench_curation_scale.py [n_docs] [--full]
 Prints one JSON line; headline numbers live in README's measured scale
 behavior table.
 """
@@ -20,7 +28,9 @@ sys.path.insert(0, ".")
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    args = [a for a in sys.argv[1:] if a != "--full"]
+    full = "--full" in sys.argv[1:]
+    n = int(args[0]) if args else 1_000_000
 
     from pyspark.sql import functions as F
 
@@ -30,23 +40,54 @@ def main() -> int:
     from adsb_clickhouse_spark.session import get_spark
 
     spark = get_spark("curation-scale")
-    corpus = make_corpus(spark, n).withColumn("lang", F.lit("en")).persist()
+    corpus = make_corpus(spark, n).withColumn("lang", F.lit("en"))
+    if full:
+        corpus = corpus.withColumn(
+            "source",
+            F.when(F.col("doc_id") % 100 < 90, "web")
+            .when(F.col("doc_id") % 100 < 99, "books")
+            .otherwise("wiki"),
+        )
+    corpus = corpus.persist()
     corpus.count()  # materialize: probe timing excludes generation
 
+    extra = (
+        dict(
+            apply_domain_mixture=True,
+            mixture_alpha=0.5,
+            mixture_budget_frac=0.6,
+            remove_dup_substrings=8,
+            assign_splits=True,
+        )
+        if full
+        else {}
+    )
     t0 = time.time()
     res = curate_documents(
         corpus,
         min_quality=0.1,
         dedup_threshold=0.5,
         pack_budget=2048,
+        **extra,
     )
     funnel = res.funnel()
     # force the packed stage fully (funnel's max(pack_id) already ran the
     # prefix-sum job; count the rows too so the full output materializes)
     funnel["packed_rows"] = res.packed.count()
+    out = {"n_docs": n, "full": full, **funnel}
+    if full:
+        splits = {
+            r["split"]: r["n"]
+            for r in res.packed.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        out["split_sizes"] = splits
+        out["excised_tokens"] = int(
+            res.packed.agg(F.sum("n_dup_tokens")).collect()[0][0] or 0
+        )
     wall = time.time() - t0
+    out["wall_sec"] = round(wall, 1)
 
-    print(json.dumps({"n_docs": n, "wall_sec": round(wall, 1), **funnel}))
+    print(json.dumps(out))
     return 0
 
 
