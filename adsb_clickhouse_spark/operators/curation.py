@@ -243,6 +243,68 @@ def quality_signals(
     )
 
 
+def corpus_report(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    domain_col: str = "source",
+) -> DataFrame:
+    """One-pass corpus data card: per (predicted_lang × domain) rollup —
+    with grand-total and per-axis subtotals via ``cube`` — of document
+    count, token mass, PII incidence, exact-duplicate share, and mean
+    quality. The report a curation run publishes next to its output
+    (the "datasheet" aggregate of the public data-card literature).
+
+    Composes the already-verified builders (``langid_signals``,
+    ``quality_signals``, ``pii_scrub``) — each a projection or bounded
+    aggregate — then ONE cube aggregation; dup share comes from the
+    exact-fingerprint counts (a doc is a duplicate if its fingerprint
+    appears >1 time corpus-wide). NULL predicted_lang/domain rows in
+    the output are the cube subtotals. At 100 TB this is two shuffles
+    (fingerprint counts + the cube) over an otherwise scan-speed plan."""
+    from .scrub import pii_scrub
+
+    lang = langid_signals(
+        docs, text_col=text_col, id_col=id_col, lang_col=lang_col
+    ).select("doc_id", "predicted_lang")
+    # NULL text → NULL exact_fingerprint; coalesce to '' so the
+    # fingerprint-count join can't silently drop NULL-text docs
+    qual = quality_signals(docs, text_col=text_col, id_col=id_col).select(
+        "doc_id",
+        "quality_score",
+        F.coalesce("exact_fingerprint", F.lit("")).alias("exact_fingerprint"),
+    )
+    pii = pii_scrub(docs, text_col=text_col, id_col=id_col).select(
+        F.col("id").alias("doc_id"), "has_pii"
+    )
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(domain_col).alias("domain"),
+            F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        )
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(pii, "doc_id")
+    )
+    fp_counts = base.groupBy("exact_fingerprint").agg(
+        F.count("*").alias("__fpc")
+    )
+    return (
+        base.join(fp_counts, "exact_fingerprint")
+        .cube("predicted_lang", "domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.col("has_pii").cast("long")).alias("n_pii_docs"),
+            F.sum((F.col("__fpc") > 1).cast("long")).alias("n_exact_dup_docs"),
+            F.round(F.avg("quality_score"), 4).alias("mean_quality"),
+        )
+    )
+
+
 SPLIT_SALT = 91  # independent of the langid / mixture sampler salts
 
 

@@ -306,3 +306,29 @@ def test_write_training_shards_roundtrip_and_manifest(spark, docs, tmp_path):
 
     disk = _json.load(open(os.path.join(out, "_manifest.json")))
     assert disk == manifest
+
+
+def test_corpus_report_data_card(spark, docs):
+    """The cube report: leaf cells sum to the grand total, dup share
+    counts both members of the exact-dup pair (docs 3/4 redact... no —
+    3/4 differ pre-redaction; the report works on RAW text, so only
+    identical raw texts count), PII docs counted, token mass positive."""
+    d = docs.withColumn(
+        "source", F.when(F.col("doc_id") < 5, "web").otherwise("books")
+    )
+    rows = C.corpus_report(d).collect()
+    total = [r for r in rows if r["predicted_lang"] is None and r["domain"] is None]
+    assert len(total) == 1 and total[0]["n_docs"] == 10
+    leaves = [r for r in rows if r["predicted_lang"] is not None and r["domain"] is not None]
+    assert sum(r["n_docs"] for r in leaves) == 10
+    assert total[0]["n_pii_docs"] == 3  # docs 3, 4 (phones), 9 (email)
+    assert total[0]["n_exact_dup_docs"] == 0  # no byte-identical raw texts
+    assert total[0]["n_tokens"] > 100
+    # planted an exact dup -> both members counted
+    d2 = d.union(d.filter(F.col("doc_id") == 2).withColumn("doc_id", F.lit(99)))
+    t2 = [
+        r
+        for r in C.corpus_report(d2).collect()
+        if r["predicted_lang"] is None and r["domain"] is None
+    ][0]
+    assert t2["n_exact_dup_docs"] == 2
