@@ -817,7 +817,15 @@ def duplicated_substring_stats(
 
     At 100 TB the dup-set shuffle (2) is the cost center and is exactly
     the shingle-index shuffle every other dedup family already pays; the
-    interval pass adds one doc_id-keyed join and zero further exchanges."""
+    interval pass adds one doc_id-keyed join and zero further exchanges.
+    Skew note: a boilerplate k-gram shared by millions of documents makes
+    its hash a hot key in the join (3) — both sides hash-partition on h,
+    so the hot key's gram rows converge on one reducer. The session
+    enables AQE (skewedJoin splits the oversized partition and replicates
+    the single dup-set row), which is the correct mitigation here because
+    the dup side of a hot key is exactly ONE row — unlike the pair-join
+    dedup families there is no quadratic blow-up to cap, so no
+    ``max_shingle_freq`` analogue is needed for correctness or memory."""
     d = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     )

@@ -966,3 +966,45 @@ def test_chunk_documents_short_and_null_docs(spark):
     assert len(out[2]) == 1 and out[2][0]["chunk_text"] == ""
     assert out[2][0]["n_tok"] == 0
     assert len(out[3]) == 1 and out[3][0]["n_tok"] == 5
+
+
+# ------------------------------------------------------- chunk -> ANN (RAG)
+
+
+def test_chunk_embed_index_composition(spark):
+    """The RAG indexing path composes from existing operators: chunk the
+    corpus, embed each chunk with a deterministic hash projection (pure
+    codegen — a stand-in for a real encoder), build the IVF index over
+    chunk embeddings, and retrieve. A chunk duplicated across two docs
+    embeds identically, so querying with it returns both copies at
+    cos_sim 1.0 before any other neighbor."""
+    from adsb_clickhouse_spark.functions.texttools import salted_md5_long
+    from adsb_clickhouse_spark.operators.packing import chunk_documents
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (1, f"{shared} aa bb cc dd ee ff gg hh"),
+        (2, f"zz yy xx ww vv uu tt ss {shared}"),
+        (3, "completely different content with no shared window at all x1 x2 x3 x4 x5"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(d, chunk_tokens=8, stride=8).withColumn(
+        "vec_id", F.col("doc_id") * 100 + F.col("chunk_idx")
+    )
+    # deterministic 8-dim hash embedding of the chunk TEXT (identical
+    # text -> identical vector), values in [0, 1)
+    dims = [
+        (salted_md5_long(F.col("chunk_text"), j) % 1000).cast("double") / 1000.0
+        for j in range(8)
+    ]
+    emb = chunks.select("vec_id", F.array(*dims).cast("array<double>").alias("embedding"))
+    assign, cents = S.ivf_build(emb, n_lists=3, iters=2)
+    q = emb.filter(F.col("vec_id") == 100)  # doc 1's shared-window chunk
+    out = sorted(
+        S.ivf_search(emb, assign, cents, q, k=2, nprobe=3).collect(),
+        key=lambda r: r["rank"],
+    )
+    # self is excluded by contract; rank 1 is the OTHER copy of the
+    # duplicated chunk at exact cosine 1.0, ahead of every honest neighbor
+    assert out[0]["neighbor_id"] == 201 and abs(out[0]["cos_sim"] - 1.0) < 1e-9
+    assert out[1]["cos_sim"] < 1.0
