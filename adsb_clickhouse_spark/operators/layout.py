@@ -60,3 +60,45 @@ def probe_ann_layout(
     return spark.read.parquet(path).filter(
         F.col(key_col).isin([int(k) for k in keys])
     )
+
+
+def write_curated_layout(
+    curated: DataFrame,
+    path: str,
+    *,
+    partition_cols: Sequence[str] = ("split", "predicted_lang"),
+    sort_col: str | None = "doc_id",
+) -> None:
+    """Persist a curated corpus partitioned by its consumption keys —
+    by default (split, predicted_lang), so a training reader of ONE
+    split (or one language slice) lists only its own directories and a
+    per-doc lookup skips row groups via the within-file doc_id sort.
+    The storage-side twin of ``curate_documents(assign_splits=True)``
+    output: at 100 TB "give me the English train split" must be a
+    partition-pruned scan, never a corpus scan + filter
+    (tests/test_curation.py asserts the PartitionFilters reach the
+    scan, same discipline as the ANN layouts above)."""
+    cols = list(partition_cols)
+    if not cols:
+        raise ValueError("need at least one partition column")
+    if sort_col in cols:
+        raise ValueError("sort_col must differ from the partition keys")
+    df = curated.repartition(*[F.col(c) for c in cols])
+    if sort_col is not None:
+        df = df.sortWithinPartitions(*cols, sort_col)
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+def read_curated_split(
+    spark: SparkSession,
+    path: str,
+    *,
+    split: str,
+    langs: Sequence[str] | None = None,
+) -> DataFrame:
+    """Read one split (optionally narrowed to languages) of a stored
+    curated layout with partition pruning."""
+    df = spark.read.parquet(path).filter(F.col("split") == split)
+    if langs is not None:
+        df = df.filter(F.col("predicted_lang").isin(list(langs)))
+    return df

@@ -332,3 +332,31 @@ def test_corpus_report_data_card(spark, docs):
         if r["predicted_lang"] is None and r["domain"] is None
     ][0]
     assert t2["n_exact_dup_docs"] == 2
+
+
+def test_curated_layout_split_read_prunes_partitions(spark, docs, tmp_path):
+    """The stored curated corpus prunes to the requested split/lang at
+    the PLAN level: the train read's scan lists only split=train
+    directories (PartitionFilters), never scan-then-filter."""
+    from adsb_clickhouse_spark.operators.layout import (
+        read_curated_split,
+        write_curated_layout,
+    )
+
+    res = C.curate_documents(docs, assign_splits=True, pack_budget=64)
+    curated = res.packed.select(
+        "doc_id", "clean_text", "predicted_lang", "split", "pack_id"
+    )
+    out = str(tmp_path / "corpus")
+    write_curated_layout(curated, out)
+    train = read_curated_split(spark, out, split="train", langs=["en"])
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "split" in plan.split("PartitionFilters")[1][:200]
+    # pruned read returns exactly the train/en rows of the full set
+    full = {
+        (r["doc_id"])
+        for r in curated.filter(
+            (F.col("split") == "train") & (F.col("predicted_lang") == "en")
+        ).collect()
+    }
+    assert {r["doc_id"] for r in train.collect()} == full
