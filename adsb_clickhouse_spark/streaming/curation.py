@@ -63,6 +63,7 @@ class CurationIngest:
         keep_langs: tuple[str, ...] | None = None,
         drop_pii_docs: bool = False,
         run_id: str | None = None,
+        assign_splits: bool = False,
     ):
         self.curated_path = os.path.join(base_dir, "curated")
         self.fps_path = os.path.join(base_dir, "fingerprints")
@@ -70,6 +71,7 @@ class CurationIngest:
         self.keep_langs = keep_langs
         self.drop_pii_docs = drop_pii_docs
         self.run_id = run_id
+        self.assign_splits = assign_splits
 
     def _seg(self, batch_id: int | None) -> str:
         if batch_id is None:
@@ -115,6 +117,24 @@ class CurationIngest:
             if store is not None
             else batch_unique
         )
+        if self.assign_splits:
+            # split = salted hash of the exact fingerprint — a pure
+            # per-row function, so the assignment is identical to the
+            # batch operator's exact mode AND stable across batches
+            # (the same text always lands in the same split, no state)
+            from ..functions.texttools import md5_long
+            from ..operators.curation import SPLIT_SALT
+
+            bucket = (
+                md5_long(F.concat(F.lit(f"{SPLIT_SALT}|"), F.col("fingerprint")))
+                % 10
+            ).cast("int")
+            fresh = fresh.withColumn("split_bucket", bucket).withColumn(
+                "split",
+                F.when(bucket < 8, "train")
+                .when(bucket < 9, "val")
+                .otherwise("test"),
+            )
         fresh = fresh.persist()
         try:
             (

@@ -88,3 +88,32 @@ def test_streaming_smoke_file_source(spark, tmp_path):
         r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()
     )
     assert kept == [0, 2]
+
+
+def test_streaming_split_assignment_matches_batch_operator(spark, tmp_path):
+    """With assign_splits=True every curated row carries a split that
+    EQUALS the batch operator's exact-mode assignment for the same text
+    — across different batches (the split is a pure function of the
+    fingerprint, so streaming needs no state to stay consistent)."""
+    from adsb_clickhouse_spark.operators.curation import dedup_aware_split
+    from adsb_clickhouse_spark.streaming.curation import CurationIngest
+
+    ing = CurationIngest(str(tmp_path / "cur"), assign_splits=True)
+    rows1 = [(i, f"batch one document number {i} with words") for i in range(30)]
+    rows2 = [(100 + i, f"batch two document number {i} and tail") for i in range(30)]
+    ing.process_batch(
+        spark.createDataFrame(rows1, "doc_id long, text string"), batch_id=0
+    )
+    ing.process_batch(
+        spark.createDataFrame(rows2, "doc_id long, text string"), batch_id=1
+    )
+    out = ing.curated(spark)
+    got = {r["doc_id"]: (r["split_bucket"], r["split"]) for r in out.collect()}
+    assert len(got) == 60
+    # batch-operator assignment over the SAME clean texts must agree
+    ref_in = out.select("doc_id", F.col("clean_text").alias("text"))
+    ref = {
+        r["doc_id"]: (r["split_bucket"], r["split"])
+        for r in dedup_aware_split(ref_in).collect()
+    }
+    assert got == ref
