@@ -243,6 +243,49 @@ def quality_signals(
     )
 
 
+def vocab_coverage(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50_000,
+) -> DataFrame:
+    """(token, count, rank, cum_coverage): the ``top_k`` corpus tokens by
+    frequency with their cumulative share of all token occurrences — the
+    seed-vocabulary / OOV-rate planning step of tokenizer training
+    (coverage at rank k = 1 − OOV rate of a k-word vocab).
+
+    Scale shape: one token-explode + groupBy(token) count (map-side
+    partial agg over the corpus — the only corpus-sized work), then a
+    distributed ``orderBy(count desc).limit(top_k)`` top-k (per-partition
+    heads, no global sort materialization). ONLY the retained k rows pass
+    through the rank/cumsum window; its single partition is bounded by
+    ``top_k`` — a documented driver-sized tail, same contract as the IVF
+    seed collects, never corpus-sized. Ties rank lexicographically so the
+    output is deterministic."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+    )
+    total = counts.agg(F.sum("count").alias("__total"))
+    top = counts.orderBy(F.desc("count"), F.asc("token")).limit(int(top_k))
+    w = (
+        Window.orderBy(F.desc("count"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("count"), F.asc("token"))))
+        .withColumn(
+            "cum_coverage", F.round(F.sum("count").over(w) / F.col("__total"), 6)
+        )
+        .select("token", "count", "rank", "cum_coverage")
+    )
+
+
 def corpus_report(
     docs: DataFrame,
     *,

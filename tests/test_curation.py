@@ -360,3 +360,21 @@ def test_curated_layout_split_read_prunes_partitions(spark, docs, tmp_path):
         ).collect()
     }
     assert {r["doc_id"] for r in train.collect()} == full
+
+
+def test_vocab_coverage_ranks_and_oov(spark):
+    """Known frequencies: 'a'x6, 'b'x3, 'c'x1 -> ranks 1/2/3, coverage
+    0.6/0.9/1.0; top_k=2 keeps a,b and coverage still divides by the
+    FULL corpus mass (so 1 - last coverage = OOV rate of the clipped
+    vocab)."""
+    from adsb_clickhouse_spark.operators.curation import vocab_coverage
+
+    d = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c"), (3, "a a b")], "doc_id long, text string"
+    )
+    full = {r["token"]: r for r in vocab_coverage(d, top_k=10).collect()}
+    assert (full["a"]["rank"], full["b"]["rank"], full["c"]["rank"]) == (1, 2, 3)
+    assert [full[t]["cum_coverage"] for t in "abc"] == [0.6, 0.9, 1.0]
+    clipped = vocab_coverage(d, top_k=2).collect()
+    assert [r["token"] for r in sorted(clipped, key=lambda r: r["rank"])] == ["a", "b"]
+    assert max(r["cum_coverage"] for r in clipped) == 0.9  # 10% OOV at k=2
