@@ -61,6 +61,11 @@ def main() -> int:
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
+    # modest cap: DuckDB's default reservation is 80% of RAM, which
+    # malloc-fails when Spark JVMs hold most of the box — the oracles
+    # need far less than this
+    con.execute("SET memory_limit='12GB'")
+    con.execute("SET threads=8")
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
