@@ -131,6 +131,7 @@ def test_events_ts_floors_nanos_to_micros(spark):
         .collect()
     }
     con = duckdb.connect()
+    con.execute("SET memory_limit='12GB'")
     want = dict(
         con.execute(
             "SELECT event_id, epoch_us(ts) FROM "

@@ -29,6 +29,10 @@ TABLES = (
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
+    # DuckDB's default reservation (80% of RAM) malloc-fails when Spark
+    # JVMs hold the box — same cap as tools/check_correctness.py
+    c.execute("SET memory_limit='12GB'")
+    c.execute("SET threads=8")
     for t in TABLES:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return c

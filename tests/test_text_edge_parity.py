@@ -79,6 +79,7 @@ def test_edge_corpus_oracle_parity(spark, edge_sf_dir, name):
     srows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb.connect()
+    con.execute("SET memory_limit='12GB'")
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"'{edge_sf_dir}/documents.parquet/*.parquet'"
@@ -141,6 +142,7 @@ def test_edge_embeddings_oracle_parity(spark, edge_emb_dir, name):
                 assert d[c] not in (3, 6), f"zero vector {d[c]} leaked into {name}"
 
     con = duckdb.connect()
+    con.execute("SET memory_limit='12GB'")
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
         f"'{edge_emb_dir}/embeddings.parquet/*.parquet'"
@@ -190,6 +192,7 @@ def test_fuzz_corpus_oracle_parity(spark, fuzz_sf_dir, name):
     srows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb.connect()
+    con.execute("SET memory_limit='12GB'")
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"'{fuzz_sf_dir}/documents.parquet/*.parquet'"
