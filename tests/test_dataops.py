@@ -1008,3 +1008,23 @@ def test_chunk_embed_index_composition(spark):
     # duplicated chunk at exact cosine 1.0, ahead of every honest neighbor
     assert out[0]["neighbor_id"] == 201 and abs(out[0]["cos_sim"] - 1.0) < 1e-9
     assert out[1]["cos_sim"] < 1.0
+
+
+def test_dedup_audit_sampled_recall_and_precision(spark):
+    """The audit samples deterministically, measures LSH recall against
+    exact Jaccard on the sample, and reports precision 1.0 (candidates
+    are exact-verified). On the planted-dup synthetic corpus the exact
+    pairs at J>=0.5 within the sample must all be found or counted."""
+    import sys
+    sys.path.insert(0, "tools")
+    from bench_dedup_scale import make_corpus
+
+    corpus = make_corpus(spark, 4000)
+    row = D.dedup_audit(corpus, threshold=0.5, sample_mod=4).collect()[0]
+    assert 0 < row["sample_docs"] < 4000
+    assert row["truth_pairs"] > 0
+    assert row["precision"] == 1.0  # verified candidates can't be wrong
+    assert row["recall"] >= 0.9     # exact dups collide in every band
+    # deterministic: same numbers on a rerun
+    again = D.dedup_audit(corpus, threshold=0.5, sample_mod=4).collect()[0]
+    assert tuple(row) == tuple(again)

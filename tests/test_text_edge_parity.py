@@ -38,6 +38,13 @@ EDGE_DOCS = [
     (17, "a b c d e f g h i j k l m n o p q r s t", "en", "edge", 39),
     (18, "word " * 200, "en", "edge", 1000),
     (19, None, "en", "edge", 0),  # NULL text: tokenizes as empty (contract)
+    # 20/21: share an 8+-token run at different offsets — exercises the
+    # duplicated-substring branch (merged spans, excised text) cross-doc
+    (20, "unique lead in tokens shared run alpha beta gamma delta epsilon zeta eta theta trailing bits", "en", "edge", 95),
+    (21, "other opening shared run alpha beta gamma delta epsilon zeta eta theta and a different tail", "en", "edge", 92),
+    # 22: one token repeated way past the 8-gram width — every position
+    # covered by a WITHIN-DOC duplicated gram, dedup_text must go empty
+    (22, "loop " * 40, "en", "edge", 200),
 ]
 
 TEXT_QUERIES = [
