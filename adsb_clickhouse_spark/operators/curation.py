@@ -93,8 +93,14 @@ def domain_mixture(
     a pure per-row projection, so the operator adds ZERO corpus-sized
     shuffles and is stable when the corpus grows (rates shift only as
     domain counts shift)."""
+    # NULL domains form their own mixture group via a sentinel key — a
+    # NULL group key would fail the equi-join back and silently drop the
+    # doc from the funnel (r6 advice); the output column keeps the
+    # original (possibly NULL) domain value
     d = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(domain_col).alias("__domain")
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("__orig_domain"),
+        F.coalesce(F.col(domain_col), F.lit("__null_domain__")).alias("__domain"),
     )
     counts = d.groupBy("__domain").agg(F.count("*").alias("c"))
     tot = counts.agg(
@@ -117,7 +123,7 @@ def domain_mixture(
     )
     return d.join(F.broadcast(rates), "__domain").select(
         "doc_id",
-        F.col("__domain").alias(domain_col),
+        F.col("__orig_domain").alias(domain_col),
         "mix_rate_bp",
         (
             md5_long(F.concat(F.lit(f"{MIX_SALT}|"), F.col("doc_id").cast("string")))
@@ -247,7 +253,6 @@ def vocab_coverage(
     docs: DataFrame,
     *,
     text_col: str = "text",
-    id_col: str = "doc_id",
     top_k: int = 50_000,
 ) -> DataFrame:
     """(token, count, rank, cum_coverage): the ``top_k`` corpus tokens by
@@ -547,9 +552,10 @@ def curate_documents(
         winners = members.groupBy("comp").agg(
             F.max_by(
                 "id",
+                # tie-break on the long directly: a double cast loses
+                # precision above 2^53 and could flip the smaller-id rule
                 F.struct(
-                    F.col("quality_score"),
-                    (-F.col("id")).cast("double").alias("neg_id"),
+                    F.col("quality_score"), (-F.col("id")).alias("neg_id")
                 ),
             ).alias("__winner")
         )
@@ -569,10 +575,19 @@ def curate_documents(
         excised = duplicated_substring_stats(
             kept, text_col="clean_text", id_col="doc_id", k=int(remove_dup_substrings)
         ).select("doc_id", "dedup_text", "n_dup_tokens")
+        # dedup_text is tokens() re-joined (lowercased, punctuation
+        # stripped) — only docs with an actual excision may be rewritten;
+        # untouched survivors keep their text byte-exactly (r6 advice)
         kept = (
-            kept.drop("clean_text")
+            kept.withColumnRenamed("clean_text", "__pre_excise")
             .join(excised, "doc_id")
-            .withColumnRenamed("dedup_text", "clean_text")
+            .withColumn(
+                "clean_text",
+                F.when(F.col("n_dup_tokens") > 0, F.col("dedup_text")).otherwise(
+                    F.col("__pre_excise")
+                ),
+            )
+            .drop("dedup_text", "__pre_excise")
         )
     packed = pack_assignments(
         kept.withColumn("n_tokens", F.size(tokens(F.col("clean_text")))),

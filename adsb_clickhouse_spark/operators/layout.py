@@ -89,6 +89,87 @@ def write_curated_layout(
     df.write.mode("overwrite").partitionBy(*cols).parquet(path)
 
 
+def append_curated_layout(
+    curated: DataFrame,
+    path: str,
+    *,
+    partition_cols: Sequence[str] = ("split", "predicted_lang"),
+    sort_col: str | None = "doc_id",
+) -> None:
+    """Append one curation run's output to an existing curated layout —
+    same partitioning/sort discipline as ``write_curated_layout`` but
+    additive: each run adds its own files inside the (split, lang)
+    directories. Per-run appends accrete small files; run
+    ``compact_curated_layout`` periodically to fold a partition's files
+    back to a bounded count (the same closed-partition compaction
+    discipline as plans/tables.compact_partition)."""
+    cols = list(partition_cols)
+    if not cols:
+        raise ValueError("need at least one partition column")
+    if sort_col in cols:
+        raise ValueError("sort_col must differ from the partition keys")
+    df = curated.repartition(*[F.col(c) for c in cols])
+    if sort_col is not None:
+        df = df.sortWithinPartitions(*cols, sort_col)
+    df.write.mode("append").partitionBy(*cols).parquet(path)
+
+
+def compact_curated_layout(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_cols: Sequence[str] = ("split", "predicted_lang"),
+    sort_col: str | None = "doc_id",
+    target_files: int = 1,
+) -> dict:
+    """OPTIMIZE analogue for an appended-to curated layout: rewrite each
+    leaf partition directory's accumulated per-run files into
+    ``target_files`` sorted files, swapped in atomically per leaf (the
+    displaced directory gets a dot-prefixed name partition discovery
+    ignores, exactly like plans/tables._atomic_swap). Directory names
+    are untouched, so partition pruning pins identically before and
+    after. Single-writer maintenance job — run it when no append is in
+    flight. Returns per-leaf before/after file counts."""
+    import os
+
+    from ..plans.tables import _atomic_swap
+
+    cols = list(partition_cols)
+    depth = len(cols)
+    if depth == 0:
+        raise ValueError("need at least one partition column")
+
+    def _leaves(d: str, level: int) -> list[str]:
+        if level == depth:
+            return [d]
+        out: list[str] = []
+        prefix = cols[level] + "="
+        for e in sorted(os.listdir(d)):
+            if e.startswith(prefix) and os.path.isdir(os.path.join(d, e)):
+                out += _leaves(os.path.join(d, e), level + 1)
+        return out
+
+    stats: dict[str, dict[str, int]] = {}
+    for leaf in _leaves(path, 0):
+        before = [e for e in os.listdir(leaf) if e.endswith(".parquet")]
+        if len(before) <= target_files:
+            continue
+        df = spark.read.parquet(leaf)
+        if sort_col is not None:
+            df = df.repartition(int(target_files)).sortWithinPartitions(sort_col)
+        else:
+            df = df.repartition(int(target_files))
+        staging = os.path.join(
+            os.path.dirname(leaf), f".compact-staging.{os.path.basename(leaf)}"
+        )
+        df.write.mode("overwrite").parquet(staging)
+        _atomic_swap(staging, leaf)
+        after = [e for e in os.listdir(leaf) if e.endswith(".parquet")]
+        rel = os.path.relpath(leaf, path)
+        stats[rel] = {"files_before": len(before), "files_after": len(after)}
+    return stats
+
+
 def read_curated_split(
     spark: SparkSession,
     path: str,

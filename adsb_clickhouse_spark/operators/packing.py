@@ -144,12 +144,20 @@ def write_training_shards(
         ],
     }
     import json
-    import os
 
-    # local-FS manifest write; at cluster scale swap for the Hadoop FS
-    # API — the payload is shard-count-sized either way
-    with open(os.path.join(path, "_manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1)
+    # manifest through the Hadoop FileSystem API so the one shipping
+    # artifact works against whatever store the shards landed in
+    # (file:/, hdfs:/, s3a:/ ...) — the payload is shard-count-sized
+    spark = packed.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    out_path = jvm.org.apache.hadoop.fs.Path(path, "_manifest.json")
+    fs = out_path.getFileSystem(hconf)
+    stream = fs.create(out_path, True)
+    try:
+        stream.write(bytearray(json.dumps(manifest, indent=1).encode("utf-8")))
+    finally:
+        stream.close()
     return manifest
 
 

@@ -177,9 +177,10 @@ def _duck_langid_sql() -> str:
     p AS (SELECT doc_id, lang AS labeled_lang, {pred} AS predicted_lang,
                  s_en, s_es, s_de, s_fr
           FROM s),
-    mix0 AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+    mix0 AS (SELECT coalesce(source, '__null_domain__') AS dkey, count(*) AS c
+             FROM documents GROUP BY 1),
     mixt AS (SELECT sum(power(c, {MIX_ALPHA})) AS s, sum(c) AS n FROM mix0),
-    mixr AS (SELECT source, CAST(floor({mrate} * {_SAMPLE_MOD}) AS BIGINT)
+    mixr AS (SELECT dkey, CAST(floor({mrate} * {_SAMPLE_MOD}) AS BIGINT)
                     AS mix_rate_bp
              FROM mix0, mixt)
     SELECT p.*, CAST({rate} AS DOUBLE) AS sample_rate,
@@ -189,7 +190,7 @@ def _duck_langid_sql() -> str:
            ({mh}) % {_SAMPLE_MOD} < mixr.mix_rate_bp AS mix_keep
     FROM p
     JOIN documents d ON p.doc_id = d.doc_id
-    JOIN mixr ON d.source = mixr.source
+    JOIN mixr ON coalesce(d.source, '__null_domain__') = mixr.dkey
     ORDER BY p.doc_id
     """
 

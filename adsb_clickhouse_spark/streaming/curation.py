@@ -13,27 +13,54 @@ Per micro-batch:
     survivors to the curated table + their fingerprints to the store
 
 Delivery semantics follow the MV cascade (streaming/pipeline.py): both
-appends are batch-keyed ``batch_id=`` segment writes, and a replayed
-batch first removes its own leftover segments — so a crash anywhere in
-the body (including between the two appends) converges to exactly one
-copy of the batch in BOTH tables. The store read excludes nothing: by
-deleting this batch's leftovers before reading, a replay can never be
-suppressed by its own crashed attempt's fingerprints.
+appends are batch-keyed ``batch_id=`` segment writes, a batch is
+COMMITTED by an atomic marker file written after both appends, and a
+replayed batch either no-ops (marker present — the previous attempt
+finished both writes) or first removes its own leftover segments and
+rewrites — so a crash anywhere in the body (including between the two
+appends) converges to exactly one copy of the batch in BOTH tables.
+The marker, not the segment, is the commit record: it survives
+compaction folding the segment away, so a redelivery racing the
+checkpoint commit can never clear-and-suppress its own data.
+
+Store lifecycle (the at-scale half):
+
+- ``compact_fingerprints`` folds committed ``batch_id=`` segments into
+  a fingerprint-BUCKETED catalog table (plans/bucketing.write_bucketed)
+  behind a ``_STORE`` pointer file — the per-batch anti-join then reads
+  matching buckets directly (zero Exchange on the store side; only the
+  small batch shuffles) instead of re-listing and re-shuffling an
+  ever-growing pile of tiny segment files. Generational: each
+  compaction writes a fresh table, repoints, deletes the folded
+  segments, drops the old generation — every crash window leaves the
+  store a superset of the truth, which a left-anti join reads
+  identically, and a re-run converges it.
+- ``compact_curated`` is the periodic near-dedup merge over the
+  curated table: MinHash pairs → connected components → keep the
+  lowest doc_id per component, survivors rewritten into ONE
+  ``batch_id=nearcompact-*`` segment whose ``_FOLDED`` manifest lists
+  the segments it replaces. Readers resolve manifests, so the fold is
+  exactly-once the instant the segment's atomic rename lands; deleting
+  the folded directories is pure GC that can lag or crash harmlessly.
+  Dropped docs' exact fingerprints stay in the store on purpose —
+  byte-identical copies of a pruned near-dup must remain suppressed.
 
 Scale shape: the anti-join shuffles on the 16-byte fingerprint — the
 store side is the accumulated KEPT set (post-dedup, so it grows with
-unique content, not ingest volume), and at cluster scale the store is
-bucketed on fingerprint so the per-batch join co-locates without
-re-shuffling the store. The whole body is projections + one groupBy +
-one anti-join; no Python on the hot path. Near-dedup (MinHash) stays a
-periodic BATCH compaction over the curated table — banding against an
-unbounded historical corpus per micro-batch would couple batch latency
-to corpus size, which is the wrong half of the lambda split.
+unique content, not ingest volume) and after compaction is bucketed on
+fingerprint, so the join co-locates without re-shuffling the store.
+The whole body is projections + one groupBy + one anti-join; no Python
+on the hot path. Near-dedup stays the periodic BATCH compaction above —
+banding against an unbounded historical corpus per micro-batch would
+couple batch latency to corpus size, which is the wrong half of the
+lambda split.
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
+import json
 import os
 import shutil
 import uuid
@@ -46,10 +73,24 @@ from ..operators.curation import langid_signals, quality_signals
 from ..operators.scrub import pii_scrub
 from .pipeline import _checkpoint_run_id
 
+_STORE_POINTER = "_STORE"
+_COMMITS_DIR = "_commits"
+_FOLDED_MANIFEST = "_FOLDED"
+
 
 def _clear_segment(path: str, seg: str) -> None:
     for leftover in glob.glob(os.path.join(path, f"batch_id={seg}")):
         shutil.rmtree(leftover, ignore_errors=True)
+
+
+def _seg_dirs(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    return sorted(e for e in os.listdir(path) if e.startswith("batch_id="))
+
+
+def _seg_name(entry: str) -> str:
+    return entry.split("=", 1)[1]
 
 
 class CurationIngest:
@@ -67,6 +108,7 @@ class CurationIngest:
     ):
         self.curated_path = os.path.join(base_dir, "curated")
         self.fps_path = os.path.join(base_dir, "fingerprints")
+        self.commits_path = os.path.join(base_dir, _COMMITS_DIR)
         self.min_quality = min_quality
         self.keep_langs = keep_langs
         self.drop_pii_docs = drop_pii_docs
@@ -78,11 +120,33 @@ class CurationIngest:
             return f"adhoc-{uuid.uuid4().hex[:12]}"
         return f"b{self.run_id}-{batch_id}" if self.run_id else f"b{batch_id}"
 
+    # -- commit markers ----------------------------------------------------
+
+    def _marker(self, seg: str) -> str:
+        return os.path.join(self.commits_path, seg)
+
+    def _is_committed(self, seg: str) -> bool:
+        return os.path.exists(self._marker(seg))
+
+    def _write_marker(self, seg: str) -> None:
+        os.makedirs(self.commits_path, exist_ok=True)
+        tmp = self._marker(seg) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(seg)
+        os.replace(tmp, self._marker(seg))  # atomic on POSIX
+
     # -- the funnel body (used by both batch and streaming) ---------------
 
     def process_batch(self, docs: DataFrame, batch_id: int | None = None) -> None:
         spark = docs.sparkSession
         seg = self._seg(batch_id)
+        if batch_id is not None and self._is_committed(seg):
+            # the previous attempt finished BOTH appends; redelivery
+            # (foreachBatch crash after process_batch returned but before
+            # the checkpoint commit) must not clear-and-rewrite — after a
+            # fingerprint compaction folded the segment, the rewrite would
+            # be suppressed by its own fingerprints and the data lost
+            return
         # replay safety FIRST: a crashed attempt's fingerprints must not
         # suppress this replay's own rows at the anti-join below
         _clear_segment(self.curated_path, seg)
@@ -110,13 +174,15 @@ class CurationIngest:
             ["fingerprint", "doc_id"],
             "left_semi",
         )
-        # cross-batch: drop anything an earlier batch already kept
-        store = self.read_fingerprints(spark)
-        fresh = (
-            batch_unique.join(store, "fingerprint", "left_anti")
-            if store is not None
-            else batch_unique
-        )
+        # cross-batch: drop anything an earlier batch already kept. The
+        # store is read in parts — the bucketed compacted table (its scan
+        # co-locates the join: no Exchange on the store side) and the
+        # not-yet-compacted segments (small: fingerprints since the last
+        # compaction) — and anti-joined part by part so the bucketed
+        # layout's co-location isn't destroyed by a union
+        fresh = batch_unique
+        for part in self.fingerprint_store_parts(spark):
+            fresh = fresh.join(part, "fingerprint", "left_anti")
         if self.assign_splits:
             # split = salted hash of the exact fingerprint — a pure
             # per-row function, so the assignment is identical to the
@@ -150,6 +216,8 @@ class CurationIngest:
                 .partitionBy("batch_id")
                 .parquet(self.fps_path)
             )
+            if batch_id is not None:
+                self._write_marker(seg)
         finally:
             fresh.unpersist()
 
@@ -168,13 +236,220 @@ class CurationIngest:
 
     # -- query surface ----------------------------------------------------
 
+    def _live_curated_entries(self) -> list[str]:
+        """Segment dirs minus those folded by a near-dedup compaction:
+        every ``_FOLDED`` manifest present names segments whose rows live
+        on inside its own compact segment (chained compactions fold
+        earlier compact segments the same way)."""
+        entries = _seg_dirs(self.curated_path)
+        folded: set[str] = set()
+        for e in entries:
+            mf = os.path.join(self.curated_path, e, _FOLDED_MANIFEST)
+            if os.path.exists(mf):
+                with open(mf) as fh:
+                    folded.update(json.load(fh))
+        return [e for e in entries if _seg_name(e) not in folded]
+
     def curated(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.curated_path)
+        live = self._live_curated_entries()
+        if not live:
+            # surface the standard missing/empty-table error
+            return spark.read.parquet(self.curated_path)
+        return spark.read.option("basePath", self.curated_path).parquet(
+            *(os.path.join(self.curated_path, e) for e in live)
+        )
+
+    def _store_table_base(self) -> str:
+        digest = hashlib.md5(os.path.abspath(self.fps_path).encode()).hexdigest()
+        return f"curation_fps_{digest[:10]}"
+
+    def _store_table_name(self) -> str | None:
+        ptr = os.path.join(self.fps_path, _STORE_POINTER)
+        try:
+            with open(ptr) as fh:
+                name = fh.read().strip()
+            return name or None
+        except OSError:
+            return None
+
+    def fingerprint_store_parts(self, spark: SparkSession) -> list[DataFrame]:
+        """The store as its physical parts, big-to-small: the bucketed
+        compacted table (if a compaction has run), then the uncompacted
+        ``batch_id=`` segments (if any). Bootstrap states (no store dir,
+        no parts yet) yield an empty list; a DANGLING pointer — the
+        ``_STORE`` file names a table the catalog lost — raises, because
+        silently skipping the compacted store would re-admit every
+        duplicate it remembers. Corrupted segment files likewise surface
+        as read/scan errors rather than being swallowed."""
+        parts: list[DataFrame] = []
+        tbl = self._store_table_name()
+        if tbl is not None:
+            if not spark.catalog.tableExists(tbl):
+                raise RuntimeError(
+                    f"fingerprint store pointer names missing table {tbl!r} "
+                    f"({os.path.join(self.fps_path, _STORE_POINTER)}); "
+                    "refusing to run with cross-batch dedup silently disabled"
+                )
+            parts.append(spark.table(tbl).select("fingerprint"))
+        if _seg_dirs(self.fps_path):
+            parts.append(
+                spark.read.parquet(self.fps_path).select("fingerprint")
+            )
+        return parts
 
     def read_fingerprints(self, spark: SparkSession) -> DataFrame | None:
-        if not os.path.exists(self.fps_path):
+        """The full store as one DataFrame, or None only in the
+        legitimate bootstrap states (store never written). Any other
+        failure — dangling pointer, unreadable/truncated parquet —
+        raises (r6 advice: a corrupted store must fail the batch loudly,
+        not silently re-admit duplicates)."""
+        parts = self.fingerprint_store_parts(spark)
+        if not parts:
             return None
-        try:
-            return spark.read.parquet(self.fps_path).select("fingerprint")
-        except Exception:
-            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    # -- store lifecycle (maintenance jobs) -------------------------------
+
+    def compact_fingerprints(
+        self,
+        spark: SparkSession,
+        *,
+        buckets: int = 32,
+        assume_quiesced: bool = False,
+    ) -> dict:
+        """Fold committed fingerprint segments into the bucketed store
+        table. Only segments whose batch has a commit marker are folded
+        (an uncommitted segment may belong to a crashed attempt the
+        stream will replay; folding it would freeze a partial write into
+        the compacted store) — pass ``assume_quiesced=True`` to fold
+        ALL segments when the caller guarantees the stream is stopped
+        and its checkpoint fully committed (e.g. legacy stores written
+        before commit markers existed).
+
+        Crash-safe by construction: new generation table → atomic
+        pointer swap → delete folded segments → drop the old
+        generation. Every interruption leaves the readable store a
+        SUPERSET of the truth (fingerprints present twice are harmless
+        to a left-anti join) and a re-run converges it."""
+        seg_entries = _seg_dirs(self.fps_path)
+        foldable = [
+            e
+            for e in seg_entries
+            if assume_quiesced or self._is_committed(_seg_name(e))
+        ]
+        old_table = self._store_table_name()
+        if not foldable:
+            return {
+                "folded_segments": 0,
+                "table": old_table,
+                "skipped_uncommitted": len(seg_entries),
+            }
+        from ..plans.bucketing import write_bucketed
+
+        parts = []
+        if old_table is not None:
+            if not spark.catalog.tableExists(old_table):
+                raise RuntimeError(
+                    f"fingerprint store pointer names missing table {old_table!r}"
+                )
+            parts.append(spark.table(old_table).select("fingerprint"))
+        parts.append(
+            spark.read.parquet(
+                *(os.path.join(self.fps_path, e) for e in foldable)
+            ).select("fingerprint")
+        )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        new_table = f"{self._store_table_base()}_g{uuid.uuid4().hex[:8]}"
+        write_bucketed(
+            df.distinct(), new_table, key="fingerprint", buckets=buckets
+        )
+        # atomic repoint, then GC (segments first, then the old generation)
+        ptr = os.path.join(self.fps_path, _STORE_POINTER)
+        tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(new_table)
+        os.replace(tmp, ptr)
+        for e in foldable:
+            shutil.rmtree(os.path.join(self.fps_path, e), ignore_errors=True)
+        if old_table is not None and old_table != new_table:
+            spark.sql(f"DROP TABLE IF EXISTS {old_table}")
+        return {
+            "folded_segments": len(foldable),
+            "table": new_table,
+            "skipped_uncommitted": len(seg_entries) - len(foldable),
+        }
+
+    def compact_curated(
+        self,
+        spark: SparkSession,
+        *,
+        threshold: float = 0.5,
+        assume_quiesced: bool = False,
+        target_files: int | None = 4,
+    ) -> dict:
+        """Periodic near-dedup merge over the curated table: MinHash-LSH
+        pairs → connected components → keep the lowest doc_id per
+        component, survivors rewritten as ONE ``batch_id=nearcompact-*``
+        segment that lists the segments it folded in its ``_FOLDED``
+        manifest. Commit point = the segment's atomic rename into the
+        table directory: from that instant readers resolve the manifest
+        and exclude the folded segments, so the merge is exactly-once
+        even if the trailing directory GC crashes half-way. Only
+        committed segments (and earlier compact segments, committed by
+        construction) are folded — a replayed batch therefore can never
+        race its own fold.
+
+        Exact fingerprints of pruned docs deliberately REMAIN in the
+        fingerprint store: a byte-identical copy of a dropped near-dup
+        arriving later must still be suppressed."""
+        from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+        live = self._live_curated_entries()
+        foldable = [
+            e
+            for e in live
+            if _seg_name(e).startswith("nearcompact-")
+            or assume_quiesced
+            or self._is_committed(_seg_name(e))
+        ]
+        if not foldable:
+            return {"folded_segments": 0, "dropped_docs": 0}
+        df = spark.read.parquet(
+            *(os.path.join(self.curated_path, e) for e in foldable)
+        )
+        pairs = minhash_lsh_pairs(
+            df, text_col="clean_text", id_col="doc_id", threshold=threshold
+        )
+        comps = connected_components(pairs)
+        dropped = comps.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias("doc_id")
+        )
+        survivors = df.join(dropped, "doc_id", "left_anti")
+        if target_files is not None:
+            survivors = survivors.coalesce(int(target_files))
+        seg = f"nearcompact-{uuid.uuid4().hex[:12]}"
+        staging = os.path.join(
+            self.curated_path, f".nearcompact-staging.{uuid.uuid4().hex[:8]}"
+        )
+        out = os.path.join(staging, f"batch_id={seg}")
+        # the write MATERIALIZES the survivors before any folded segment
+        # is touched — the lineage reads the very directories GC deletes
+        survivors.write.mode("overwrite").parquet(out)
+        n_dropped = dropped.count()
+        with open(os.path.join(out, _FOLDED_MANIFEST), "w") as fh:
+            json.dump(sorted(_seg_name(e) for e in foldable), fh)
+        os.rename(out, os.path.join(self.curated_path, f"batch_id={seg}"))
+        shutil.rmtree(staging, ignore_errors=True)
+        # GC: readers already exclude the folded dirs via the manifest
+        for e in foldable:
+            shutil.rmtree(os.path.join(self.curated_path, e), ignore_errors=True)
+        return {
+            "folded_segments": len(foldable),
+            "dropped_docs": n_dropped,
+            "segment": seg,
+        }

@@ -378,3 +378,124 @@ def test_vocab_coverage_ranks_and_oov(spark):
     clipped = vocab_coverage(d, top_k=2).collect()
     assert [r["token"] for r in sorted(clipped, key=lambda r: r["rank"])] == ["a", "b"]
     assert max(r["cum_coverage"] for r in clipped) == 0.9  # 10% OOV at k=2
+
+
+def test_substring_excision_preserves_untouched_docs_byte_exact(spark):
+    """remove_dup_substrings must rewrite ONLY docs with an actual
+    excision — a doc with zero duplicated spans keeps its clean_text
+    byte-exactly (r6 advice: dedup_text is tokens() re-joined, which
+    lossy-normalizes case and punctuation)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, f"{shared} first tail one two three four five six seven"),
+        (1, f"{shared} second tail eight nine ten eleven twelve thirteen"),
+        (2, "An Untouched, punctuated Document! With CAPS and enough words."),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    res = C.curate_documents(d, lang_col=None, remove_dup_substrings=8, dedup_threshold=0.95)
+    out = {r["doc_id"]: r["clean_text"] for r in res.kept.collect()}
+    assert out[2] == rows[2][1]  # byte-exact, caps and punctuation intact
+    # the docs sharing an 8-gram did get excised
+    assert "alpha" not in out[0] and "alpha" not in out[1]
+
+
+def test_domain_mixture_null_domain_not_dropped(spark):
+    """NULL domains are their own mixture group, not silently dropped
+    (r6 advice: NULL group keys don't equi-join)."""
+    rows = [(i, "web" if i < 6 else None) for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = C.domain_mixture(d, alpha=1.0, budget_frac=1.0)
+    assert out.count() == 10
+    nulls = out.filter(F.col("source").isNull())
+    assert nulls.count() == 4
+    # alpha=1, budget=1 -> every group keeps everything
+    assert nulls.filter(~F.col("mix_keep")).count() == 0
+    # and the full funnel keeps NULL-source docs too
+    docs = spark.createDataFrame(
+        [
+            (i, f"document number {i} with plenty of english words the and of to in", s)
+            for i, s in rows
+        ],
+        "doc_id long, text string, source string",
+    )
+    res = C.curate_documents(
+        docs,
+        lang_col=None,
+        apply_domain_mixture=True,
+        mixture_alpha=1.0,
+        mixture_budget_frac=1.0,
+        dedup_threshold=0.95,
+    )
+    assert res.scored.count() == 10
+
+
+def test_shard_manifest_lands_via_hadoop_fs_uri(spark, docs, tmp_path):
+    """write_training_shards writes its manifest through the Hadoop FS
+    API: a file:/ URI destination gets the manifest next to the shards
+    (r6 verdict #4 — object-store-safe, no local open())."""
+    import json as _json
+    import os
+
+    from adsb_clickhouse_spark.operators.packing import write_training_shards
+
+    res = C.curate_documents(docs, pack_budget=16)
+    local = tmp_path / "shards_uri"
+    manifest = write_training_shards(
+        res.packed, f"file://{local}", packs_per_shard=2
+    )
+    disk = _json.load(open(os.path.join(str(local), "_manifest.json")))
+    assert disk == manifest
+    assert spark.read.json(f"file://{local}").count() == manifest["total_rows"]
+
+
+def test_curated_layout_append_and_compact(spark, docs, tmp_path):
+    """Appended-per-run curated layouts accrete small files; the
+    compaction folds each leaf partition back to target_files with the
+    directory names (and so partition pruning) untouched."""
+    import os
+
+    from adsb_clickhouse_spark.operators.layout import (
+        append_curated_layout,
+        compact_curated_layout,
+        read_curated_split,
+    )
+
+    res = C.curate_documents(docs, assign_splits=True, pack_budget=64)
+    curated = res.packed.select(
+        "doc_id", "clean_text", "predicted_lang", "split", "pack_id"
+    )
+    out = str(tmp_path / "corpus")
+    for _ in range(3):  # three curation runs appending to one layout
+        append_curated_layout(curated.repartition(2), out)
+    n_rows = curated.count()
+    full = spark.read.parquet(out)
+    assert full.count() == 3 * n_rows
+
+    def leaf_files():
+        counts = {}
+        for sp in os.listdir(out):
+            if not sp.startswith("split="):
+                continue
+            for lg in os.listdir(os.path.join(out, sp)):
+                if not lg.startswith("predicted_lang="):
+                    continue
+                leaf = os.path.join(out, sp, lg)
+                counts[f"{sp}/{lg}"] = len(
+                    [e for e in os.listdir(leaf) if e.endswith(".parquet")]
+                )
+        return counts
+
+    before = leaf_files()
+    assert any(v > 1 for v in before.values())
+    stats = compact_curated_layout(spark, out, target_files=1)
+    after = leaf_files()
+    assert all(v == 1 for v in after.values())
+    assert all(s["files_after"] == 1 for s in stats.values())
+    # rows intact and pruning still pins at the plan level
+    assert spark.read.parquet(out).count() == 3 * n_rows
+    some_split = sorted(
+        r["split"] for r in curated.select("split").distinct().collect()
+    )[0]
+    pruned = read_curated_split(spark, out, split=some_split, langs=["en"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "split" in plan.split("PartitionFilters")[1][:200]

@@ -41,9 +41,11 @@ def test_no_python_eval_on_relational_paths(spark):
 
 
 def test_substring_dedup_coverage_is_window_free(spark):
-    """The duplicated-substring coverage pass must stay a codegen
-    OR-chain projection — no Window operator (the rejected alternative
-    buys the same answer for an extra doc_id sort) and no Python."""
+    """The duplicated-substring coverage pass must stay the array-side
+    merged-interval projection (zip_with over the sorted start array —
+    the OR-chain shape is the documented rejected prior): no Window
+    operator (a window buys the same answer for an extra doc_id sort)
+    and no Python."""
     from adsb_clickhouse_spark.operators.dedup import duplicated_substring_stats
 
     d = spark.createDataFrame(

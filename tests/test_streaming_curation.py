@@ -117,3 +117,199 @@ def test_streaming_split_assignment_matches_batch_operator(spark, tmp_path):
         for r in dedup_aware_split(ref_in).collect()
     }
     assert got == ref
+
+
+# -- store lifecycle (round 7) -------------------------------------------
+
+
+def test_fingerprint_store_bootstrap_and_corruption(spark, tmp_path):
+    """Bootstrap states read as None; a corrupted store FAILS the batch
+    instead of silently disabling cross-batch dedup (r6 advice)."""
+    import os
+
+    ing = CurationIngest(str(tmp_path))
+    assert ing.read_fingerprints(spark) is None  # no store dir yet
+    a = "first document body long enough to clear the default policy gate"
+    ing.process_batch(_docs(spark, [(0, a)]), batch_id=0)
+    assert ing.read_fingerprints(spark).count() == 1
+    # truncate the one parquet file in the store -> next batch must raise
+    seg = [e for e in os.listdir(ing.fps_path) if e.startswith("batch_id=")][0]
+    seg_dir = os.path.join(ing.fps_path, seg)
+    pq = [e for e in os.listdir(seg_dir) if e.endswith(".parquet")][0]
+    with open(os.path.join(seg_dir, pq), "r+b") as fh:
+        fh.truncate(7)  # keep a few magic bytes, destroy the footer
+    with pytest.raises(Exception):
+        ing.process_batch(
+            _docs(spark, [(1, "another doc that now cannot be checked")]),
+            batch_id=1,
+        )
+
+
+def test_dangling_store_pointer_raises(spark, tmp_path):
+    import os
+
+    ing = CurationIngest(str(tmp_path))
+    a = "document text for the pointer test with plenty of filler words here"
+    ing.process_batch(_docs(spark, [(0, a)]), batch_id=0)
+    with open(os.path.join(ing.fps_path, "_STORE"), "w") as fh:
+        fh.write("no_such_table_anywhere")
+    with pytest.raises(RuntimeError, match="missing table"):
+        ing.read_fingerprints(spark)
+
+
+def test_fingerprint_compaction_bucketed_store(spark, tmp_path):
+    """compact_fingerprints folds committed segments into a bucketed
+    catalog table: segments disappear, dedup memory survives, and the
+    per-batch anti-join co-locates on the store side — exactly ONE
+    Exchange (the small batch side) in the join plan, with the store
+    scan bucketed."""
+    import os
+
+    ing = CurationIngest(str(tmp_path), run_id="r1")
+    texts = [f"unique streaming document number {i} with enough words" for i in range(6)]
+    ing.process_batch(_docs(spark, list(enumerate(texts[:3]))), batch_id=0)
+    ing.process_batch(
+        _docs(spark, [(10 + i, t) for i, t in enumerate(texts[3:])]), batch_id=1
+    )
+    stats = ing.compact_fingerprints(spark, buckets=8)
+    try:
+        assert stats["folded_segments"] == 2
+        assert not [
+            e for e in os.listdir(ing.fps_path) if e.startswith("batch_id=")
+        ]
+        parts = ing.fingerprint_store_parts(spark)
+        assert len(parts) == 1 and parts[0].count() == 6
+        # plan: anti-join against the bucketed store shuffles ONLY the
+        # batch side (store-side scan reads matching buckets in place)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            batch = _docs(spark, [(99, "probe doc")]).select(
+                F.md5("text").alias("fingerprint"), "doc_id"
+            )
+            j = batch.join(parts[0], "fingerprint", "left_anti")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert plan.count("Exchange") == 1
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        # cross-batch dedup still works across the compaction boundary
+        ing.process_batch(
+            _docs(spark, [(20, texts[0]), (21, "a genuinely new document body")]),
+            batch_id=2,
+        )
+        kept = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+        assert 20 not in kept and 21 in kept
+        # second compaction folds the new segment into the next generation
+        stats2 = ing.compact_fingerprints(spark, buckets=8)
+        assert stats2["folded_segments"] == 1
+        assert ing.read_fingerprints(spark).count() == 7
+    finally:
+        tbl = ing._store_table_name()
+        if tbl:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_replay_after_compaction_is_noop_not_data_loss(spark, tmp_path):
+    """A committed batch redelivered AFTER its fingerprints were folded
+    into the compacted store must no-op (commit marker), not
+    clear-and-rewrite — the rewrite would be suppressed by its own
+    fingerprints and the rows lost."""
+    ing = CurationIngest(str(tmp_path), run_id="r1")
+    a = "replay safety document with a sufficiently long body of words here"
+    batch = _docs(spark, [(0, a)])
+    ing.process_batch(batch, batch_id=0)
+    ing.compact_fingerprints(spark, buckets=4)
+    try:
+        ing.process_batch(batch, batch_id=0)  # foreachBatch redelivery
+        rows = ing.curated(spark).select("doc_id").collect()
+        assert [r["doc_id"] for r in rows] == [0]
+        assert ing.read_fingerprints(spark).count() == 1
+    finally:
+        tbl = ing._store_table_name()
+        if tbl:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_compaction_skips_uncommitted_segments(spark, tmp_path):
+    """A segment without a commit marker (crashed attempt the stream
+    will replay) is never folded — folding would freeze a partial write
+    into the compacted store."""
+    import os
+    import shutil
+
+    ing = CurationIngest(str(tmp_path), run_id="r1")
+    a = "committed document one with plenty of words to pass the filters"
+    b = "uncommitted document two with its own distinct body of words"
+    ing.process_batch(_docs(spark, [(0, a)]), batch_id=0)
+    ing.process_batch(_docs(spark, [(1, b)]), batch_id=1)
+    # simulate batch 1 having crashed before its commit marker
+    os.unlink(ing._marker("br1-1"))
+    stats = ing.compact_fingerprints(spark, buckets=4)
+    try:
+        assert stats["folded_segments"] == 1
+        assert stats["skipped_uncommitted"] == 1
+        left = [e for e in os.listdir(ing.fps_path) if e.startswith("batch_id=")]
+        assert left == ["batch_id=br1-1"]
+        # the replay of the uncommitted batch still clears-and-rewrites
+        ing.process_batch(_docs(spark, [(1, b)]), batch_id=1)
+        kept = sorted(
+            r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()
+        )
+        assert kept == [0, 1]
+    finally:
+        tbl = ing._store_table_name()
+        if tbl:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_near_dup_compaction_collapses_cross_batch_boilerplate(spark, tmp_path):
+    """Near-dup (NOT byte-identical) boilerplate arriving across many
+    batches passes the exact fingerprint store, but the periodic
+    compact_curated pass collapses it: one survivor (lowest doc_id) per
+    near-dup cluster, folded segments excluded from readers and GC'd,
+    and the fingerprint memory still suppresses byte-identical copies
+    of dropped docs afterwards."""
+    import os
+
+    base = (
+        "the standard legal boilerplate paragraph that every scraped page "
+        "carries with the usual words about cookies and consent and rights "
+        "reserved in every jurisdiction variant"
+    )
+    ing = CurationIngest(str(tmp_path), run_id="r1")
+    # three batches, each with a slightly different copy of the template
+    # (one word differs -> near-dup, distinct md5) plus one unique doc
+    for i in range(3):
+        variant = base.replace("jurisdiction", f"jurisdiction{i}")
+        uniq = f"batch {i} unique content entirely unrelated to the template body"
+        ing.process_batch(
+            _docs(spark, [(10 * i, variant), (10 * i + 1, uniq)]), batch_id=i
+        )
+    assert ing.curated(spark).count() == 6  # exact store can't see near-dups
+    stats = ing.compact_curated(spark, threshold=0.5)
+    assert stats["folded_segments"] == 3
+    assert stats["dropped_docs"] == 2  # docs 10 and 20; doc 0 survives
+    kept = sorted(r["doc_id"] for r in ing.curated(spark).select("doc_id").collect())
+    assert kept == [0, 1, 11, 21]
+    # folded segment dirs are gone; exactly one nearcompact segment lives
+    segs = [e for e in os.listdir(ing.curated_path) if e.startswith("batch_id=")]
+    assert len(segs) == 1 and "nearcompact-" in segs[0]
+    # a byte-identical copy of a DROPPED doc is still suppressed: its
+    # exact fingerprint stayed in the store
+    dropped_variant = base.replace("jurisdiction", "jurisdiction1")
+    ing.process_batch(
+        _docs(
+            spark,
+            [(99, dropped_variant), (100, "a genuinely fresh post-compaction doc")],
+        ),
+        batch_id=3,
+    )
+    kept2 = sorted(r["doc_id"] for r in ing.curated(spark).select("doc_id").collect())
+    assert kept2 == [0, 1, 11, 21, 100]
+    # a second compaction folds the nearcompact segment + the new segment
+    stats2 = ing.compact_curated(spark, threshold=0.5)
+    assert stats2["folded_segments"] == 2
+    assert ing.curated(spark).count() == 5
