@@ -236,11 +236,14 @@ class CurationIngest:
 
     # -- query surface ----------------------------------------------------
 
-    def _live_curated_entries(self) -> list[str]:
-        """Segment dirs minus those folded by a near-dedup compaction:
-        every ``_FOLDED`` manifest present names segments whose rows live
-        on inside its own compact segment (chained compactions fold
-        earlier compact segments the same way)."""
+    def _curated_fold_state(self) -> tuple[list[str], set[str]]:
+        """(live segment dirs, all folded names): every ``_FOLDED``
+        manifest present names segments whose rows live on inside its
+        own compact segment. Manifests carry folded names forward
+        TRANSITIVELY (a compaction's manifest includes everything the
+        segments it folds had themselves folded), so a lagging directory
+        GC can never resurrect a folded segment when a later compaction
+        removes the manifest that excluded it."""
         entries = _seg_dirs(self.curated_path)
         folded: set[str] = set()
         for e in entries:
@@ -248,7 +251,10 @@ class CurationIngest:
             if os.path.exists(mf):
                 with open(mf) as fh:
                     folded.update(json.load(fh))
-        return [e for e in entries if _seg_name(e) not in folded]
+        return [e for e in entries if _seg_name(e) not in folded], folded
+
+    def _live_curated_entries(self) -> list[str]:
+        return self._curated_fold_state()[0]
 
     def curated(self, spark: SparkSession) -> DataFrame:
         live = self._live_curated_entries()
@@ -409,7 +415,7 @@ class CurationIngest:
         arriving later must still be suppressed."""
         from ..operators.dedup import connected_components, minhash_lsh_pairs
 
-        live = self._live_curated_entries()
+        live, prior_folded = self._curated_fold_state()
         foldable = [
             e
             for e in live
@@ -441,8 +447,11 @@ class CurationIngest:
         # is touched — the lineage reads the very directories GC deletes
         survivors.write.mode("overwrite").parquet(out)
         n_dropped = dropped.count()
+        # transitive: include everything the folded segments had folded,
+        # so deleting THEIR manifests can't resurrect an orphaned dir
+        all_folded = prior_folded | {_seg_name(e) for e in foldable}
         with open(os.path.join(out, _FOLDED_MANIFEST), "w") as fh:
-            json.dump(sorted(_seg_name(e) for e in foldable), fh)
+            json.dump(sorted(all_folded), fh)
         os.rename(out, os.path.join(self.curated_path, f"batch_id={seg}"))
         shutil.rmtree(staging, ignore_errors=True)
         # GC: readers already exclude the folded dirs via the manifest

@@ -101,12 +101,13 @@ def main() -> None:
         "dedup_ngram_jaccard": ("branch", ["pair", "cc", "decon"]),
     }
     branch_timings: dict[str, float] = {}
+    BRANCH_RUNS = min(N_RUNS, 2)  # 14 extra plans; keep the add-on bounded
     for name, (tag_col, tags) in BRANCHED.items():
         if name not in q.REGISTRY:
             continue
         for tag in tags:
             runs = []
-            for _ in range(N_RUNS):
+            for _ in range(BRANCH_RUNS):
                 t0 = time.perf_counter()
                 df = q.REGISTRY[name].spark(spark, sf_dir).filter(
                     F.col(tag_col) == tag

@@ -313,3 +313,33 @@ def test_near_dup_compaction_collapses_cross_batch_boilerplate(spark, tmp_path):
     stats2 = ing.compact_curated(spark, threshold=0.5)
     assert stats2["folded_segments"] == 2
     assert ing.curated(spark).count() == 5
+
+
+def test_lagging_gc_cannot_resurrect_folded_segments(spark, tmp_path):
+    """_FOLDED manifests are transitive: if a compaction's directory GC
+    crashed (folded dir left on disk) and a LATER compaction folds the
+    compact segment whose manifest excluded it, the orphan must stay
+    excluded — its name is carried forward in the new manifest."""
+    import os
+
+    ing = CurationIngest(str(tmp_path), run_id="r1")
+    a = "document alpha with a full body of words for the funnel to keep"
+    b = "document beta carrying its own completely different body of text"
+    ing.process_batch(_docs(spark, [(0, a)]), batch_id=0)
+    ing.process_batch(_docs(spark, [(1, b)]), batch_id=1)
+    ing.compact_curated(spark, threshold=0.5)
+    assert ing.curated(spark).count() == 2
+    # simulate the first compaction's GC having crashed: a stale copy of
+    # the folded segment batch_id=br1-0 reappears on disk
+    zombie = os.path.join(ing.curated_path, "batch_id=br1-0")
+    ing.curated(spark).filter(F.col("doc_id") == 0).drop("batch_id").write.mode(
+        "overwrite"
+    ).parquet(zombie)
+    assert ing.curated(spark).count() == 2  # manifest still excludes it
+    # a new batch + second compaction folds the compact segment away —
+    # the transitive manifest must keep excluding the zombie
+    c = "document gamma which arrives after the first compaction happened"
+    ing.process_batch(_docs(spark, [(2, c)]), batch_id=2)
+    ing.compact_curated(spark, threshold=0.5)
+    kept = sorted(r["doc_id"] for r in ing.curated(spark).select("doc_id").collect())
+    assert kept == [0, 1, 2]  # doc 0 exactly once — no resurrection

@@ -70,6 +70,8 @@ def main() -> int:
     # n_lists grows ∝ n (the documented SemDeDup contract: cluster size,
     # not cluster count, is what must stay bounded); two counts probe the
     # O(Σ c_i²) scaling directly
+    from adsb_clickhouse_spark.operators.similarity import ivf_build
+
     base_lists = max(64, n // 1000)
     for n_lists in (base_lists, 2 * base_lists):
         t0 = time.time()
@@ -82,6 +84,23 @@ def main() -> int:
         out[f"lists{n_lists}_dropped"] = len(ids)
         out[f"lists{n_lists}_planted_recovered"] = hit
         out[f"lists{n_lists}_recovery"] = round(hit / max(planted, 1), 4)
+        # isolate the O(Σ c_i²) pairwise term: end-to-end wall is
+        # DOMINATED by the Lloyd assignment passes (O(n·n_lists·d) per
+        # pass, so it GROWS with n_lists); the paper's halving claim is
+        # about the within-cluster prune, measured here alone via the
+        # precomputed-assignments path (the stored-IVF-layout shape)
+        assigns, _ = ivf_build(
+            vecs, n_lists=n_lists, iters=2, id_col="vec_id", vec_col="embedding"
+        )
+        assigns = assigns.persist()  # already (id, list_id)
+        assigns.count()
+        t0 = time.time()
+        pruned = semdedup(
+            vecs, threshold=0.99, n_lists=n_lists, assignments=assigns
+        )
+        out[f"lists{n_lists}_prune_dropped"] = pruned.count()
+        out[f"lists{n_lists}_prune_only_sec"] = round(time.time() - t0, 1)
+        assigns.unpersist()
     print(json.dumps(out))
     return 0
 
