@@ -1,10 +1,14 @@
 """CLI: `python -m adsb_clickhouse_spark <cmd>`.
 
 Commands:
-  demo      fixtures → full MV cascade ×4 sources → reference views →
-            dashboard queries, printed
-  maintain  TTL partition drops + state expiry for a data dir
-  stats     table_stats() for a data dir
+  demo             fixtures → full MV cascade ×4 sources → reference views →
+                   dashboard queries, printed
+  maintain         TTL partition drops + state expiry for a data dir
+  stats            table_stats() for a data dir
+  curate-maintain  streaming-curation store lifecycle for an ingest base
+                   dir: fold committed fingerprint segments into the
+                   bucketed store table, optionally run the periodic
+                   near-dedup compaction over the curated table
 """
 
 from __future__ import annotations
@@ -67,6 +71,26 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_curate_maintain(args) -> int:
+    from .session import get_spark
+    from .streaming.curation import CurationIngest
+
+    spark = get_spark("curation-maintain")
+    ing = CurationIngest(args.base_dir)
+    fps = ing.compact_fingerprints(
+        spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced
+    )
+    print(f"fingerprints: {fps}")
+    if args.near_dedup:
+        cur = ing.compact_curated(
+            spark,
+            threshold=args.threshold,
+            assume_quiesced=args.assume_quiesced,
+        )
+        print(f"curated: {cur}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="adsb_clickhouse_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -79,6 +103,23 @@ def main(argv: list[str] | None = None) -> int:
     p_s = sub.add_parser("stats", help="table stats")
     p_s.add_argument("data_dir")
     p_s.set_defaults(fn=cmd_stats)
+    p_c = sub.add_parser(
+        "curate-maintain", help="streaming-curation store lifecycle"
+    )
+    p_c.add_argument("base_dir")
+    p_c.add_argument("--buckets", type=int, default=32)
+    p_c.add_argument(
+        "--near-dedup",
+        action="store_true",
+        help="also run the periodic near-dedup compaction over the curated table",
+    )
+    p_c.add_argument("--threshold", type=float, default=0.5)
+    p_c.add_argument(
+        "--assume-quiesced",
+        action="store_true",
+        help="fold segments without commit markers (stream stopped + checkpoint committed)",
+    )
+    p_c.set_defaults(fn=cmd_curate_maintain)
     args = ap.parse_args(argv)
     return args.fn(args)
 
