@@ -162,42 +162,53 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_semi_join_customers_with_orders",
+    "q_semi_anti_joins",
     """
-    SELECT count(*) AS n_customers
-    FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
-    """,
-    doc="LEFT SEMI join (EXISTS).",
-)
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .agg(F.count("*").alias("n_customers"))
-    )
-
-
-@register(
-    "q_anti_join_customers_without_orders",
-    """
-    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name
+    SELECT 'semi' AS branch, CAST(NULL AS BIGINT) AS c_custkey,
+           CAST(NULL AS VARCHAR) AS c_name,
+           (SELECT count(*) FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 100000)) AS n_customers
+    UNION ALL
+    SELECT 'anti' AS branch, c.c_custkey AS c_custkey, c.c_name AS c_name,
+           CAST(NULL AS BIGINT) AS n_customers
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    ORDER BY c_custkey
+    ORDER BY branch, c_custkey
     """,
-    doc="LEFT ANTI join (NOT EXISTS).",
+    doc=(
+        "LEFT SEMI (EXISTS) and LEFT ANTI (NOT EXISTS) joins, one tagged "
+        "union (merged in round 7 to hold the registry at the driver's "
+        "50-row gate limit while freeing a slot for text_dsir_select — "
+        "same precedent as the round-2 registry merges; both operators "
+        "stay individually hash-verified through their branches)."
+    ),
 )
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+    semi = (
+        c.join(
+            o.filter(F.col("o_totalprice") > 100000),
+            c.c_custkey == o.o_custkey,
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.lit("semi").alias("branch"),
+            F.lit(None).cast("long").alias("c_custkey"),
+            F.lit(None).cast("string").alias("c_name"),
+            "n_customers",
+        )
     )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("branch"),
+        "c_custkey",
+        "c_name",
+        F.lit(None).cast("long").alias("n_customers"),
+    )
+    return anti.unionByName(semi).orderBy("branch", "c_custkey")
 
 
 # --- windows (SURVEY §2.5) --------------------------------------------------

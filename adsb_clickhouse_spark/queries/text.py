@@ -403,3 +403,81 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # where exactly the first 50 of 52 registered queries were recorded; the
 # BPE-ish pre-tokenization columns stay oracle-verified inside
 # text_token_stats).
+
+
+_DSIR_BUCKETS = 10_000
+_DSIR_TARGET_SOURCE = "src0"  # target slice: one of the 20 synthetic sources
+
+
+def _duck_dsir_sql() -> str:
+    from ..functions.texttools import duck_md5_long, duck_salted_md5_long
+    from ..operators.selection import DSIR_GUMBEL_MOD, DSIR_GUMBEL_SALT
+
+    gh = duck_md5_long("array_to_string(toks[pos : pos + 1], ' ')")
+    uh = duck_salted_md5_long("CAST(doc_id AS VARCHAR)", DSIR_GUMBEL_SALT)
+    B = _DSIR_BUCKETS
+    M = DSIR_GUMBEL_MOD
+    return f"""
+    WITH tk AS (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents),
+    gr AS (SELECT doc_id, ({gh}) % {B} AS bucket
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS pos
+                 FROM tk WHERE len(toks) >= 2)),
+    gt AS (SELECT bucket FROM gr JOIN documents d USING (doc_id)
+           WHERE d.source = '{_DSIR_TARGET_SOURCE}'),
+    cr AS (SELECT bucket, count(*) AS cr FROM gr GROUP BY 1),
+    ct AS (SELECT bucket, count(*) AS ct FROM gt GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM gr) AS R, (SELECT count(*) FROM gt) AS T),
+    lr AS (SELECT cr.bucket AS bucket,
+                  ln((coalesce(ct.ct, 0) + 1.0) / (T + {float(B)}))
+                - ln((cr.cr + 1.0) / (R + {float(B)})) AS lr
+           FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket, tot),
+    sc AS (SELECT doc_id, count(*) AS n_feats, round(sum(lr), 4) AS log_w
+           FROM gr JOIN lr USING (bucket) GROUP BY 1),
+    w AS (SELECT d.doc_id AS doc_id, coalesce(sc.n_feats, 0) AS n_feats,
+                 coalesce(sc.log_w, 0.0) AS log_w
+          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+    sel AS (SELECT doc_id, n_feats, log_w,
+                   round(-ln(-ln((({uh}) % {M} + 0.5) / {M})), 4) AS gumbel
+            FROM w)
+    SELECT doc_id, n_feats, log_w, gumbel, log_w + gumbel AS sel_key
+    FROM sel
+    QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id)
+            <= greatest(count(*) OVER () // 4, 1)
+    ORDER BY sel_key DESC, doc_id
+    """
+
+
+@register(
+    "text_dsir_select",
+    _duck_dsir_sql(),
+    doc=(
+        "DSIR data selection (Xie et al., NeurIPS 2023): hashed-bigram "
+        "importance resampling of the corpus toward a target slice "
+        "(source='src0'), Gumbel-top-k of N/4 docs by "
+        "log_w + deterministic hash-Gumbel noise. log_w = sum over the "
+        "doc's hashed bigram buckets of ln p_target − ln p_raw with "
+        "add-1 smoothing over 10k buckets — the data-SELECTION member "
+        "of the training-data family, next to dedup (what to drop), "
+        "quality (what to trust) and mixture (how much of each domain). "
+        "operators/selection.py carries the scale story: B-bounded "
+        "count shuffles, broadcast log-ratio table, distributed "
+        "orderBy().limit() top-k — no global window, no Python."
+    ),
+)
+def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan note: the selection is a TakeOrderedAndProject (the
+    distributed top-k), never a single-partition rank window — the
+    oracle's QUALIFY window is DuckDB-side only. ``k`` comes from one
+    corpus count action (bounded driver work, same contract as the
+    packing offsets)."""
+    from ..operators.selection import dsir_select
+
+    d = load_table(spark, sf_dir, "documents")
+    k = max(1, d.count() // 4)
+    return dsir_select(
+        d,
+        d.filter(F.col("source") == _DSIR_TARGET_SOURCE),
+        k=k,
+        n=2,
+        n_buckets=_DSIR_BUCKETS,
+    )

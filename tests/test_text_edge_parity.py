@@ -52,6 +52,9 @@ TEXT_QUERIES = [
     "text_langid",
     "text_quality",
     "text_winnow_fingerprint",
+    # edge corpus has no 'src0' docs -> EMPTY target corpus: the add-1
+    # smoothing must keep every log ratio defined in both engines
+    "text_dsir_select",
     "dedup_exact",
     "dedup_simhash",
     "dedup_ngram_jaccard",
