@@ -481,3 +481,84 @@ def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=2,
         n_buckets=_DSIR_BUCKETS,
     )
+
+
+_BPE_MERGES = 10  # learned deterministically; list below pinned at sf0.01
+
+# The merge list bpe_learn produces on sf0.01/documents (argmax by
+# count desc, pair asc — fully deterministic; pinned against the
+# pure-Python Sennrich reference in tests/test_bpe.py). The oracle
+# embeds it, so the driver's hash compare verifies BOTH the learned
+# rules (via the `merges` column) and the segmentation. The Spark side
+# re-learns from whatever sf_dir it is given, so the row still runs
+# standalone at other scale factors (the driver only oracle-compares
+# at sf0.01).
+_BPE_SF001_MERGES = [
+    ("e", "r_"), ("o", "w_"), ("t", "o"), ("a", "t"), ("l", "u"),
+    ("a", "s"), ("i", "n"), ("e", "r"), ("o", "r"), ("a", "r"),
+]
+
+
+def _duck_bpe_sql() -> str:
+    """Greedy-leftmost BPE merge application as a chained ``replace()``
+    over a '//'-separator-encoded symbol string. SQL string replace is
+    leftmost non-overlapping, which is exactly Sennrich's one-pass
+    merge scan (a merged symbol never re-merges within the same rule),
+    and the doubled separator keeps symbol boundaries unambiguous: a
+    pattern '/a//b/' can never straddle the '////' word joint or match
+    a symbol of which ``a``/``b`` is a substring. Validated cell-exact
+    against the pure-Python reference on all 500 sf0.01 docs."""
+    # encode one word: //c1//c2//...//cn_// with EOW on the last char
+    chain = (
+        "regexp_replace('//' || regexp_replace(w, '(.)', '\\1//', 'g'),"
+        " '//$', '_//')"
+    )
+    for a, b in _BPE_SF001_MERGES:
+        chain = f"replace({chain}, '/{a}//{b}/', '/{a}{b}/')"
+    merges_str = " ".join(f"{a}+{b}" for a, b in _BPE_SF001_MERGES)
+    return f"""
+    WITH d0 AS (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents),
+    enc AS (SELECT doc_id, toks,
+                   list_transform(toks, w -> {chain}) AS encw
+            FROM d0 WHERE len(toks) > 0),
+    pc AS (SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_words,
+                  flatten(list_transform(
+                      encw, s -> string_split(trim(s, '/'), '//'))) AS pieces
+           FROM enc)
+    SELECT doc_id, n_words, CAST(len(pieces) AS BIGINT) AS n_pieces,
+           pieces, '{merges_str}' AS merges
+    FROM pc ORDER BY doc_id
+    """
+
+
+@register(
+    "text_bpe_segment",
+    _duck_bpe_sql(),
+    doc=(
+        "Distributed BPE (Sennrich et al., ACL 2016): learn 10 merge "
+        "rules over the corpus word-frequency table, then subword-"
+        "segment every document under them. The tokenizer-training "
+        "member of the training-data family. Learning iterates on the "
+        "DISTINCT-WORD table (vocab-sized, corpus-size-free) with a "
+        "one-row argmax collect per rule; segmentation is segment-the-"
+        "vocab-once + one broadcast hash join onto the token stream — "
+        "corpus-side work never depends on the merge count. The oracle "
+        "pins the learned rules (merges column) AND the per-doc pieces."
+    ),
+)
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan note: corpus side is tokenize → BroadcastHashJoin against
+    the vocab-sized word→pieces map → one doc-keyed agg (pinned
+    Python-free in tests/test_bpe.py). Learning's driver state is one
+    (pair, count) row per iteration — the bounded-collect contract."""
+    from ..operators.bpe import bpe_learn, bpe_segment
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn(d, n_merges=_BPE_MERGES)
+    seg = bpe_segment(d, merges)
+    return (
+        seg.withColumn(
+            "merges", F.lit(" ".join(f"{a}+{b}" for a, b in merges))
+        ).orderBy("doc_id")
+    )
