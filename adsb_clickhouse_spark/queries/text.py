@@ -562,3 +562,92 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merges", F.lit(" ".join(f"{a}+{b}" for a, b in merges))
         ).orderBy("doc_id")
     )
+
+
+_LM_BUCKETS = 4096
+_LM_REF_SOURCE = "src0"  # the "clean reference" slice (CCNet's Wikipedia)
+
+
+def _duck_lm_sql() -> str:
+    """Twin of operators/lm.py: hashed-bigram conditional LM trained on
+    the source='src0' slice, per-doc cross-entropy, value-based
+    head/middle/tail terciles. Probability expressions use IDENTICAL
+    literal association to the Spark side and round before bucketing."""
+    from ..functions.texttools import duck_md5_long
+
+    B = _LM_BUCKETS
+    bc = f"({duck_md5_long('toks[pos]')}) % {B}"
+    bw = f"({duck_md5_long('toks[pos + 1]')}) % {B}"
+    return f"""
+    WITH tk AS (SELECT doc_id, source, {duck_tokens('text')} AS toks
+                FROM documents),
+    g AS (SELECT doc_id, source, {bc} AS bc, {bw} AS bw
+          FROM (SELECT doc_id, source, toks,
+                       unnest(range(1, len(toks))) AS pos
+                FROM tk WHERE len(toks) >= 2)),
+    pairs AS (SELECT bc, bw, count(*) AS cp FROM g
+              WHERE source = '{_LM_REF_SOURCE}' GROUP BY 1, 2),
+    ctx AS (SELECT bc, count(*) AS cc FROM g
+            WHERE source = '{_LM_REF_SOURCE}' GROUP BY 1),
+    lp AS (SELECT g.doc_id AS doc_id,
+                  ln((coalesce(pairs.cp, 0) + 1.0)
+                     / (coalesce(ctx.cc, 0) + {float(B)})) AS lp
+           FROM g LEFT JOIN pairs ON g.bc = pairs.bc AND g.bw = pairs.bw
+                  LEFT JOIN ctx ON g.bc = ctx.bc),
+    sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                  round(-sum(lp) / count(*), 4) AS ce
+           FROM lp GROUP BY 1),
+    w AS (SELECT d.doc_id AS doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+                 sc.ce AS ce
+          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+    hist AS (SELECT ce, count(*) AS c FROM w WHERE ce IS NOT NULL GROUP BY 1),
+    cum AS (SELECT ce, sum(c) OVER (ORDER BY ce) AS cum,
+                   sum(c) OVER () AS n
+            FROM hist),
+    thr AS (SELECT min(CASE WHEN cum * 3 >= n THEN ce END) AS t1,
+                   min(CASE WHEN cum * 3 >= n * 2 THEN ce END) AS t2
+            FROM cum)
+    SELECT doc_id, n_bigrams, ce,
+           CASE WHEN ce IS NULL THEN 'unscored'
+                WHEN ce < t1 THEN 'head'
+                WHEN ce < t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM w, thr ORDER BY doc_id
+    """
+
+
+@register(
+    "text_lm_perplexity",
+    _duck_lm_sql(),
+    doc=(
+        "CCNet perplexity filtering (Wenzek et al., LREC 2020): a "
+        "hashed-bigram conditional LM with add-1 smoothing is trained "
+        "on the clean reference slice (source='src0'), every document "
+        "is scored by per-bigram cross-entropy under it, and the corpus "
+        "splits into head/middle/tail perplexity terciles by VALUE "
+        "thresholds with strict comparisons (ties never split, and a "
+        "boundary-spanning tie sinks to the worse bucket). The "
+        "quality-by-fluency "
+        "member of the training-data family. operators/lm.py carries "
+        "the scale story: LM training touches only the ref-bounded "
+        "slice and broadcasts; scoring is one codegen bigram pass + "
+        "two broadcast joins + one doc-keyed sum; the tercile "
+        "thresholds derive from the ce HISTOGRAM (value-space-bounded) "
+        "and broadcast back as one row."
+    ),
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan note: both LM joins are BroadcastHashJoin (pinned in
+    tests/test_lm.py), the only corpus shuffles are the doc-keyed score
+    sum and the histogram agg; the thresholds come from a histogram-
+    bounded driver collect (the oracle's cumulative window is
+    DuckDB-side only), so the engine keeps its no-single-partition-
+    window invariant."""
+    from ..operators.lm import lm_perplexity_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    return lm_perplexity_filter(
+        d,
+        d.filter(F.col("source") == _LM_REF_SOURCE),
+        n_buckets=_LM_BUCKETS,
+    ).orderBy("doc_id")
