@@ -1,0 +1,252 @@
+"""BM25 full-text ranking + a stored, partition-pruned inverted index.
+
+Okapi BM25 (Robertson et al., TREC-3 — public) as the keyword-search
+member of the retrieval family, next to the ANN operators
+(operators/similarity.py). Two forms:
+
+- :func:`bm25_search` — score a query against an in-memory corpus in
+  one pass. The corpus cost is a single tokenize projection with the
+  query-term filter applied BEFORE any shuffle (only matching (doc,
+  term) rows survive), a term-bounded stats aggregation broadcast
+  back, one candidate-bounded groupBy(doc_id), and a distributed
+  ``orderBy().limit(k)`` top-k — never a global window.
+
+- :func:`write_text_index` / :func:`bm25_probe_stored` — the 100 TB
+  layout, mirroring the stored IVF-ADC index (operators/layout.py):
+  postings are written ``partitionBy(bucket)`` with
+  ``bucket = md5_long(term) % n_buckets``, each posting row carrying
+  (term, doc_id, tf, dl) — document length is DENORMALIZED into the
+  posting so probes never join a corpus-sized doc-length table — and
+  ``sortWithinPartitions(term)`` so parquet row-group min/max stats
+  prune within a bucket file. Per-term df lives in a ``terms`` table
+  partitioned the same way; corpus constants (N, avgdl) in a one-row
+  ``stats`` table. A probe reads ONLY the buckets of its query terms
+  (PartitionFilters — pinned in tests/test_search.py), so per-query
+  scan cost is ∝ |query terms| / n_buckets of the postings, never the
+  corpus size; scoring is a broadcast idf join + one candidate-bounded
+  aggregation.
+
+Scoring (identical literal association in the DuckDB oracle,
+round-before-ordering, ties on doc_id):
+
+    idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+    tfn(t,d) = tf·(k1 + 1) / (tf + k1·(1 − b + b·dl/avgdl))
+    score    = round(Σ_t idf·tfn, 4)
+
+No reference-repo equivalent (the reference is an ADS-B pipeline);
+this is a retrieval extension of the engine like the ANN family.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.texttools import md5_long, tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _query_terms(query: str) -> list[str]:
+    """Lowercased alnum terms, deduplicated, order-preserving — the
+    same token law as the corpus side."""
+    import re
+
+    from ..functions.texttools import TOKEN_RE
+
+    seen: dict[str, None] = {}
+    for t in re.findall(TOKEN_RE, query.lower()):
+        seen.setdefault(t, None)
+    return list(seen)
+
+
+def doc_term_freqs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """(doc_id, term, tf, dl): term frequencies per document, with the
+    document token length denormalized onto every row. ``terms``
+    restricts to a query's terms BEFORE the aggregation shuffle (the
+    search fast path); None keeps everything (the index-build path)."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    e = d.filter(F.col("dl") > 0).select(
+        "doc_id", "dl", F.explode("toks").alias("term")
+    )
+    if terms is not None:
+        e = e.filter(F.col("term").isin(list(terms)))
+    return e.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+
+
+def _bm25_score_col(k1: float, b: float):
+    """score contribution of one (term, doc) row given idf/tf/dl/avgdl
+    columns — association mirrors the DuckDB oracle text EXACTLY."""
+    return F.col("idf") * (
+        (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    *,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents for ``query`` by BM25: (doc_id,
+    n_terms_matched, score), ordered by (score desc, doc_id).
+
+    Plan: corpus stats (N, avgdl) are one aggregation broadcast as a
+    single row; df per query term aggregates over the TERM-FILTERED
+    posting rows (query-bounded); scoring joins those rows against the
+    broadcast idf table and reduces per doc; the top-k is a distributed
+    TakeOrderedAndProject."""
+    terms = _query_terms(query)
+    if not terms:
+        raise ValueError("query has no tokens under the corpus token law")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"))
+    stats = d.filter(F.col("dl") > 0).agg(
+        F.count("*").alias("N"), (F.sum("dl") / F.count("*")).alias("avgdl")
+    )
+    tfs = doc_term_freqs(docs, text_col=text_col, id_col=id_col, terms=terms)
+    df_tab = tfs.groupBy("term").agg(F.count("*").alias("df"))
+    idf = df_tab.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "avgdl",
+        F.log(
+            1.0
+            + (F.col("N") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    return (
+        tfs.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            F.round(F.sum(_bm25_score_col(k1, b)), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+# ---------------------------------------------------------------- stored index
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Python twin of ``md5_long(term) % n_buckets`` for probe-side
+    partition pruning."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % int(n_buckets)
+
+
+def write_text_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Build the stored inverted index under ``path``: postings/
+    (term, doc_id, tf, dl) partitioned by term bucket and term-sorted
+    within files, terms/ (term, df) partitioned the same way, stats/
+    one row (n_docs, avgdl, n_buckets). Build cost is the one posting
+    aggregation the in-memory search pays, plus the bucketed write —
+    amortized over every later probe, exactly like the IVF-ADC layout."""
+    B = int(n_buckets)
+    tfs = doc_term_freqs(docs, text_col=text_col, id_col=id_col).withColumn(
+        "bucket", md5_long(F.col("term")) % B
+    )
+    (
+        tfs.repartition("bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    post = docs.sparkSession.read.parquet(f"{path}/postings")
+    (
+        post.groupBy("bucket", "term")
+        .agg(F.count("*").alias("df"))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/terms")
+    )
+    (
+        post.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dl") / F.count("*")).alias("avgdl"),
+            F.lit(B).alias("n_buckets"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+    s = docs.sparkSession.read.parquet(f"{path}/stats").collect()[0]
+    return {"n_docs": s["n_docs"], "avgdl": s["avgdl"], "n_buckets": B}
+
+
+def bm25_probe_stored(
+    spark: SparkSession,
+    path: str,
+    query: str,
+    *,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` for ``query`` against a :func:`write_text_index`
+    layout. Reads ONLY the term buckets the query hashes to (partition
+    pruning — per-query scan ∝ |terms|/n_buckets of the postings) plus
+    the one-row stats table; scoring is a broadcast idf join and one
+    candidate-bounded aggregation. Result is row-identical to
+    :func:`bm25_search` on the same corpus (pinned in tests)."""
+    terms = _query_terms(query)
+    if not terms:
+        raise ValueError("query has no tokens under the corpus token law")
+    s = spark.read.parquet(f"{path}/stats").collect()[0]
+    N, avgdl, B = s["n_docs"], s["avgdl"], s["n_buckets"]
+    buckets = sorted({term_bucket_py(t, B) for t in terms})
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    )
+    idf = (
+        spark.read.parquet(f"{path}/terms")
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select(
+            "term",
+            F.log(
+                1.0 + (F.lit(N) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+        .withColumn("avgdl", F.lit(avgdl))
+    )
+    return (
+        post.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            F.round(F.sum(_bm25_score_col(k1, b)), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )

@@ -76,6 +76,7 @@ def load_all() -> None:
         "dedup",
         "similarity",
         "text",
+        "search",
         "multimodal",
     ):
         importlib.import_module(f"{__name__}.{mod}")

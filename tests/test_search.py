@@ -1,0 +1,111 @@
+"""BM25 search (operators/search.py) vs a pure-Python reference, plus
+the stored inverted-index layout: probe == in-memory scores and the
+probe scan is partition-pruned to the query's term buckets."""
+
+import math
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from adsb_clickhouse_spark.functions.texttools import TOKEN_RE
+from adsb_clickhouse_spark.operators.search import (
+    BM25_B,
+    BM25_K1,
+    bm25_probe_stored,
+    bm25_search,
+    term_bucket_py,
+    write_text_index,
+)
+
+CORPUS = [
+    (0, "spark shuffle join hash join broadcast join"),
+    (1, "hash table build side probe side"),
+    (2, "merge sort merge join spill to disk"),
+    (3, "window functions rank over partition"),
+    (4, "the quick brown fox"),
+    (5, "join join join join join join join join"),
+    (6, ""),
+    (7, None),
+    (8, "hash merge window join all four terms here"),
+]
+QUERY = "join hash merge window"
+
+
+def _ref_bm25(corpus, query, k1=BM25_K1, b=BM25_B):
+    docs = {
+        i: re.findall(TOKEN_RE, (t or "").lower()) for i, t in corpus
+    }
+    docs = {i: t for i, t in docs.items() if t}
+    N = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / N
+    terms = list(dict.fromkeys(query.split()))
+    out = {}
+    for i, toks in docs.items():
+        tf = Counter(t for t in toks if t in terms)
+        if not tf:
+            continue
+        score = 0.0
+        for t, f in tf.items():
+            df = sum(1 for d in docs.values() if t in d)
+            idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+            score += idf * (
+                (f * (k1 + 1.0))
+                / (f + k1 * (1.0 - b + b * len(toks) / avgdl))
+            )
+        out[i] = (len(tf), round(score, 4))
+    return out
+
+
+def test_bm25_matches_reference(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_terms_matched"], r["score"])
+        for r in bm25_search(docs, QUERY, k=20).collect()
+    }
+    assert got == _ref_bm25(CORPUS, QUERY)
+    # the doc matching all four query terms outranks the join-spam doc
+    rows = bm25_search(docs, QUERY, k=3).collect()
+    assert rows[0]["doc_id"] == 8
+    assert rows[0]["n_terms_matched"] == 4
+
+
+def test_bm25_plan_is_broadcast_topk(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    plan = (
+        bm25_search(docs, QUERY)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan and "Window" not in plan
+
+
+def test_stored_index_probe_matches_and_prunes(spark, tmp_path):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    meta = write_text_index(docs, str(tmp_path), n_buckets=16)
+    assert meta["n_docs"] == 7  # empty + NULL docs excluded
+    probe = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20)
+    want = {
+        (r["doc_id"], r["n_terms_matched"], r["score"])
+        for r in bm25_search(docs, QUERY, k=20).collect()
+    }
+    got = {
+        (r["doc_id"], r["n_terms_matched"], r["score"]) for r in probe.collect()
+    }
+    assert got == want
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
+    # the scan must touch only the query's buckets, not all 16
+    q_buckets = {term_bucket_py(t, 16) for t in QUERY.split()}
+    assert len(q_buckets) < 16
+    # term-level parquet filter is pushed too
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[1][:300]
+
+
+def test_unindexed_query_term_is_harmless(spark, tmp_path):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    write_text_index(docs, str(tmp_path), n_buckets=8)
+    rows = bm25_probe_stored(spark, str(tmp_path), "join zzzunknown", k=5).collect()
+    ref = {r["doc_id"]: r["score"] for r in bm25_search(docs, "join", k=5).collect()}
+    assert {r["doc_id"]: r["score"] for r in rows} == ref
