@@ -250,3 +250,81 @@ def bm25_probe_stored(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(int(k))
     )
+
+
+# ------------------------------------------------------------- hybrid retrieval
+
+
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    *,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009 — public) of
+    named top-k lists: each input is (id, rank) with 1-based ranks,
+    already bounded to a top-k (the caller's contract — every input to
+    a fusion is a ranked SHORTLIST, so all joins here are
+    shortlist-sized, broadcastable, and corpus-size-free).
+
+    Returns (id, <name>_rank ... , rrf_score) with
+    ``rrf_score = round(Σ_lists 1/(c + rank), 6)`` — a doc missing from
+    a list contributes 0 for it — ordered by (score desc, id),
+    limited to ``k``."""
+    names = list(ranked)
+    if len(names) < 2:
+        raise ValueError("rrf_fuse needs at least two ranked lists")
+    out = None
+    for name, df in ranked.items():
+        side = df.select(
+            F.col(id_col), F.col("rank").alias(f"{name}_rank")
+        )
+        out = side if out is None else out.join(side, id_col, "full_outer")
+    score = None
+    for name in names:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"{name}_rank")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return (
+        out.withColumn("rrf_score", F.round(score, 6))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    text_query: str,
+    query_vec_id: int,
+    *,
+    kb: int = 20,
+    ka: int = 20,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Hybrid keyword+vector retrieval: BM25 top-``kb`` for
+    ``text_query`` fused with exact cosine top-``ka`` neighbors of
+    ``query_vec_id`` by reciprocal rank. (doc_id, bm25_rank, ann_rank,
+    rrf_score), top-``k``.
+
+    Scale shape: each leg is its own already-scale-shaped operator
+    (BM25: term-filtered scan + broadcast idf + distributed top-k;
+    kNN: broadcast query + single corpus scan + per-query top-k); the
+    fusion itself joins two ≤k-row shortlists — the rank windows and
+    the full-outer join run on bounded inputs, never the corpus."""
+    from pyspark.sql import Window
+
+    from .similarity import knn_bruteforce
+
+    b = bm25_search(docs, text_query, k=kb)
+    # rank over the ≤kb-row shortlist (bounded window by construction)
+    bw = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    b = b.select("doc_id", F.row_number().over(bw).alias("rank"))
+    q = embeddings.filter(F.col("vec_id") == int(query_vec_id))
+    a = knn_bruteforce(embeddings, q, k=ka).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse({"bm25": b, "ann": a}, k=k, c=c)

@@ -109,3 +109,46 @@ def test_unindexed_query_term_is_harmless(spark, tmp_path):
     rows = bm25_probe_stored(spark, str(tmp_path), "join zzzunknown", k=5).collect()
     ref = {r["doc_id"]: r["score"] for r in bm25_search(docs, "join", k=5).collect()}
     assert {r["doc_id"]: r["score"] for r in rows} == ref
+
+
+def test_rrf_fuse_matches_reference(spark):
+    b = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    a = spark.createDataFrame(
+        [(3, 1), (4, 2), (1, 3)], "doc_id long, rank int"
+    )
+    from adsb_clickhouse_spark.operators.search import rrf_fuse
+
+    rows = {r["doc_id"]: r for r in rrf_fuse({"bm25": b, "ann": a}, k=10).collect()}
+    # doc 3: rank 3 in bm25, rank 1 in ann
+    assert rows[3]["bm25_rank"] == 3 and rows[3]["ann_rank"] == 1
+    assert rows[3]["rrf_score"] == round(1.0 / 63 + 1.0 / 61, 6)
+    # doc 2 only in bm25; doc 4 only in ann
+    assert rows[2]["ann_rank"] is None
+    assert rows[2]["rrf_score"] == round(1.0 / 62, 6)
+    assert rows[4]["bm25_rank"] is None
+    # both-list docs outrank single-list docs here
+    order = [r["doc_id"] for r in sorted(rows.values(), key=lambda r: -r["rrf_score"])]
+    assert order[0] in (1, 3) and order[1] in (1, 3)
+
+
+def test_hybrid_search_rrf_runs_and_is_bounded(spark):
+    import numpy as np
+
+    from adsb_clickhouse_spark.operators.search import hybrid_search_rrf
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    rng = np.random.RandomState(7)
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(9)],
+        "vec_id long, embedding array<float>",
+    )
+    out = hybrid_search_rrf(docs, embs, QUERY, 0, kb=5, ka=5, k=4)
+    rows = out.collect()
+    assert 0 < len(rows) <= 4
+    assert rows == sorted(rows, key=lambda r: (-r["rrf_score"], r["doc_id"]))
+    # every row carries at least one leg's rank
+    assert all(
+        r["bm25_rank"] is not None or r["ann_rank"] is not None for r in rows
+    )
