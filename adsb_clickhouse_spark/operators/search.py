@@ -18,13 +18,22 @@ member of the retrieval family, next to the ANN operators
   (term, doc_id, tf, dl) — document length is DENORMALIZED into the
   posting so probes never join a corpus-sized doc-length table — and
   ``sortWithinPartitions(term)`` so parquet row-group min/max stats
-  prune within a bucket file. Per-term df lives in a ``terms`` table
-  partitioned the same way; corpus constants (N, avgdl) in a one-row
-  ``stats`` table. A probe reads ONLY the buckets of its query terms
-  (PartitionFilters — pinned in tests/test_search.py), so per-query
-  scan cost is ∝ |query terms| / n_buckets of the postings, never the
-  corpus size; scoring is a broadcast idf join + one candidate-bounded
-  aggregation.
+  prune within a bucket file; corpus constants (n_docs, sum_dl) in a
+  one-row ``stats`` table per part. A probe reads ONLY the buckets of
+  its query terms (PartitionFilters — pinned in tests/test_search.py),
+  so per-query scan cost is ∝ |query terms| / n_buckets of the
+  postings, never the corpus size; scoring is a broadcast idf join +
+  one candidate-bounded aggregation.
+
+- lifecycle: the index lives as a ``gen-*`` generation named by a
+  ``_GEN`` pointer file plus name-keyed append ``segments/`` (replay-
+  safe batch writes, disjoint docs by contract);
+  :func:`compact_text_index` folds live segments into a new generation
+  with the store discipline proven out on the curation fingerprint
+  store — fully-written new generation carrying a TRANSITIVE
+  ``_FOLDED`` manifest, one atomic pointer swap, then GC — so an
+  interruption at any point leaves a readable, correct index and
+  probes never double-count a half-deleted segment.
 
 Scoring (identical literal association in the DuckDB oracle,
 round-before-ordering, ties on doc_id):
@@ -40,6 +49,9 @@ this is a retrieval extension of the engine like the ANN family.
 from __future__ import annotations
 
 import hashlib
+import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -155,6 +167,69 @@ def term_bucket_py(term: str, n_buckets: int) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % int(n_buckets)
 
 
+_GEN_POINTER = "_GEN"
+_FOLDED_MANIFEST = "_FOLDED"
+
+
+def _gen_name(path: str) -> str | None:
+    try:
+        with open(os.path.join(path, _GEN_POINTER)) as fh:
+            name = fh.read().strip()
+        return name or None
+    except OSError:
+        return None
+
+
+def _folded_set(path: str, gen: str | None) -> set[str]:
+    """Segment names the current generation has folded (transitive:
+    each compaction carries the prior manifest forward, so a folded
+    segment whose delete was interrupted can never look live again)."""
+    if gen is None:
+        return set()
+    try:
+        with open(os.path.join(path, gen, _FOLDED_MANIFEST)) as fh:
+            return {ln.strip() for ln in fh if ln.strip()}
+    except OSError:
+        return set()
+
+
+def _live_segments(path: str) -> list[str]:
+    seg_root = os.path.join(path, "segments")
+    if not os.path.isdir(seg_root):
+        return []
+    folded = _folded_set(path, _gen_name(path))
+    return sorted(
+        e
+        for e in os.listdir(seg_root)
+        if not e.startswith("_") and e not in folded
+    )
+
+
+def _write_index_part(tfs: DataFrame, out: str, B: int) -> None:
+    """One index part: bucketed term-sorted postings + a one-row stats
+    table (n_docs, sum_dl, n_buckets — sum_dl so parts combine into
+    exact global avgdl without rescanning postings)."""
+    (
+        tfs.repartition("bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{out}/postings")
+    )
+    post = tfs.sparkSession.read.parquet(f"{out}/postings")
+    (
+        post.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+            F.lit(B).alias("n_buckets"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/stats")
+    )
+
+
 def write_text_index(
     docs: DataFrame,
     path: str,
@@ -163,45 +238,142 @@ def write_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> dict:
-    """Build the stored inverted index under ``path``: postings/
-    (term, doc_id, tf, dl) partitioned by term bucket and term-sorted
-    within files, terms/ (term, df) partitioned the same way, stats/
-    one row (n_docs, avgdl, n_buckets). Build cost is the one posting
+    """Initialize (or fully REPLACE) the stored inverted index under
+    ``path``: a generation dir ``gen-*`` holding postings/ (term,
+    doc_id, tf, dl) partitioned by term bucket and term-sorted within
+    files, plus a one-row stats table; the ``_GEN`` pointer file names
+    the current generation. Replacement is crash-safe in the store's
+    discipline: the new generation is fully written (its ``_FOLDED``
+    manifest superseding every existing segment) before the one atomic
+    pointer swap, then old parts are GC'd — an interrupted replace
+    leaves the old index readable. Build cost is the one posting
     aggregation the in-memory search pays, plus the bucketed write —
     amortized over every later probe, exactly like the IVF-ADC layout."""
     B = int(n_buckets)
+    spark = docs.sparkSession
+    old_gen = _gen_name(path)
+    seg_root = os.path.join(path, "segments")
+    all_segments = (
+        sorted(e for e in os.listdir(seg_root) if not e.startswith("_"))
+        if os.path.isdir(seg_root)
+        else []
+    )
     tfs = doc_term_freqs(docs, text_col=text_col, id_col=id_col).withColumn(
         "bucket", md5_long(F.col("term")) % B
     )
-    (
-        tfs.repartition("bucket")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{path}/postings")
-    )
-    post = docs.sparkSession.read.parquet(f"{path}/postings")
-    (
-        post.groupBy("bucket", "term")
-        .agg(F.count("*").alias("df"))
-        .repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{path}/terms")
-    )
-    (
-        post.select("doc_id", "dl")
-        .distinct()
-        .agg(
-            F.count("*").alias("n_docs"),
-            (F.sum("dl") / F.count("*")).alias("avgdl"),
-            F.lit(B).alias("n_buckets"),
+    new_gen = f"gen-{uuid.uuid4().hex[:8]}"
+    out = os.path.join(path, new_gen)
+    _write_index_part(tfs, out, B)
+    with open(os.path.join(out, _FOLDED_MANIFEST), "w") as fh:
+        fh.write("".join(f"{e}\n" for e in all_segments))
+    _swap_pointer(path, new_gen)
+    for e in all_segments:
+        shutil.rmtree(os.path.join(seg_root, e), ignore_errors=True)
+    if old_gen is not None and old_gen != new_gen:
+        shutil.rmtree(os.path.join(path, old_gen), ignore_errors=True)
+    s = spark.read.parquet(f"{out}/stats").collect()[0]
+    return {
+        "n_docs": s["n_docs"],
+        "avgdl": (s["sum_dl"] / s["n_docs"]) if s["n_docs"] else 0.0,
+        "n_buckets": B,
+        "generation": new_gen,
+    }
+
+
+def _swap_pointer(path: str, gen: str) -> None:
+    ptr = os.path.join(path, _GEN_POINTER)
+    tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(gen)
+    os.replace(tmp, ptr)
+
+
+def append_text_index(
+    docs: DataFrame,
+    path: str,
+    segment: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Add a batch of NEW documents to an initialized index as segment
+    ``segments/<segment>`` (postings + its own stats part). Segment
+    writes are name-keyed and overwrite, so a replayed batch converges
+    instead of double-counting — the same replay contract as the
+    curation store's ``batch_id=`` segments. The caller's contract is
+    that appended doc_ids are new to the index (re-ingesting a doc
+    would double its postings, shifting tf/df — exactly-once belongs
+    to the ingest's batch markers). Bucket count comes from the
+    current generation so every part prunes identically."""
+    gen = _gen_name(path)
+    if gen is None:
+        raise RuntimeError(
+            f"no text index at {path}; write_text_index must initialize "
+            "the layout before appends"
         )
-        .write.mode("overwrite")
-        .parquet(f"{path}/stats")
+    spark = docs.sparkSession
+    B = int(
+        spark.read.parquet(os.path.join(path, gen, "stats")).collect()[0][
+            "n_buckets"
+        ]
     )
-    s = docs.sparkSession.read.parquet(f"{path}/stats").collect()[0]
-    return {"n_docs": s["n_docs"], "avgdl": s["avgdl"], "n_buckets": B}
+    tfs = doc_term_freqs(docs, text_col=text_col, id_col=id_col).withColumn(
+        "bucket", md5_long(F.col("term")) % B
+    )
+    out = os.path.join(path, "segments", segment)
+    _write_index_part(tfs, out, B)
+    s = spark.read.parquet(f"{out}/stats").collect()[0]
+    return {"segment": segment, "n_docs": s["n_docs"], "n_buckets": B}
+
+
+def compact_text_index(spark: SparkSession, path: str) -> dict:
+    """Fold live segments into a new generation — the maintenance job
+    that keeps probe cost flat as appends accrete (an uncompacted index
+    re-lists and re-scans one small segment dir per batch forever;
+    compare the fingerprint-store measurement in README).
+
+    Crash-safe by the store discipline: the new generation is fully
+    written first — postings = current generation ∪ live segments
+    (parts hold disjoint docs by the append contract, so union IS the
+    merged index; no re-aggregation), combined stats, and a TRANSITIVE
+    ``_FOLDED`` manifest (prior manifest ∪ newly folded) — then one
+    atomic pointer swap, then GC of folded segments and the old
+    generation. Interruption at any point leaves a readable, correct
+    index; a re-run converges. Single concurrent maintainer, same as
+    the curated-table compactor."""
+    gen = _gen_name(path)
+    if gen is None:
+        raise RuntimeError(f"no text index at {path}")
+    segs = _live_segments(path)
+    if not segs:
+        return {"folded_segments": 0, "generation": gen}
+    B = int(
+        spark.read.parquet(os.path.join(path, gen, "stats")).collect()[0][
+            "n_buckets"
+        ]
+    )
+    parts = [os.path.join(path, gen)] + [
+        os.path.join(path, "segments", e) for e in segs
+    ]
+    post = spark.read.option(
+        "basePath", f"{parts[0]}/postings"
+    ).parquet(f"{parts[0]}/postings")
+    for p in parts[1:]:
+        nxt = spark.read.option("basePath", f"{p}/postings").parquet(
+            f"{p}/postings"
+        )
+        post = post.unionByName(nxt)
+    new_gen = f"gen-{uuid.uuid4().hex[:8]}"
+    out = os.path.join(path, new_gen)
+    _write_index_part(post, out, B)
+    folded = _folded_set(path, gen) | set(segs)
+    with open(os.path.join(out, _FOLDED_MANIFEST), "w") as fh:
+        fh.write("".join(f"{e}\n" for e in sorted(folded)))
+    _swap_pointer(path, new_gen)
+    for e in segs:
+        shutil.rmtree(os.path.join(path, "segments", e), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, gen), ignore_errors=True)
+    return {"folded_segments": len(segs), "generation": new_gen}
 
 
 def bm25_probe_stored(
@@ -213,25 +385,56 @@ def bm25_probe_stored(
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """Top-``k`` for ``query`` against a :func:`write_text_index`
-    layout. Reads ONLY the term buckets the query hashes to (partition
-    pruning — per-query scan ∝ |terms|/n_buckets of the postings) plus
-    the one-row stats table; scoring is a broadcast idf join and one
+    """Top-``k`` for ``query`` against the stored index: current
+    generation plus live (unfolded) segments. Every part reads ONLY
+    the term buckets the query hashes to (partition pruning — per-
+    query scan ∝ |query terms| / n_buckets of the postings) with the
+    term filter pushed to parquet; global N/avgdl combine from the
+    parts' one-row stats tables, per-term df aggregates over the
+    pruned candidate rows themselves (exact — postings hold one row
+    per (doc, term)), and scoring is a broadcast idf join plus one
     candidate-bounded aggregation. Result is row-identical to
     :func:`bm25_search` on the same corpus (pinned in tests)."""
     terms = _query_terms(query)
     if not terms:
         raise ValueError("query has no tokens under the corpus token law")
-    s = spark.read.parquet(f"{path}/stats").collect()[0]
-    N, avgdl, B = s["n_docs"], s["avgdl"], s["n_buckets"]
-    buckets = sorted({term_bucket_py(t, B) for t in terms})
-    post = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    gen = _gen_name(path)
+    if gen is None:
+        raise RuntimeError(f"no text index at {path}")
+    parts = [os.path.join(path, gen)] + [
+        os.path.join(path, "segments", e) for e in _live_segments(path)
+    ]
+    # all parts' one-row stats in ONE job (a per-part collect loop
+    # would pay one driver round-trip per accreted segment)
+    s = (
+        spark.read.parquet(*(f"{p}/stats" for p in parts))
+        .agg(
+            F.sum("n_docs").alias("N"),
+            F.sum("sum_dl").alias("sum_dl"),
+            F.count_distinct("n_buckets").alias("nb"),
+            F.max("n_buckets").alias("B"),
+        )
+        .collect()[0]
     )
+    if s["nb"] != 1:
+        raise RuntimeError(
+            f"index parts under {path} disagree on n_buckets; "
+            "refusing to prune with mismatched bucket maps"
+        )
+    N, B = s["N"], int(s["B"])
+    avgdl = s["sum_dl"] / N if N else 0.0
+    buckets = sorted({term_bucket_py(t, B) for t in terms})
+    post = None
+    for p in parts:
+        part = (
+            spark.read.option("basePath", f"{p}/postings")
+            .parquet(f"{p}/postings")
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        )
+        post = part if post is None else post.unionByName(part)
     idf = (
-        spark.read.parquet(f"{path}/terms")
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        post.groupBy("term")
+        .agg(F.count("*").alias("df"))
         .select(
             "term",
             F.log(

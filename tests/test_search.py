@@ -152,3 +152,88 @@ def test_hybrid_search_rrf_runs_and_is_bounded(spark):
     assert all(
         r["bm25_rank"] is not None or r["ann_rank"] is not None for r in rows
     )
+
+
+def _all_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_append_then_probe_sees_global_stats(spark, tmp_path):
+    base = CORPUS[:5]
+    extra = [(20, "join hash window merge join"), (21, "merge window tables")]
+    write_text_index(_all_docs(spark, base), str(tmp_path), n_buckets=16)
+    from adsb_clickhouse_spark.operators.search import append_text_index
+
+    append_text_index(_all_docs(spark, extra), str(tmp_path), "b0001")
+    got = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20).collect()
+    want = bm25_search(_all_docs(spark, base + extra), QUERY, k=20).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_append_replay_converges(spark, tmp_path):
+    from adsb_clickhouse_spark.operators.search import append_text_index
+
+    write_text_index(_all_docs(spark, CORPUS[:4]), str(tmp_path), n_buckets=8)
+    extra = [(30, "join join hash")]
+    append_text_index(_all_docs(spark, extra), str(tmp_path), "b0001")
+    once = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20).collect()
+    # a crashed-and-replayed batch rewrites the SAME segment name
+    append_text_index(_all_docs(spark, extra), str(tmp_path), "b0001")
+    twice = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20).collect()
+    assert [tuple(r) for r in once] == [tuple(r) for r in twice]
+
+
+def test_compact_folds_segments_and_preserves_scores(spark, tmp_path):
+    import os
+
+    from adsb_clickhouse_spark.operators.search import (
+        append_text_index,
+        compact_text_index,
+    )
+
+    base = CORPUS[:5]
+    write_text_index(_all_docs(spark, base), str(tmp_path), n_buckets=8)
+    for i, rows in enumerate(
+        ([(40, "join hash probes")], [(41, "merge window spill")],
+         [(42, "hash hash join")])
+    ):
+        append_text_index(_all_docs(spark, rows), str(tmp_path), f"b{i:04d}")
+    before = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20).collect()
+    res = compact_text_index(spark, str(tmp_path))
+    assert res["folded_segments"] == 3
+    after = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20).collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    # folded segments are gone from disk; one generation remains
+    assert os.listdir(str(tmp_path / "segments")) == []
+    gens = [e for e in os.listdir(str(tmp_path)) if e.startswith("gen-")]
+    assert len(gens) == 1
+    # idempotent when there is nothing to fold
+    assert compact_text_index(spark, str(tmp_path))["folded_segments"] == 0
+
+
+def test_interrupted_compact_never_double_counts(spark, tmp_path):
+    """Crash window: new generation written + pointer swapped, but the
+    folded segment's delete never ran. The _FOLDED manifest must keep
+    the stale segment invisible to probes."""
+    import os
+
+    from adsb_clickhouse_spark.operators.search import (
+        _GEN_POINTER,
+        append_text_index,
+        compact_text_index,
+    )
+
+    write_text_index(_all_docs(spark, CORPUS[:5]), str(tmp_path), n_buckets=8)
+    seg_rows = [(50, "join merge hash window")]
+    append_text_index(_all_docs(spark, seg_rows), str(tmp_path), "b0001")
+    want = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20).collect()
+    # preserve the segment dir across the compaction (simulate failed GC)
+    import shutil
+
+    seg = str(tmp_path / "segments" / "b0001")
+    saved = str(tmp_path / "_saved_seg")
+    shutil.copytree(seg, saved)
+    compact_text_index(spark, str(tmp_path))
+    shutil.copytree(saved, seg)  # resurrect: GC "never happened"
+    got = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20).collect()
+    assert [tuple(r) for r in want] == [tuple(r) for r in got]

@@ -96,6 +96,40 @@ def main() -> int:
             "rows_match": [tuple(r) for r in got] == [tuple(r) for r in want],
             "top_score": got[0]["score"] if got else None,
         }
+
+    # lifecycle: 40 micro-batch appends accrete; the probe pays a
+    # per-segment listing+scan tax until compaction folds them back
+    # into one bucketed generation
+    from adsb_clickhouse_spark.operators.search import (
+        append_text_index,
+        compact_text_index,
+    )
+
+    n_seg = 40
+    for s in range(n_seg):
+        batch = make_docs(spark, 2000)
+        batch = batch.selectExpr(
+            f"doc_id + {n + s * 2000} AS doc_id", "text"
+        )
+        append_text_index(batch, root, f"b{s:04d}")
+    t0 = time.time()
+    seg_rows = bm25_probe_stored(spark, root, common_q, k=10).collect()
+    probe_segmented = time.time() - t0
+    t0 = time.time()
+    res = compact_text_index(spark, root)
+    compact_sec = time.time() - t0
+    t0 = time.time()
+    cmp_rows = bm25_probe_stored(spark, root, common_q, k=10).collect()
+    probe_compacted = time.time() - t0
+    out["lifecycle"] = {
+        "appended_segments": n_seg,
+        "probe_segmented_sec": round(probe_segmented, 2),
+        "compact_sec": round(compact_sec, 2),
+        "folded": res["folded_segments"],
+        "probe_compacted_sec": round(probe_compacted, 2),
+        "rows_match_across_compact": [tuple(r) for r in seg_rows]
+        == [tuple(r) for r in cmp_rows],
+    }
     print(json.dumps(out))
     return 0
 
