@@ -81,20 +81,27 @@ def doc_term_freqs(
     text_col: str = "text",
     id_col: str = "doc_id",
     terms: list[str] | None = None,
+    with_positions: bool = False,
 ) -> DataFrame:
-    """(doc_id, term, tf, dl): term frequencies per document, with the
-    document token length denormalized onto every row. ``terms``
-    restricts to a query's terms BEFORE the aggregation shuffle (the
-    search fast path); None keeps everything (the index-build path)."""
+    """(doc_id, term, tf, dl[, positions]): term frequencies per
+    document, with the document token length denormalized onto every
+    row. ``terms`` restricts to a query's terms BEFORE the aggregation
+    shuffle (the search fast path); None keeps everything (the
+    index-build path). ``with_positions`` adds the sorted 0-based token
+    positions per (doc, term) — the positional-index payload for
+    phrase probes."""
     d = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     ).select("doc_id", "toks", F.size("toks").alias("dl"))
     e = d.filter(F.col("dl") > 0).select(
-        "doc_id", "dl", F.explode("toks").alias("term")
+        "doc_id", "dl", F.posexplode("toks").alias("pos", "term")
     )
     if terms is not None:
         e = e.filter(F.col("term").isin(list(terms)))
-    return e.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    aggs = [F.count("*").alias("tf")]
+    if with_positions:
+        aggs.append(F.array_sort(F.collect_list("pos")).alias("positions"))
+    return e.groupBy("doc_id", "dl", "term").agg(*aggs)
 
 
 def _bm25_score_col(k1: float, b: float):
@@ -237,6 +244,7 @@ def write_text_index(
     n_buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_positions: bool = False,
 ) -> dict:
     """Initialize (or fully REPLACE) the stored inverted index under
     ``path``: a generation dir ``gen-*`` holding postings/ (term,
@@ -258,9 +266,9 @@ def write_text_index(
         if os.path.isdir(seg_root)
         else []
     )
-    tfs = doc_term_freqs(docs, text_col=text_col, id_col=id_col).withColumn(
-        "bucket", md5_long(F.col("term")) % B
-    )
+    tfs = doc_term_freqs(
+        docs, text_col=text_col, id_col=id_col, with_positions=with_positions
+    ).withColumn("bucket", md5_long(F.col("term")) % B)
     new_gen = f"gen-{uuid.uuid4().hex[:8]}"
     out = os.path.join(path, new_gen)
     _write_index_part(tfs, out, B)
@@ -317,9 +325,13 @@ def append_text_index(
             "n_buckets"
         ]
     )
-    tfs = doc_term_freqs(docs, text_col=text_col, id_col=id_col).withColumn(
-        "bucket", md5_long(F.col("term")) % B
-    )
+    # a segment's schema must match its generation's (positional or not)
+    positional = "positions" in spark.read.parquet(
+        os.path.join(path, gen, "postings")
+    ).columns
+    tfs = doc_term_freqs(
+        docs, text_col=text_col, id_col=id_col, with_positions=positional
+    ).withColumn("bucket", md5_long(F.col("term")) % B)
     out = os.path.join(path, "segments", segment)
     _write_index_part(tfs, out, B)
     s = spark.read.parquet(f"{out}/stats").collect()[0]
@@ -531,3 +543,126 @@ def hybrid_search_rrf(
         F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return rrf_fuse({"bm25": b, "ann": a}, k=k, c=c)
+
+
+# --------------------------------------------------------------- phrase search
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    *,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase match: (doc_id, n_matches) for documents containing
+    the token sequence of ``phrase``, ordered by (matches desc, doc_id),
+    top-``k``.
+
+    Slot-join formulation: broadcast the tiny (slot i, term) phrase
+    table onto the position-exploded token stream (term-filtered BY the
+    join itself, so only phrase-term rows survive the scan), derive the
+    candidate start ``pos − i``, and a phrase occurs at a start iff all
+    m slots are present there — one grouped count over candidate rows
+    (bounded by phrase-term frequency), then a doc-level reduce and a
+    distributed top-k. A slot row is unique per (doc, start, i) by
+    construction (one source position per slot), so no distinct is
+    needed. No corpus shuffle beyond the candidate-bounded counts."""
+    terms = _query_terms_ordered(phrase)
+    m = len(terms)
+    if m == 0:
+        raise ValueError("phrase has no tokens under the corpus token law")
+    spark = docs.sparkSession
+    ph = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "i int, term string"
+    )
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    return (
+        tok.join(F.broadcast(ph), "term")
+        .select("doc_id", (F.col("pos") - F.col("i")).alias("start"), "i")
+        .groupBy("doc_id", "start")
+        .agg(F.count("*").alias("nslots"))
+        .filter(F.col("nslots") == m)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy(F.desc("n_matches"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def _query_terms_ordered(query: str) -> list[str]:
+    """Phrase tokenization: order- and duplicate-preserving (a phrase
+    may repeat a term; :func:`_query_terms` dedups for bag-of-terms
+    scoring)."""
+    import re
+
+    from ..functions.texttools import TOKEN_RE
+
+    return re.findall(TOKEN_RE, query.lower())
+
+
+def phrase_probe_stored(
+    spark: SparkSession,
+    path: str,
+    phrase: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase match against a positional stored index
+    (:func:`write_text_index` with ``with_positions=True``). Reads only
+    the phrase terms' buckets (partition-pruned, term filter pushed),
+    explodes the stored position lists for just those rows, and runs
+    the same slot-count law as :func:`phrase_search` — per-query cost
+    ∝ phrase-term postings, never corpus size."""
+    terms = _query_terms_ordered(phrase)
+    m = len(terms)
+    if m == 0:
+        raise ValueError("phrase has no tokens under the corpus token law")
+    gen = _gen_name(path)
+    if gen is None:
+        raise RuntimeError(f"no text index at {path}")
+    parts = [os.path.join(path, gen)] + [
+        os.path.join(path, "segments", e) for e in _live_segments(path)
+    ]
+    uniq = sorted(set(terms))
+    s = (
+        spark.read.parquet(*(f"{p}/stats" for p in parts))
+        .agg(F.max("n_buckets").alias("B"))
+        .collect()[0]
+    )
+    B = int(s["B"])
+    buckets = sorted({term_bucket_py(t, B) for t in uniq})
+    post = None
+    for p in parts:
+        part = (
+            spark.read.option("basePath", f"{p}/postings")
+            .parquet(f"{p}/postings")
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
+        )
+        post = part if post is None else post.unionByName(part)
+    if "positions" not in post.columns:
+        raise RuntimeError(
+            f"index at {path} was built without positions "
+            "(write_text_index(..., with_positions=True))"
+        )
+    ph = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "i int, term string"
+    )
+    return (
+        post.join(F.broadcast(ph), "term")
+        .select(
+            "doc_id", "i", F.explode("positions").alias("pos")
+        )
+        .select("doc_id", (F.col("pos") - F.col("i")).alias("start"), "i")
+        .groupBy("doc_id", "start")
+        .agg(F.count("*").alias("nslots"))
+        .filter(F.col("nslots") == m)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy(F.desc("n_matches"), F.asc("doc_id"))
+        .limit(int(k))
+    )

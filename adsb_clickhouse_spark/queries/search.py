@@ -137,3 +137,55 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_search_rrf(
         d, e, _BM25_QUERY, _RRF_VEC, kb=_RRF_KB, ka=_RRF_KA, k=_RRF_K, c=_RRF_C
     ).orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+
+
+_PHRASE = "hash join"
+_PHRASE_K = 50
+
+
+def _duck_phrase_sql() -> str:
+    """Twin of operators/search.py::phrase_search — the same slot-count
+    law (a phrase occurs at start s iff all m slots land on s), 1-based
+    positions DuckDB-side vs 0-based Spark-side (start is internal, so
+    the base cancels)."""
+    terms = _PHRASE.split()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
+    return f"""
+    WITH tk AS (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents),
+    tr AS (SELECT doc_id, unnest(toks) AS term,
+                  unnest(range(1, len(toks) + 1)) AS pos
+           FROM tk),
+    ph(i, term) AS (VALUES {vals}),
+    cand AS (SELECT doc_id, tr.pos - ph.i AS start, ph.i AS i
+             FROM tr JOIN ph ON tr.term = ph.term),
+    hits AS (SELECT doc_id, start FROM cand
+             GROUP BY doc_id, start HAVING count(*) = {len(terms)})
+    SELECT doc_id, count(*) AS n_matches
+    FROM hits GROUP BY 1
+    ORDER BY n_matches DESC, doc_id LIMIT {_PHRASE_K}
+    """
+
+
+@register(
+    "text_phrase_search",
+    _duck_phrase_sql(),
+    doc=(
+        f"Exact-phrase search: documents containing the token sequence "
+        f"'{_PHRASE}', with occurrence counts, top-{_PHRASE_K}. The "
+        "slot-join formulation: broadcast the (slot, term) phrase table "
+        "onto the position-exploded token stream — the join itself "
+        "term-filters the scan, so only phrase-term rows survive — and "
+        "a phrase occurs at a start iff all slots are present there "
+        "(one candidate-bounded grouped count, a doc-level reduce, a "
+        "distributed top-k; no corpus shuffle beyond the candidates). "
+        "The positional stored-index twin (phrase_probe_stored over "
+        "write_text_index(with_positions=True)) runs the same law over "
+        "partition-pruned postings, pinned row-identical in "
+        "tests/test_search.py."
+    ),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import phrase_search
+
+    d = load_table(spark, sf_dir, "documents")
+    return phrase_search(d, _PHRASE, k=_PHRASE_K)

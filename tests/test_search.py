@@ -237,3 +237,103 @@ def test_interrupted_compact_never_double_counts(spark, tmp_path):
     shutil.copytree(saved, seg)  # resurrect: GC "never happened"
     got = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20).collect()
     assert [tuple(r) for r in want] == [tuple(r) for r in got]
+
+
+def _ref_phrase(corpus, phrase):
+    terms = phrase.split()
+    out = {}
+    for i, t in corpus:
+        toks = re.findall(TOKEN_RE, (t or "").lower())
+        n = sum(
+            1
+            for s in range(len(toks) - len(terms) + 1)
+            if toks[s : s + len(terms)] == terms
+        )
+        if n:
+            out[i] = n
+    return out
+
+
+PHRASE_CORPUS = [
+    (0, "hash join hash join hash join"),       # 3 matches
+    (1, "a hash and a join but never adjacent"),
+    (2, "join hash"),                            # reversed: no match
+    (3, "hash hash join join"),                  # 1 match
+    (4, "aaa aaa aaa aaa"),                      # overlap corpus for 'aaa aaa'
+    (5, None),
+    (6, "x hash join"),                          # 1 match
+]
+
+
+def test_phrase_search_matches_reference(spark):
+    from adsb_clickhouse_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(PHRASE_CORPUS, "doc_id long, text string")
+    for ph in ("hash join", "aaa aaa", "aaa aaa aaa", "hash hash join"):
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_search(docs, ph, k=50).collect()
+        }
+        assert got == _ref_phrase(PHRASE_CORPUS, ph), ph
+    # repeated-term phrase: overlapping starts both count ('aaa aaa' in
+    # a run of 4 -> 3 starts), matching the reference scan
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(docs, "aaa aaa", k=50).collect()
+    }
+    assert got[4] == 3
+
+
+def test_phrase_probe_stored_positional(spark, tmp_path):
+    from adsb_clickhouse_spark.operators.search import (
+        append_text_index,
+        compact_text_index,
+        phrase_probe_stored,
+        phrase_search,
+        write_text_index,
+    )
+
+    docs = spark.createDataFrame(PHRASE_CORPUS, "doc_id long, text string")
+    write_text_index(docs, str(tmp_path), n_buckets=16, with_positions=True)
+    extra = [(10, "hash join again hash join")]
+    append_text_index(
+        spark.createDataFrame(extra, "doc_id long, text string"),
+        str(tmp_path),
+        "b0001",
+    )
+    want = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(
+            spark.createDataFrame(PHRASE_CORPUS + extra, "doc_id long, text string"),
+            "hash join",
+            k=50,
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_probe_stored(spark, str(tmp_path), "hash join", k=50).collect()
+    }
+    assert got == want and got[10] == 2
+    # pruning pinned on the positional layout too
+    probe = phrase_probe_stored(spark, str(tmp_path), "hash join", k=50)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
+    # positions survive compaction
+    compact_text_index(spark, str(tmp_path))
+    after = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_probe_stored(spark, str(tmp_path), "hash join", k=50).collect()
+    }
+    assert after == want
+
+
+def test_phrase_probe_requires_positions(spark, tmp_path):
+    import pytest as _pytest
+
+    from adsb_clickhouse_spark.operators.search import phrase_probe_stored
+
+    docs = spark.createDataFrame(PHRASE_CORPUS, "doc_id long, text string")
+    write_text_index(docs, str(tmp_path), n_buckets=8)  # no positions
+    with _pytest.raises(RuntimeError, match="positions"):
+        phrase_probe_stored(spark, str(tmp_path), "hash join").collect()
