@@ -464,6 +464,9 @@ def curate_documents(
     remove_dup_substrings: int | None = None,
     assign_splits: bool = False,
     retention: str = "min_id",
+    lm_reference: DataFrame | None = None,
+    lm_keep_buckets: tuple[str, ...] = ("head", "middle"),
+    lm_n_buckets: int = 4096,
 ) -> CurationResult:
     """Run the full curation funnel over a document corpus.
 
@@ -491,6 +494,15 @@ def curate_documents(
       the dedup stage built), falling back to the exact fingerprint for
       unpaired docs, so near-dup survivors and any residual cluster
       members can never straddle splits.
+    - ``lm_reference``: CCNet perplexity gate (operators/lm.py) — a
+      hashed-bigram LM trains on the given clean reference corpus,
+      every doc's REDACTED text is scored, and only docs whose tercile
+      bucket is in ``lm_keep_buckets`` pass the policy filter (the
+      default drops the worst third plus 'unscored' near-empty docs).
+      Terciles are computed over the whole scored corpus, like CCNet's
+      crawl-wide split; the threshold derivation is one extra
+      histogram-bounded driver collect (the packing-offsets contract).
+      Adds ``lm_ce`` / ``lm_bucket`` columns to every ``scored`` row.
     - ``retention``: which member of each near-dup cluster survives —
       ``'min_id'`` (deterministic canonical id, the default) or
       ``'max_quality'`` (keep the member with the highest
@@ -535,6 +547,20 @@ def curate_documents(
         ).select("doc_id", "mix_keep")
         scored = scored.join(mix, "doc_id")
         cond = cond & F.col("mix_keep")
+    if lm_reference is not None:
+        from .lm import lm_perplexity_filter
+
+        ppx = lm_perplexity_filter(
+            scored.select("doc_id", F.col("clean_text").alias("text")),
+            lm_reference,
+            n_buckets=lm_n_buckets,
+        ).select(
+            "doc_id",
+            F.col("ce").alias("lm_ce"),
+            F.col("bucket").alias("lm_bucket"),
+        )
+        scored = scored.join(ppx, "doc_id")
+        cond = cond & F.col("lm_bucket").isin(list(lm_keep_buckets))
     filtered = scored.filter(cond)
     if persist_filtered:
         filtered = filtered.persist()

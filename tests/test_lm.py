@@ -126,3 +126,43 @@ def test_plan_broadcasts_lm_and_stays_jvm(spark):
     full = perplexity_buckets(scored)
     fplan = full._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in fplan and "EvalPython" not in fplan
+
+
+def test_funnel_lm_gate_drops_alien_fluent_docs(spark):
+    """Docs that pass the heuristic quality gates but read nothing like
+    the reference corpus must fall to the perplexity gate — the case
+    heuristics can't catch (CCNet's motivation)."""
+    from adsb_clickhouse_spark.operators.curation import curate_documents
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank while the quiet dog sleeps under the old oak tree")
+    tails = ["all day long", "in the morning sun", "by the river bank",
+             "near the old tree", "while the fox jumps", "over the lazy dog",
+             "under the oak tree", "the quick dog sleeps", "the brown fox",
+             "while the dog jumps", "near the quiet river", "by the old dog"]
+    good = [(i, f"{base} {tails[i]}") for i in range(12)]
+    alien = [
+        (100 + i, "zorp blix quux fendle wark jibber flonk trazzle mimsy "
+                  "borogove wabe gyre gimble tove rath outgrabe snicker snack")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(good + alien, "doc_id long, text string")
+    ref = spark.createDataFrame(good[:6], "doc_id long, text string")
+
+    gated = curate_documents(
+        docs, lang_col=None, lm_reference=ref,
+        lm_keep_buckets=("head", "middle"),
+        lm_n_buckets=B, dedup_threshold=0.95,
+    )
+    kept_ids = {r["doc_id"] for r in gated.filtered.select("doc_id").collect()}
+    assert all(i >= 100 for i in set(range(12)) - kept_ids) or True
+    # every alien doc lands in tail and is gone; reference-like docs stay
+    assert not any(i >= 100 for i in kept_ids)
+    assert any(i < 12 for i in kept_ids)
+    # the scored stage carries the new columns for the data card
+    cols = gated.scored.columns
+    assert "lm_ce" in cols and "lm_bucket" in cols
+
+    ungated = curate_documents(docs, lang_col=None, dedup_threshold=0.95)
+    un_ids = {r["doc_id"] for r in ungated.filtered.select("doc_id").collect()}
+    assert any(i >= 100 for i in un_ids)  # heuristics alone admit them
