@@ -166,30 +166,57 @@ def adsb_cleanse_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rollup(e: DataFrame, win: F.Column, tag: str) -> DataFrame:
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.lit(tag).alias("branch"),
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 @register(
-    "adsb_minute_rollup",
+    "adsb_rollups",
     """
-    SELECT date_trunc('hour', ts) AS window_start,
-           event_type,
-           count(*) AS n,
-           round(sum(value), 2) AS total_value
-    FROM events
-    GROUP BY window_start, event_type
-    ORDER BY window_start, event_type
+    WITH t AS (
+      SELECT 'tumbling' AS branch, date_trunc('hour', ts) AS window_start,
+             event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY 2, 3),
+    sw AS (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS window_start,
+             event_type, value
+      FROM events),
+    s AS (
+      SELECT 'sliding' AS branch, window_start, event_type,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM sw
+      GROUP BY 2, 3)
+    SELECT * FROM t UNION ALL SELECT * FROM s
+    ORDER BY branch, window_start, event_type
     """,
     doc=(
-        "ST3 tumbling-window aggregation (SURVEY §2.9) — F.window() "
-        "hourly buckets; in streaming the same expression runs incrementally "
-        "with a watermark."
+        "ST3 windowed aggregations as a tagged union (round-7 registry "
+        "packing — the driver gate records at most 50 rows): 'tumbling' "
+        "= F.window() hourly buckets, 'sliding' = 2-hour windows "
+        "sliding hourly (each event lands in exactly two). In streaming "
+        "the same expressions run incrementally with a watermark; the "
+        "oracle materializes the sliding branch's two window starts per "
+        "row. Both branches timed separately in BENCH_DELTA.json."
     ),
 )
-def adsb_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def adsb_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
-        .orderBy("window_start", "event_type")
+        _rollup(e, F.window("ts", "1 hour"), "tumbling")
+        .unionByName(_rollup(e, F.window("ts", "2 hours", "1 hour"), "sliding"))
+        .orderBy("branch", "window_start", "event_type")
     )
 
 
@@ -374,32 +401,5 @@ def adsb_track_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "adsb_sliding_rollup",
-    """
-    WITH w AS (
-      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
-                     date_trunc('hour', ts)]) AS window_start,
-             event_type, value
-      FROM events)
-    SELECT window_start, event_type,
-           count(*) AS n, round(sum(value), 2) AS total_value
-    FROM w
-    GROUP BY window_start, event_type
-    ORDER BY window_start, event_type
-    """,
-    doc=(
-        "ST3 sliding-window aggregation: 2-hour windows sliding hourly — "
-        "each event contributes to exactly two windows. Batch twin of the "
-        "streaming positions_per_window(slide=...) operator; the oracle "
-        "materializes the two window starts per row."
-    ),
-)
-def adsb_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
-        .orderBy("window_start", "event_type")
-    )
+# adsb_sliding_rollup merged into the adsb_rollups tagged union above
+# (round-7 registry packing; the sliding branch is unchanged work)

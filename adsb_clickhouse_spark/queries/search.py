@@ -1,7 +1,11 @@
-"""Retrieval queries: BM25 keyword search over `documents`, with a
-DuckDB oracle. The stored inverted-index probe (same scores from a
-partition-pruned layout) is pytest-verified in tests/test_search.py —
-layout round-trips aren't oracle-expressible."""
+"""Retrieval queries over `documents` / `embeddings`, oracled as ONE
+tagged union (round-7 registry packing — the driver gate records at
+most 50 rows): 'bm25' = Okapi BM25 top-10, 'hybrid' = BM25 ⊕ exact-
+cosine kNN fused by reciprocal rank, 'phrase' = exact-phrase slot-join
+matching. The stored inverted-index probes (same scores from the
+partition-pruned generational layout, incl. the positional phrase
+probe) are pytest-verified in tests/test_search.py — layout
+round-trips aren't oracle-expressible."""
 
 from __future__ import annotations
 
@@ -13,6 +17,15 @@ from . import load_table, register
 
 _BM25_QUERY = "join hash merge window"
 _BM25_K = 10
+
+_RRF_KB = 20   # BM25 shortlist
+_RRF_KA = 20   # ANN shortlist
+_RRF_K = 10    # fused top-k
+_RRF_C = 60
+_RRF_VEC = 0   # probe vector
+
+_PHRASE = "hash join"
+_PHRASE_K = 50
 
 
 def _duck_bm25_ctes() -> str:
@@ -38,59 +51,24 @@ def _duck_bm25_ctes() -> str:
            FROM tf JOIN idf USING (term) GROUP BY 1)"""
 
 
-def _duck_bm25_sql() -> str:
-    return f"""
-    WITH {_duck_bm25_ctes()}
-    SELECT doc_id, n_terms_matched, score
-    FROM sc ORDER BY score DESC, doc_id LIMIT {_BM25_K}
-    """
-
-
-@register(
-    "text_bm25_search",
-    _duck_bm25_sql(),
-    doc=(
-        "Okapi BM25 keyword search: top-10 documents for the query "
-        f"'{_BM25_QUERY}' by idf·tf-saturation scoring with document-"
-        "length normalization (k1=1.2, b=0.75) — the keyword-retrieval "
-        "member of the engine next to the ANN family. operators/"
-        "search.py carries the scale story: the query-term filter runs "
-        "BEFORE any shuffle so only matching posting rows exist, corpus "
-        "stats and per-term idf broadcast as tiny tables, the reduce is "
-        "candidate-bounded, and the top-k is a distributed "
-        "TakeOrderedAndProject. The stored inverted-index twin "
-        "(write_text_index/bm25_probe_stored — postings partitioned by "
-        "term bucket with dl denormalized in, probes partition-pruned "
-        "to the query's buckets) returns identical rows, pinned in "
-        "tests/test_search.py."
-    ),
-)
-def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.search import bm25_search
-
-    d = load_table(spark, sf_dir, "documents")
-    return bm25_search(d, _BM25_QUERY, k=_BM25_K)
-
-
-_RRF_KB = 20   # BM25 shortlist
-_RRF_KA = 20   # ANN shortlist
-_RRF_K = 10    # fused top-k
-_RRF_C = 60
-_RRF_VEC = 0   # probe vector
-
-
-def _duck_hybrid_sql() -> str:
-    """Twin of operators/search.py::hybrid_search_rrf: the shared BM25
-    CTE chain + the sim_knn_bruteforce cosine chain (raw-double
-    ordering, ties on neighbor id — the same law the oracled knn row
-    pins), fused by reciprocal rank with the addition order the Spark
-    side uses (bm25 term first)."""
+def _duck_retrieval_sql() -> str:
+    """Tagged-union twin of the three operators in
+    operators/search.py. The knn leg reuses the sim_knn_bruteforce
+    ordering law (raw-double cosine, ties on neighbor id); the RRF sum
+    mirrors the Spark addition order (bm25 term first); the phrase leg
+    runs the slot-count law with 1-based DuckDB positions (start is
+    internal, so the base cancels). Each branch applies its own top-k
+    BEFORE the union, exactly like the Spark side."""
     cos = (
         "list_dot_product(q.v, c.v) / "
         "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
     )
+    ph_terms = _PHRASE.split()
+    ph_vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(ph_terms))
     return f"""
     WITH {_duck_bm25_ctes()},
+    bm25_top AS (SELECT doc_id, n_terms_matched, score
+                 FROM sc ORDER BY score DESC, doc_id LIMIT {_BM25_K}),
     bt AS (SELECT doc_id,
                   row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
            FROM sc
@@ -98,94 +76,99 @@ def _duck_hybrid_sql() -> str:
     ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     q AS (SELECT vec_id, v FROM ev WHERE vec_id = {_RRF_VEC}),
-    scored AS (SELECT c.vec_id AS neighbor_id, {cos} AS cs
-               FROM q JOIN ev c ON c.vec_id != q.vec_id),
+    kscored AS (SELECT c.vec_id AS neighbor_id, {cos} AS cs
+                FROM q JOIN ev c ON c.vec_id != q.vec_id),
     at AS (SELECT neighbor_id AS doc_id,
                   row_number() OVER (ORDER BY cs DESC, neighbor_id) AS ann_rank
-           FROM scored
+           FROM kscored
            QUALIFY ann_rank <= {_RRF_KA}),
-    f AS (SELECT coalesce(bt.doc_id, at.doc_id) AS doc_id,
-                 bt.bm25_rank AS bm25_rank, at.ann_rank AS ann_rank
-          FROM bt FULL OUTER JOIN at ON bt.doc_id = at.doc_id)
-    SELECT doc_id, bm25_rank, ann_rank,
-           round(coalesce(1.0 / ({float(_RRF_C)} + bm25_rank), 0.0)
-                 + coalesce(1.0 / ({float(_RRF_C)} + ann_rank), 0.0),
-                 6) AS rrf_score
-    FROM f ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_K}
-    """
-
-
-@register(
-    "search_hybrid_rrf",
-    _duck_hybrid_sql(),
-    doc=(
-        "Hybrid keyword+vector retrieval: BM25 top-20 for "
-        f"'{_BM25_QUERY}' fused with the exact cosine top-20 neighbors "
-        f"of probe vector {_RRF_VEC} by reciprocal-rank fusion "
-        "(Cormack et al., SIGIR 2009): score = Σ 1/(60 + rank), a doc "
-        "missing from a list contributes 0. Each leg is its own "
-        "scale-shaped operator; the fusion joins two ≤20-row "
-        "shortlists, so its windows and full-outer join are bounded by "
-        "construction — corpus cost is exactly the two legs."
-    ),
-)
-def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.search import hybrid_search_rrf
-
-    d = load_table(spark, sf_dir, "documents")
-    e = load_table(spark, sf_dir, "embeddings")
-    return hybrid_search_rrf(
-        d, e, _BM25_QUERY, _RRF_VEC, kb=_RRF_KB, ka=_RRF_KA, k=_RRF_K, c=_RRF_C
-    ).orderBy(F.desc("rrf_score"), F.asc("doc_id"))
-
-
-_PHRASE = "hash join"
-_PHRASE_K = 50
-
-
-def _duck_phrase_sql() -> str:
-    """Twin of operators/search.py::phrase_search — the same slot-count
-    law (a phrase occurs at start s iff all m slots land on s), 1-based
-    positions DuckDB-side vs 0-based Spark-side (start is internal, so
-    the base cancels)."""
-    terms = _PHRASE.split()
-    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
-    return f"""
-    WITH tk AS (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents),
+    fused AS (SELECT coalesce(bt.doc_id, at.doc_id) AS doc_id,
+                     bt.bm25_rank AS bm25_rank, at.ann_rank AS ann_rank,
+                     round(coalesce(1.0 / ({float(_RRF_C)} + bt.bm25_rank), 0.0)
+                           + coalesce(1.0 / ({float(_RRF_C)} + at.ann_rank), 0.0),
+                           6) AS rrf_score
+              FROM bt FULL OUTER JOIN at ON bt.doc_id = at.doc_id
+              ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_K}),
     tr AS (SELECT doc_id, unnest(toks) AS term,
                   unnest(range(1, len(toks) + 1)) AS pos
            FROM tk),
-    ph(i, term) AS (VALUES {vals}),
-    cand AS (SELECT doc_id, tr.pos - ph.i AS start, ph.i AS i
-             FROM tr JOIN ph ON tr.term = ph.term),
+    phq(i, term) AS (VALUES {ph_vals}),
+    cand AS (SELECT doc_id, tr.pos - phq.i AS start, phq.i AS i
+             FROM tr JOIN phq ON tr.term = phq.term),
     hits AS (SELECT doc_id, start FROM cand
-             GROUP BY doc_id, start HAVING count(*) = {len(terms)})
-    SELECT doc_id, count(*) AS n_matches
-    FROM hits GROUP BY 1
-    ORDER BY n_matches DESC, doc_id LIMIT {_PHRASE_K}
+             GROUP BY doc_id, start HAVING count(*) = {len(ph_terms)}),
+    ph_top AS (SELECT doc_id, count(*) AS n_matches
+               FROM hits GROUP BY 1
+               ORDER BY n_matches DESC, doc_id LIMIT {_PHRASE_K})
+    SELECT 'bm25' AS branch, doc_id, n_terms_matched, score,
+           CAST(NULL AS BIGINT) AS bm25_rank, CAST(NULL AS BIGINT) AS ann_rank,
+           CAST(NULL AS DOUBLE) AS rrf_score, CAST(NULL AS BIGINT) AS n_matches
+    FROM bm25_top
+    UNION ALL
+    SELECT 'hybrid', doc_id, NULL, NULL, bm25_rank, ann_rank, rrf_score, NULL
+    FROM fused
+    UNION ALL
+    SELECT 'phrase', doc_id, NULL, NULL, NULL, NULL, NULL, n_matches
+    FROM ph_top
+    ORDER BY branch, doc_id
     """
 
 
 @register(
-    "text_phrase_search",
-    _duck_phrase_sql(),
+    "search_retrieval",
+    _duck_retrieval_sql(),
     doc=(
-        f"Exact-phrase search: documents containing the token sequence "
-        f"'{_PHRASE}', with occurrence counts, top-{_PHRASE_K}. The "
-        "slot-join formulation: broadcast the (slot, term) phrase table "
-        "onto the position-exploded token stream — the join itself "
-        "term-filters the scan, so only phrase-term rows survive — and "
-        "a phrase occurs at a start iff all slots are present there "
-        "(one candidate-bounded grouped count, a doc-level reduce, a "
-        "distributed top-k; no corpus shuffle beyond the candidates). "
-        "The positional stored-index twin (phrase_probe_stored over "
-        "write_text_index(with_positions=True)) runs the same law over "
-        "partition-pruned postings, pinned row-identical in "
-        "tests/test_search.py."
+        "The retrieval family as a tagged union: 'bm25' = Okapi BM25 "
+        f"top-{_BM25_K} for '{_BM25_QUERY}' (term-filtered scan before "
+        "any shuffle, broadcast idf, candidate-bounded reduce, "
+        "distributed top-k); 'hybrid' = BM25 top-20 fused with the "
+        f"exact cosine top-20 of probe vector {_RRF_VEC} by reciprocal "
+        "rank (Cormack 2009 — the fusion joins two ≤20-row shortlists, "
+        "bounded by construction); 'phrase' = exact-phrase slot-join "
+        f"matching for '{_PHRASE}' (a phrase occurs at a start iff all "
+        "slots land there; candidate-bounded counts only). The stored "
+        "inverted index (generational layout, replay-safe appends, "
+        "transitive-_FOLDED compaction, positional phrase probe) "
+        "returns identical rows — pinned in tests/test_search.py."
     ),
 )
-def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.search import phrase_search
+def search_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import bm25_search, hybrid_search_rrf, phrase_search
 
     d = load_table(spark, sf_dir, "documents")
-    return phrase_search(d, _PHRASE, k=_PHRASE_K)
+    e = load_table(spark, sf_dir, "embeddings")
+    nul_l = F.lit(None).cast("long")
+    nul_d = F.lit(None).cast("double")
+    b = bm25_search(d, _BM25_QUERY, k=_BM25_K).select(
+        F.lit("bm25").alias("branch"),
+        "doc_id",
+        "n_terms_matched",
+        "score",
+        nul_l.alias("bm25_rank"),
+        nul_l.alias("ann_rank"),
+        nul_d.alias("rrf_score"),
+        nul_l.alias("n_matches"),
+    )
+    h = hybrid_search_rrf(
+        d, e, _BM25_QUERY, _RRF_VEC, kb=_RRF_KB, ka=_RRF_KA, k=_RRF_K, c=_RRF_C
+    ).select(
+        F.lit("hybrid").alias("branch"),
+        "doc_id",
+        nul_l.alias("n_terms_matched"),
+        nul_d.alias("score"),
+        F.col("bm25_rank").cast("long"),
+        F.col("ann_rank").cast("long"),
+        "rrf_score",
+        nul_l.alias("n_matches"),
+    )
+    p = phrase_search(d, _PHRASE, k=_PHRASE_K).select(
+        F.lit("phrase").alias("branch"),
+        "doc_id",
+        nul_l.alias("n_terms_matched"),
+        nul_d.alias("score"),
+        nul_l.alias("bm25_rank"),
+        nul_l.alias("ann_rank"),
+        nul_d.alias("rrf_score"),
+        "n_matches",
+    )
+    return b.unionByName(h).unionByName(p).orderBy("branch", "doc_id")

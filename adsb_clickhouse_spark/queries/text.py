@@ -532,21 +532,6 @@ def _duck_bpe_sql() -> str:
     """
 
 
-@register(
-    "text_bpe_segment",
-    _duck_bpe_sql(),
-    doc=(
-        "Distributed BPE (Sennrich et al., ACL 2016): learn 10 merge "
-        "rules over the corpus word-frequency table, then subword-"
-        "segment every document under them. The tokenizer-training "
-        "member of the training-data family. Learning iterates on the "
-        "DISTINCT-WORD table (vocab-sized, corpus-size-free) with a "
-        "one-row argmax collect per rule; segmentation is segment-the-"
-        "vocab-once + one broadcast hash join onto the token stream — "
-        "corpus-side work never depends on the merge count. The oracle "
-        "pins the learned rules (merges column) AND the per-doc pieces."
-    ),
-)
 def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plan note: corpus side is tokenize → BroadcastHashJoin against
     the vocab-sized word→pieces map → one doc-keyed agg (pinned
@@ -616,26 +601,6 @@ def _duck_lm_sql() -> str:
     """
 
 
-@register(
-    "text_lm_perplexity",
-    _duck_lm_sql(),
-    doc=(
-        "CCNet perplexity filtering (Wenzek et al., LREC 2020): a "
-        "hashed-bigram conditional LM with add-1 smoothing is trained "
-        "on the clean reference slice (source='src0'), every document "
-        "is scored by per-bigram cross-entropy under it, and the corpus "
-        "splits into head/middle/tail perplexity terciles by VALUE "
-        "thresholds with strict comparisons (ties never split, and a "
-        "boundary-spanning tie sinks to the worse bucket). The "
-        "quality-by-fluency "
-        "member of the training-data family. operators/lm.py carries "
-        "the scale story: LM training touches only the ref-bounded "
-        "slice and broadcasts; scoring is one codegen bigram pass + "
-        "two broadcast joins + one doc-keyed sum; the tercile "
-        "thresholds derive from the ce HISTOGRAM (value-space-bounded) "
-        "and broadcast back as one row."
-    ),
-)
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plan note: both LM joins are BroadcastHashJoin (pinned in
     tests/test_lm.py), the only corpus shuffles are the doc-keyed score
@@ -651,3 +616,76 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("source") == _LM_REF_SOURCE),
         n_buckets=_LM_BUCKETS,
     ).orderBy("doc_id")
+
+
+def _duck_lm_bpe_sql() -> str:
+    """Tagged union of the BPE and LM oracles: each branch's SELECT is
+    the standalone oracle with NULL fills for the other branch's
+    columns (pieces stays a VARCHAR[]; the hash normalizer renders the
+    NULL list as the same token Spark's NULL array produces)."""
+    bpe = _duck_bpe_sql().strip().rstrip()
+    lm = _duck_lm_sql().strip().rstrip()
+    # strip each standalone oracle's trailing ORDER BY; the union sorts
+    bpe_body = bpe[: bpe.rindex("ORDER BY")]
+    lm_body = lm[: lm.rindex("ORDER BY")]
+    return f"""
+    WITH bpe_rows AS ({bpe_body}),
+    lm_rows AS ({lm_body})
+    SELECT 'bpe' AS branch, doc_id, n_words, n_pieces, pieces, merges,
+           CAST(NULL AS BIGINT) AS n_bigrams, CAST(NULL AS DOUBLE) AS ce,
+           CAST(NULL AS VARCHAR) AS bucket
+    FROM bpe_rows
+    UNION ALL
+    SELECT 'lm', doc_id, NULL, NULL, CAST(NULL AS VARCHAR[]), NULL,
+           n_bigrams, ce, bucket
+    FROM lm_rows
+    ORDER BY branch, doc_id
+    """
+
+
+@register(
+    "text_lm_bpe",
+    _duck_lm_bpe_sql(),
+    doc=(
+        "Tokenizer + fluency modeling as a tagged union (round-7 "
+        "registry packing — the driver gate records at most 50 rows). "
+        "'bpe' = distributed BPE (Sennrich, ACL 2016): 10 merge rules "
+        "learned on the word-frequency table (vocab-sized iterations, "
+        "one-row argmax collect per rule), then subword segmentation "
+        "via segment-the-vocab-once + one broadcast join — the oracle "
+        "pins the learned rules AND the per-doc pieces. 'lm' = CCNet "
+        "perplexity filtering (Wenzek, LREC 2020): hashed-bigram LM "
+        "with add-1 smoothing trained on the source='src0' reference "
+        "slice (ref-bounded aggregations, broadcast tables), per-doc "
+        "cross-entropy in one codegen bigram pass + two broadcast "
+        "joins + a doc-keyed sum, head/middle/tail terciles by VALUE "
+        "thresholds with strict comparisons (ties never split; a "
+        "boundary-spanning tie sinks to the worse bucket). Branches "
+        "timed separately in BENCH_DELTA.json."
+    ),
+)
+def text_lm_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nul_l = F.lit(None).cast("long")
+    b = text_bpe_segment(spark, sf_dir).select(
+        F.lit("bpe").alias("branch"),
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        "pieces",
+        "merges",
+        nul_l.alias("n_bigrams"),
+        F.lit(None).cast("double").alias("ce"),
+        F.lit(None).cast("string").alias("bucket"),
+    )
+    m = text_lm_perplexity(spark, sf_dir).select(
+        F.lit("lm").alias("branch"),
+        "doc_id",
+        nul_l.alias("n_words"),
+        nul_l.alias("n_pieces"),
+        F.lit(None).cast("array<string>").alias("pieces"),
+        F.lit(None).cast("string").alias("merges"),
+        "n_bigrams",
+        "ce",
+        "bucket",
+    )
+    return b.unionByName(m).orderBy("branch", "doc_id")

@@ -29,7 +29,7 @@ HEADLINE = [
     "adsb_latest_view_freshness",
     "adsb_stride_sample",
     "adsb_union_fan_in",
-    "adsb_minute_rollup",
+    "adsb_rollups",  # r7: tumbling branch folded into the rollups union
     "adsb_sessionize",
     "q01_pricing_summary",
     "q03_order_revenue",
@@ -99,6 +99,9 @@ def main() -> None:
         "sim_cosine_near_dup": ("method", ["exact", "lsh", "cc", "semdedup"]),
         "text_winnow_fingerprint": ("method", ["winnow", "chunk"]),
         "dedup_ngram_jaccard": ("branch", ["pair", "cc", "decon"]),
+        "adsb_rollups": ("branch", ["tumbling", "sliding"]),
+        "text_lm_bpe": ("branch", ["bpe", "lm"]),
+        "search_retrieval": ("branch", ["bm25", "hybrid", "phrase"]),
     }
     branch_timings: dict[str, float] = {}
     BRANCH_RUNS = min(N_RUNS, 2)  # 14 extra plans; keep the add-on bounded
