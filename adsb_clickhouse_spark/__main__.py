@@ -88,6 +88,9 @@ def cmd_curate_maintain(args) -> int:
             assume_quiesced=args.assume_quiesced,
         )
         print(f"curated: {cur}")
+    if args.compact_index:
+        idx = ing.compact_text_index(spark)
+        print(f"text_index: {idx}")
     return 0
 
 
@@ -114,6 +117,11 @@ def main(argv: list[str] | None = None) -> int:
         help="also run the periodic near-dedup compaction over the curated table",
     )
     p_c.add_argument("--threshold", type=float, default=0.5)
+    p_c.add_argument(
+        "--compact-index",
+        action="store_true",
+        help="also fold the searchable text index's accumulated segments",
+    )
     p_c.add_argument(
         "--assume-quiesced",
         action="store_true",

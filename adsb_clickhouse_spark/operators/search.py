@@ -212,10 +212,24 @@ def _live_segments(path: str) -> list[str]:
     )
 
 
-def _write_index_part(tfs: DataFrame, out: str, B: int) -> None:
+def _has_postings(part: str) -> bool:
+    """Whether an index part carries any postings data. A part written
+    from an EMPTY batch (or the stats-only bootstrap generation) has a
+    postings dir with no parquet files — Spark can't infer a schema
+    from it, so readers must skip it; its stats row contributes 0."""
+    root = os.path.join(part, "postings")
+    for dirpath, _dirs, files in os.walk(root):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _write_index_part(tfs: DataFrame, out: str, B: int, positional: bool) -> None:
     """One index part: bucketed term-sorted postings + a one-row stats
-    table (n_docs, sum_dl, n_buckets — sum_dl so parts combine into
-    exact global avgdl without rescanning postings)."""
+    table (n_docs, sum_dl, n_buckets, positional — sum_dl so parts
+    combine into exact global avgdl without rescanning postings, the
+    positional flag so appends match their generation's schema without
+    needing readable postings)."""
     (
         tfs.repartition("bucket")
         .sortWithinPartitions("term")
@@ -223,18 +237,59 @@ def _write_index_part(tfs: DataFrame, out: str, B: int) -> None:
         .partitionBy("bucket")
         .parquet(f"{out}/postings")
     )
-    post = tfs.sparkSession.read.parquet(f"{out}/postings")
+    spark = tfs.sparkSession
+    if _has_postings(out):
+        stats_src = (
+            spark.read.parquet(f"{out}/postings").select("doc_id", "dl").distinct()
+        )
+    else:  # empty batch: an aggregate still yields the one stats row
+        stats_src = spark.createDataFrame([], "doc_id long, dl int")
     (
-        post.select("doc_id", "dl")
-        .distinct()
-        .agg(
+        stats_src.agg(
             F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
             F.lit(B).alias("n_buckets"),
+            F.lit(bool(positional)).alias("positional"),
         )
         .write.mode("overwrite")
         .parquet(f"{out}/stats")
     )
+
+
+def init_text_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    n_buckets: int = 64,
+    with_positions: bool = False,
+) -> dict:
+    """Create an EMPTY index (stats-only bootstrap generation) so every
+    later write can be a name-keyed, replay-safe segment append — the
+    shape a streaming ingest needs: initializing from batch data would
+    double-count that batch if the init crashed before the stream's
+    commit marker and the replay took the append path. Idempotent: an
+    existing index is left untouched."""
+    gen = _gen_name(path)
+    if gen is not None:
+        s = spark.read.parquet(os.path.join(path, gen, "stats")).collect()[0]
+        return {"generation": gen, "n_buckets": int(s["n_buckets"]), "existed": True}
+    B = int(n_buckets)
+    new_gen = f"gen-{uuid.uuid4().hex[:8]}"
+    out = os.path.join(path, new_gen)
+    os.makedirs(out, exist_ok=True)
+    (
+        spark.createDataFrame(
+            [(0, 0, B, bool(with_positions))],
+            "n_docs long, sum_dl long, n_buckets int, positional boolean",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out}/stats")
+    )
+    with open(os.path.join(out, _FOLDED_MANIFEST), "w") as fh:
+        fh.write("")
+    _swap_pointer(path, new_gen)
+    return {"generation": new_gen, "n_buckets": B, "existed": False}
 
 
 def write_text_index(
@@ -271,7 +326,7 @@ def write_text_index(
     ).withColumn("bucket", md5_long(F.col("term")) % B)
     new_gen = f"gen-{uuid.uuid4().hex[:8]}"
     out = os.path.join(path, new_gen)
-    _write_index_part(tfs, out, B)
+    _write_index_part(tfs, out, B, with_positions)
     with open(os.path.join(out, _FOLDED_MANIFEST), "w") as fh:
         fh.write("".join(f"{e}\n" for e in all_segments))
     _swap_pointer(path, new_gen)
@@ -320,20 +375,15 @@ def append_text_index(
             "the layout before appends"
         )
     spark = docs.sparkSession
-    B = int(
-        spark.read.parquet(os.path.join(path, gen, "stats")).collect()[0][
-            "n_buckets"
-        ]
-    )
+    s = spark.read.parquet(os.path.join(path, gen, "stats")).collect()[0]
+    B = int(s["n_buckets"])
     # a segment's schema must match its generation's (positional or not)
-    positional = "positions" in spark.read.parquet(
-        os.path.join(path, gen, "postings")
-    ).columns
+    positional = bool(s["positional"])
     tfs = doc_term_freqs(
         docs, text_col=text_col, id_col=id_col, with_positions=positional
     ).withColumn("bucket", md5_long(F.col("term")) % B)
     out = os.path.join(path, "segments", segment)
-    _write_index_part(tfs, out, B)
+    _write_index_part(tfs, out, B, positional)
     s = spark.read.parquet(f"{out}/stats").collect()[0]
     return {"segment": segment, "n_docs": s["n_docs"], "n_buckets": B}
 
@@ -359,25 +409,36 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     segs = _live_segments(path)
     if not segs:
         return {"folded_segments": 0, "generation": gen}
-    B = int(
-        spark.read.parquet(os.path.join(path, gen, "stats")).collect()[0][
-            "n_buckets"
-        ]
-    )
+    s = spark.read.parquet(os.path.join(path, gen, "stats")).collect()[0]
+    B = int(s["n_buckets"])
+    positional = bool(s["positional"])
     parts = [os.path.join(path, gen)] + [
         os.path.join(path, "segments", e) for e in segs
     ]
-    post = spark.read.option(
-        "basePath", f"{parts[0]}/postings"
-    ).parquet(f"{parts[0]}/postings")
-    for p in parts[1:]:
-        nxt = spark.read.option("basePath", f"{p}/postings").parquet(
-            f"{p}/postings"
-        )
-        post = post.unionByName(nxt)
+    # empty segments (and the stats-only bootstrap generation) carry no
+    # readable postings — they contribute nothing and are folded away
+    data_parts = [p for p in parts if _has_postings(p)]
     new_gen = f"gen-{uuid.uuid4().hex[:8]}"
     out = os.path.join(path, new_gen)
-    _write_index_part(post, out, B)
+    if data_parts:
+        post = None
+        for p in data_parts:
+            nxt = spark.read.option("basePath", f"{p}/postings").parquet(
+                f"{p}/postings"
+            )
+            post = nxt if post is None else post.unionByName(nxt)
+        _write_index_part(post, out, B, positional)
+    else:
+        os.makedirs(out, exist_ok=True)
+        (
+            spark.createDataFrame(
+                [(0, 0, B, positional)],
+                "n_docs long, sum_dl long, n_buckets int, positional boolean",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out}/stats")
+        )
     folded = _folded_set(path, gen) | set(segs)
     with open(os.path.join(out, _FOLDED_MANIFEST), "w") as fh:
         fh.write("".join(f"{e}\n" for e in sorted(folded)))
@@ -438,12 +499,18 @@ def bm25_probe_stored(
     buckets = sorted({term_bucket_py(t, B) for t in terms})
     post = None
     for p in parts:
+        if not _has_postings(p):  # empty segment / bootstrap generation
+            continue
         part = (
             spark.read.option("basePath", f"{p}/postings")
             .parquet(f"{p}/postings")
             .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
         )
         post = part if post is None else post.unionByName(part)
+    if post is None:  # freshly-initialized empty index
+        return spark.createDataFrame(
+            [], "doc_id long, n_terms_matched long, score double"
+        )
     idf = (
         post.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -638,12 +705,16 @@ def phrase_probe_stored(
     buckets = sorted({term_bucket_py(t, B) for t in uniq})
     post = None
     for p in parts:
+        if not _has_postings(p):  # empty segment / bootstrap generation
+            continue
         part = (
             spark.read.option("basePath", f"{p}/postings")
             .parquet(f"{p}/postings")
             .filter(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
         )
         post = part if post is None else post.unionByName(part)
+    if post is None:  # freshly-initialized empty index
+        return spark.createDataFrame([], "doc_id long, n_matches long")
     if "positions" not in post.columns:
         raise RuntimeError(
             f"index at {path} was built without positions "

@@ -45,6 +45,15 @@ Store lifecycle (the at-scale half):
   Dropped docs' exact fingerprints stay in the store on purpose —
   byte-identical copies of a pruned near-dup must remain suppressed.
 
+With ``text_index=True`` each batch's survivors also become a
+name-keyed segment of a stored BM25 inverted index
+(operators/search.py) under ``base_dir/text_index`` — the curated
+corpus stays searchable as it accretes. The index bootstraps as an
+EMPTY stats-only generation so every batch write is an idempotent
+segment append (a data-bearing init would double-count its batch if
+the init landed but the commit marker didn't); ``compact_text_index``
+is the matching maintenance job, same transitive-manifest discipline.
+
 Scale shape: the anti-join shuffles on the 16-byte fingerprint — the
 store side is the accumulated KEPT set (post-dedup, so it grows with
 unique content, not ingest volume) and after compaction is bucketed on
@@ -105,15 +114,20 @@ class CurationIngest:
         drop_pii_docs: bool = False,
         run_id: str | None = None,
         assign_splits: bool = False,
+        text_index: bool = False,
+        text_index_buckets: int = 64,
     ):
         self.curated_path = os.path.join(base_dir, "curated")
         self.fps_path = os.path.join(base_dir, "fingerprints")
         self.commits_path = os.path.join(base_dir, _COMMITS_DIR)
+        self.index_path = os.path.join(base_dir, "text_index")
         self.min_quality = min_quality
         self.keep_langs = keep_langs
         self.drop_pii_docs = drop_pii_docs
         self.run_id = run_id
         self.assign_splits = assign_splits
+        self.text_index = text_index
+        self.text_index_buckets = text_index_buckets
 
     def _seg(self, batch_id: int | None) -> str:
         if batch_id is None:
@@ -209,6 +223,28 @@ class CurationIngest:
                 .partitionBy("batch_id")
                 .parquet(self.curated_path)
             )
+            if self.text_index:
+                # the curated batch becomes a name-keyed index segment:
+                # a replayed batch overwrites its own segment (converges),
+                # and the empty bootstrap generation means NO batch ever
+                # initializes the index from data — the crash window
+                # "init succeeded, marker didn't" can't double-count.
+                # MUST run BEFORE the fingerprint append below: if the
+                # cached `fresh` blocks are evicted, this write
+                # re-evaluates the plan, whose store anti-join would then
+                # see the batch's OWN fingerprints and index nothing
+                # (observed — an empty index segment for a non-empty
+                # batch; pinned by the streaming-index accretion test)
+                from ..operators.search import append_text_index, init_text_index
+
+                init_text_index(
+                    spark, self.index_path, n_buckets=self.text_index_buckets
+                )
+                append_text_index(
+                    fresh.select("doc_id", F.col("clean_text").alias("text")),
+                    self.index_path,
+                    seg,
+                )
             (
                 fresh.select("fingerprint")
                 .withColumn("batch_id", F.lit(seg))
@@ -462,3 +498,18 @@ class CurationIngest:
             "dropped_docs": n_dropped,
             "segment": seg,
         }
+
+    def search(self, spark: SparkSession, query: str, *, k: int = 10) -> DataFrame:
+        """BM25 top-k over the ingest's accreting text index (requires
+        ``text_index=True`` on the ingest)."""
+        from ..operators.search import bm25_probe_stored
+
+        return bm25_probe_stored(spark, self.index_path, query, k=k)
+
+    def compact_text_index(self, spark: SparkSession) -> dict:
+        """Fold the ingest's accumulated index segments (the same
+        maintenance discipline as compact_fingerprints — run it from
+        the curate-maintain CLI alongside the store compactions)."""
+        from ..operators.search import compact_text_index
+
+        return compact_text_index(spark, self.index_path)

@@ -343,3 +343,58 @@ def test_lagging_gc_cannot_resurrect_folded_segments(spark, tmp_path):
     ing.compact_curated(spark, threshold=0.5)
     kept = sorted(r["doc_id"] for r in ing.curated(spark).select("doc_id").collect())
     assert kept == [0, 1, 2]  # doc 0 exactly once — no resurrection
+
+
+def test_text_index_accretes_with_batches_and_replay_converges(spark, tmp_path):
+    """text_index=True: each batch's survivors become a searchable
+    index segment; cross-batch-suppressed dups never enter the index;
+    a replayed batch converges; compaction preserves results."""
+    from adsb_clickhouse_spark.operators.search import bm25_search
+
+    ing = CurationIngest(str(tmp_path), run_id="r1", text_index=True,
+                         text_index_buckets=8)
+    a = "spark shuffle plans and broadcast joins explained for query engines"
+    b = "a totally different story about rivers and forests and quiet rain"
+    c = "more spark content about shuffle boundaries and adaptive query plans"
+    ing.process_batch(_docs(spark, [(0, a), (1, b)]), batch_id=0)
+    ing.process_batch(_docs(spark, [(2, a), (3, c)]), batch_id=1)  # 2 = dup
+
+    got = {r["doc_id"]: r["score"] for r in ing.search(spark, "spark shuffle", k=10).collect()}
+    # the index content equals the curated corpus: bm25 over kept docs
+    kept = ing.curated(spark).select("doc_id", F.col("clean_text").alias("text"))
+    want = {r["doc_id"]: r["score"] for r in bm25_search(kept, "spark shuffle", k=10).collect()}
+    assert got == want and set(got) == {0, 3}  # dup doc 2 never indexed
+
+    # replay batch 1: segment overwritten, results identical
+    ing.process_batch(_docs(spark, [(2, a), (3, c)]), batch_id=1)
+    again = {r["doc_id"]: r["score"] for r in ing.search(spark, "spark shuffle", k=10).collect()}
+    assert again == got
+
+    # maintenance folds the segments; scores survive byte-identically
+    res = ing.compact_text_index(spark)
+    assert res["folded_segments"] >= 1
+    after = {r["doc_id"]: r["score"] for r in ing.search(spark, "spark shuffle", k=10).collect()}
+    assert after == got
+
+
+def test_text_index_empty_bootstrap_and_empty_batch(spark, tmp_path):
+    """Probing a freshly-bootstrapped index returns empty (not an
+    error), and a batch whose survivors are all suppressed writes an
+    empty segment that later probes and compactions tolerate."""
+    from adsb_clickhouse_spark.operators.search import init_text_index
+
+    ing = CurationIngest(str(tmp_path), run_id="r1", text_index=True,
+                         text_index_buckets=8)
+    init_text_index(spark, ing.index_path, n_buckets=8)
+    assert ing.search(spark, "anything").collect() == []
+    a = "one single document that will be the only content of this whole feed"
+    ing.process_batch(_docs(spark, [(0, a)]), batch_id=0)
+    # batch 1 is entirely a duplicate -> empty index segment
+    ing.process_batch(_docs(spark, [(1, a)]), batch_id=1)
+    rows = ing.search(spark, "single document", k=5).collect()
+    assert [r["doc_id"] for r in rows] == [0]
+    ing.compact_text_index(spark)
+    rows2 = ing.search(spark, "single document", k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (r["doc_id"], r["score"]) for r in rows2
+    ]
