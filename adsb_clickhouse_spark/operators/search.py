@@ -406,6 +406,14 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     gen = _gen_name(path)
     if gen is None:
         raise RuntimeError(f"no text index at {path}")
+    # GC orphan generations first: a compaction that crashed BEFORE its
+    # pointer swap leaves a fully-written but unreferenced gen-* dir.
+    # Safe under the single-concurrent-maintainer contract (probes only
+    # ever resolve the pointed generation, so an unpointed dir has no
+    # readers to race)
+    for e in os.listdir(path):
+        if e.startswith("gen-") and e != gen:
+            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
     segs = _live_segments(path)
     if not segs:
         return {"folded_segments": 0, "generation": gen}

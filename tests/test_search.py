@@ -337,3 +337,26 @@ def test_phrase_probe_requires_positions(spark, tmp_path):
     write_text_index(docs, str(tmp_path), n_buckets=8)  # no positions
     with _pytest.raises(RuntimeError, match="positions"):
         phrase_probe_stored(spark, str(tmp_path), "hash join").collect()
+
+
+def test_compact_gcs_orphan_generations(spark, tmp_path):
+    """A compaction that crashed before its pointer swap leaves an
+    unreferenced gen-* dir; the next compaction removes it."""
+    import os
+
+    from adsb_clickhouse_spark.operators.search import (
+        append_text_index,
+        compact_text_index,
+    )
+
+    write_text_index(_all_docs(spark, CORPUS[:4]), str(tmp_path), n_buckets=8)
+    append_text_index(
+        _all_docs(spark, [(60, "join hash orphan test")]), str(tmp_path), "b0001"
+    )
+    orphan = str(tmp_path / "gen-deadbeef")
+    os.makedirs(orphan)
+    want = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20).collect()
+    compact_text_index(spark, str(tmp_path))
+    assert not os.path.exists(orphan)
+    got = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20).collect()
+    assert [tuple(r) for r in want] == [tuple(r) for r in got]
