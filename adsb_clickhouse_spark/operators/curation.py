@@ -467,6 +467,9 @@ def curate_documents(
     lm_reference: DataFrame | None = None,
     lm_keep_buckets: tuple[str, ...] = ("head", "middle"),
     lm_n_buckets: int = 4096,
+    quality_model: dict | None = None,
+    quality_min_prob: float | None = 0.5,
+    quality_n_buckets: int = 4096,
 ) -> CurationResult:
     """Run the full curation funnel over a document corpus.
 
@@ -503,6 +506,14 @@ def curate_documents(
       crawl-wide split; the threshold derivation is one extra
       histogram-bounded driver collect (the packing-offsets contract).
       Adds ``lm_ce`` / ``lm_bucket`` columns to every ``scored`` row.
+    - ``quality_model``: learned-classifier gate (operators/
+      classifier.py — train_quality_classifier's output dict): every
+      doc's redacted text is scored by the hashed-bigram logistic
+      regression, and the policy filter keeps docs with
+      ``clf_prob >= quality_min_prob``, or — when ``quality_min_prob``
+      is None — GPT-3's stochastic Pareto rule (high scorers almost
+      always survive, low scorers keep a deterministic hash-derived
+      long tail). Adds ``clf_prob`` to every ``scored`` row.
     - ``retention``: which member of each near-dup cluster survives —
       ``'min_id'`` (deterministic canonical id, the default) or
       ``'max_quality'`` (keep the member with the highest
@@ -561,6 +572,26 @@ def curate_documents(
         )
         scored = scored.join(ppx, "doc_id")
         cond = cond & F.col("lm_bucket").isin(list(lm_keep_buckets))
+    if quality_model is not None:
+        from .classifier import pareto_keep, score_quality
+
+        clf = score_quality(
+            scored.select("doc_id", F.col("clean_text").alias("text")),
+            quality_model,
+            n_buckets=quality_n_buckets,
+        )
+        if quality_min_prob is None:
+            clf = pareto_keep(clf).select(
+                "doc_id", F.col("prob").alias("clf_prob"), F.col("keep").alias("clf_keep")
+            )
+        else:
+            clf = clf.select(
+                "doc_id",
+                F.col("prob").alias("clf_prob"),
+                (F.col("prob") >= float(quality_min_prob)).alias("clf_keep"),
+            )
+        scored = scored.join(clf, "doc_id")
+        cond = cond & F.col("clf_keep")
     filtered = scored.filter(cond)
     if persist_filtered:
         filtered = filtered.persist()
