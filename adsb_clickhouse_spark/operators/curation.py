@@ -664,3 +664,72 @@ def curate_documents(
         kept=kept,
         packed=packed,
     )
+
+
+CLUSTER_MIX_SALT = 67  # independent of the langid / domain / split salts
+
+
+def cluster_mixture(
+    embeddings: DataFrame,
+    *,
+    n_lists: int = 64,
+    iters: int = 2,
+    alpha: float = MIX_ALPHA,
+    budget_frac: float = MIX_BUDGET_FRAC,
+    mod: int = SAMPLE_MOD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, list_id, mix_rate_bp, mix_keep): ``domain_mixture`` for
+    corpora WITHOUT domain labels — cluster the embedding space with the
+    IVF k-means (operators/similarity.ivf_build) and temperature-
+    rebalance the LEARNED clusters instead of label groups. The
+    semantic data-mixing step (cluster-proportional resampling as in
+    ClusterClip-style balancing / DoReMi-flavor heuristics — public
+    work): over-represented semantic regions are downsampled toward
+    ``c^alpha`` shares so one dominant content type can't swamp the
+    training mix.
+
+    Same rate law and hash-quota determinism as ``domain_mixture``
+    (independently salted); accepts precomputed ``assignments`` — e.g.
+    read back from the stored IVF layout's ``list_id=`` partitions —
+    so at 100 TB the clustering is amortized into the index build and
+    this operator is one tiny per-cluster agg + a broadcast rate join,
+    zero corpus-sized shuffles beyond the (optional) assignment pass."""
+    if assignments is None:
+        from .similarity import ivf_build
+
+        assignments, _ = ivf_build(
+            embeddings, n_lists=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    d = assignments.select(F.col("id").alias("doc_id"), "list_id")
+    counts = d.groupBy("list_id").agg(F.count("*").alias("c"))
+    tot = counts.agg(
+        F.sum(F.pow("c", F.lit(float(alpha)))).alias("s"),
+        F.sum("c").alias("n"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.pow("c", F.lit(float(alpha)))
+        / F.col("s")
+        * F.lit(float(budget_frac))
+        * F.col("n")
+        / F.col("c"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "list_id",
+        F.floor(rate * int(mod)).cast("long").alias("mix_rate_bp"),
+    )
+    return d.join(F.broadcast(rates), "list_id").select(
+        "doc_id",
+        "list_id",
+        "mix_rate_bp",
+        (
+            md5_long(
+                F.concat(F.lit(f"{CLUSTER_MIX_SALT}|"), F.col("doc_id").cast("string"))
+            )
+            % int(mod)
+            < F.col("mix_rate_bp")
+        ).alias("mix_keep"),
+    )

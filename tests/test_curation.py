@@ -499,3 +499,75 @@ def test_curated_layout_append_and_compact(spark, docs, tmp_path):
     pruned = read_curated_split(spark, out, split=some_split, langs=["en"])
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "split" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_cluster_mixture_flattens_semantic_skew(spark):
+    """domain_mixture without labels: IVF-learned clusters get the
+    temperature rate law; the dominant semantic region is downsampled
+    while small regions keep everything."""
+    import hashlib
+
+    import numpy as np
+
+    from adsb_clickhouse_spark.operators.curation import (
+        CLUSTER_MIX_SALT,
+        SAMPLE_MOD,
+        cluster_mixture,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = {0: np.array([10.0, 0, 0, 0]), 1: np.array([0, 10.0, 0, 0]),
+               2: np.array([0, 0, 10.0, 0])}
+    sizes = {0: 800, 1: 150, 2: 50}
+    rows, i = [], 0
+    truth = {}
+    for c, n in sizes.items():
+        for _ in range(n):
+            v = centers[c] + rng.randn(4) * 0.1
+            rows.append((i, [float(x) for x in v]))
+            truth[i] = c
+            i += 1
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_mixture(embs, n_lists=3, iters=3, alpha=0.5, budget_frac=0.5)
+    got = out.collect()
+    assert len(got) == 1000
+    # rate law: per learned cluster, rate_bp = floor(min(1, c^a/s * B*n/c) * mod)
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r["list_id"], []).append(r)
+    counts = {li: len(rs) for li, rs in by_cluster.items()}
+    # the md5-seeded k-means may merge nearby regions; the rate law is
+    # asserted per LEARNED cluster, the flattening per TRUE region
+    assert max(counts.values()) == 800  # the dominant region is its own cluster
+    s = sum(c ** 0.5 for c in counts.values())
+    n = sum(counts.values())
+    for li, rs in by_cluster.items():
+        c = counts[li]
+        want_bp = int((min(1.0, c ** 0.5 / s * 0.5 * n / c)) * SAMPLE_MOD)
+        assert all(r["mix_rate_bp"] == want_bp for r in rs)
+        # keep decision is the salted hash quota, row by row
+        for r in rs[:5]:
+            h = int(hashlib.md5(
+                f"{CLUSTER_MIX_SALT}|{r['doc_id']}".encode()
+            ).hexdigest()[:15], 16) % SAMPLE_MOD
+            assert r["mix_keep"] == (h < want_bp)
+    # flattening: the dominant TRUE region is cut hard, the smallest
+    # keeps a much larger share
+    keep_by_truth = {}
+    for r in got:
+        keep_by_truth.setdefault(truth[r["doc_id"]], []).append(r["mix_keep"])
+    rate_of = {c: sum(v) / len(v) for c, v in keep_by_truth.items()}
+    assert rate_of[0] < 0.55
+    assert rate_of[2] > rate_of[0] + 0.2
+
+
+def test_cluster_mixture_accepts_stored_assignments(spark):
+    from adsb_clickhouse_spark.operators.curation import cluster_mixture
+    from adsb_clickhouse_spark.operators.similarity import ivf_build
+
+    rows = [(i, [float(i % 3), float((i * 7) % 5), 1.0]) for i in range(60)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assign, _ = ivf_build(embs, n_lists=4, iters=2)
+    a = cluster_mixture(embs, n_lists=4, iters=2).collect()
+    b = cluster_mixture(embs, assignments=assign).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
