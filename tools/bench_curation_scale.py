@@ -13,7 +13,15 @@ component by construction — the no-straddling invariant itself is
 pinned by tests/test_curation.py); the probe reports split sizes and
 total excised tokens.
 
-Usage: python tools/bench_curation_scale.py [n_docs] [--full]
+With ``--gates`` the round-7 CCNet perplexity gate runs inside the
+funnel instead: 2% of docs are rewritten as fluent-looking junk from
+an alien vocabulary (they PASS the heuristic quality gates), a 1%
+clean sample acts as the LM reference corpus, and the probe reports
+how many junk docs survive the lm_bucket filter (should be ~0: every
+alien bigram is unseen, so junk ties at the uniform-score maximum and
+the strict-threshold rule sinks it to tail).
+
+Usage: python tools/bench_curation_scale.py [n_docs] [--full|--gates]
 Prints one JSON line; headline numbers live in README's measured scale
 behavior table.
 """
@@ -28,8 +36,9 @@ sys.path.insert(0, ".")
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--full"]
+    args = [a for a in sys.argv[1:] if a not in ("--full", "--gates")]
     full = "--full" in sys.argv[1:]
+    gates = "--gates" in sys.argv[1:]
     n = int(args[0]) if args else 1_000_000
 
     from pyspark.sql import functions as F
@@ -48,6 +57,17 @@ def main() -> int:
             .when(F.col("doc_id") % 100 < 99, "books")
             .otherwise("wiki"),
         )
+    if gates:
+        junk = ("zorp blix quux fendle wark jibber flonk trazzle mimsy "
+                "borogove wabe gyre gimble tove rath outgrabe snicker snack "
+                "vorpal frumious bandersnatch tulgey uffish manxome ")
+        corpus = corpus.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 50 == 3,
+                F.concat(F.lit(junk), F.col("doc_id").cast("string")),
+            ).otherwise(F.col("text")),
+        )
     corpus = corpus.persist()
     corpus.count()  # materialize: probe timing excludes generation
 
@@ -62,6 +82,11 @@ def main() -> int:
         if full
         else {}
     )
+    if gates:
+        extra["lm_reference"] = corpus.filter(
+            (F.col("doc_id") % 97 == 11) & (F.col("doc_id") % 50 != 3)
+        ).select("doc_id", "text")
+        extra["lm_n_buckets"] = 4096
     t0 = time.time()
     res = curate_documents(
         corpus,
@@ -74,7 +99,12 @@ def main() -> int:
     # force the packed stage fully (funnel's max(pack_id) already ran the
     # prefix-sum job; count the rows too so the full output materializes)
     funnel["packed_rows"] = res.packed.count()
-    out = {"n_docs": n, "full": full, **funnel}
+    out = {"n_docs": n, "full": full, "gates": gates, **funnel}
+    if gates:
+        kept_junk = res.filtered.filter(F.col("doc_id") % 50 == 3).count()
+        n_junk = corpus.filter(F.col("doc_id") % 50 == 3).count()
+        out["junk_planted"] = n_junk
+        out["junk_surviving_lm_gate"] = kept_junk
     if full:
         splits = {
             r["split"]: r["n"]
