@@ -212,3 +212,57 @@ def test_fuzz_corpus_oracle_parity(spark, fuzz_sf_dir, name):
     drows = res.fetchall()
     assert len(srows) == len(drows), f"rowcount spark={len(srows)} duckdb={len(drows)}"
     assert value_hash(scols, srows) == value_hash(dcols, drows)
+
+
+@pytest.fixture(scope="module")
+def edge_retrieval_dir(spark, edge_sf_dir, edge_emb_dir, tmp_path_factory):
+    """Both adversarial tables in one sf dir: the retrieval union reads
+    documents (bm25/phrase legs) AND embeddings (knn leg)."""
+    import shutil
+
+    base = str(tmp_path_factory.mktemp("edge_retrieval"))
+    shutil.copytree(
+        os.path.join(edge_sf_dir, "documents.parquet"),
+        os.path.join(base, "documents.parquet"),
+    )
+    shutil.copytree(
+        os.path.join(edge_emb_dir, "embeddings.parquet"),
+        os.path.join(base, "embeddings.parquet"),
+    )
+    return base
+
+
+def test_edge_retrieval_oracle_parity(spark, edge_retrieval_dir):
+    """search_retrieval on the adversarial tables: the bm25 and phrase
+    legs see a corpus where the query terms barely/never occur (top-k
+    of nothing must be empty on BOTH engines, not an error), the knn
+    leg sees zero-norm vectors (excluded by contract), and the hybrid
+    fusion must survive one leg being empty."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+    from tools.check_correctness import value_hash
+
+    name = "search_retrieval"
+    sdf = entry_mod.queries()[name](spark, edge_retrieval_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert srows, "the knn leg must still produce hybrid rows"
+
+    con = duckdb.connect()
+    con.execute("SET memory_limit='12GB'")
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{edge_retrieval_dir}/documents.parquet/*.parquet'"
+    )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{edge_retrieval_dir}/embeddings.parquet/*.parquet'"
+    )
+    res = con.execute(entry_mod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows), f"rowcount spark={len(srows)} duckdb={len(drows)}"
+    assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols)
+    assert value_hash(scols, srows) == value_hash(dcols, drows)
