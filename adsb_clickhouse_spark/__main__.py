@@ -94,6 +94,23 @@ def cmd_curate_maintain(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    from .operators.search import (
+        bm25_probe_stored,
+        compact_text_index,
+        phrase_probe_stored,
+    )
+    from .session import get_spark
+
+    spark = get_spark("search")
+    if args.compact:
+        print(f"compacted: {compact_text_index(spark, args.index_path)}")
+    probe = phrase_probe_stored if args.phrase else bm25_probe_stored
+    for r in probe(spark, args.index_path, args.query, k=args.k).collect():
+        print("\t".join(str(v) for v in r))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="adsb_clickhouse_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -128,6 +145,19 @@ def main(argv: list[str] | None = None) -> int:
         help="fold segments without commit markers (stream stopped + checkpoint committed)",
     )
     p_c.set_defaults(fn=cmd_curate_maintain)
+    p_q = sub.add_parser(
+        "search", help="probe a stored BM25/phrase inverted index"
+    )
+    p_q.add_argument("index_path")
+    p_q.add_argument("query")
+    p_q.add_argument("-k", type=int, default=10)
+    p_q.add_argument(
+        "--phrase", action="store_true", help="exact-phrase match (positional index)"
+    )
+    p_q.add_argument(
+        "--compact", action="store_true", help="fold accumulated segments first"
+    )
+    p_q.set_defaults(fn=cmd_search)
     args = ap.parse_args(argv)
     return args.fn(args)
 

@@ -42,6 +42,16 @@ round-before-ordering, ties on doc_id):
     tfn(t,d) = tf·(k1 + 1) / (tf + k1·(1 − b + b·dl/avgdl))
     score    = round(Σ_t idf·tfn, 4)
 
+Metadata I/O note: the pointer/manifest/segment-listing layer uses
+POSIX file ops (open/os.replace/os.listdir), the same discipline as
+the curation fingerprint store it mirrors — correct on local and NFS
+filesystems, where os.replace gives the atomic pointer swap. Against
+object storage, route these through the Hadoop FileSystem API exactly
+as packing.py::write_training_shards does for its manifest (the
+template is in-repo), and back the pointer swap with the store's
+conditional-put/rename primitive; the parquet data paths already go
+through Spark's Hadoop FS layer and need no change.
+
 No reference-repo equivalent (the reference is an ADS-B pipeline);
 this is a retrieval extension of the engine like the ANN family.
 """
@@ -706,9 +716,17 @@ def phrase_probe_stored(
     uniq = sorted(set(terms))
     s = (
         spark.read.parquet(*(f"{p}/stats" for p in parts))
-        .agg(F.max("n_buckets").alias("B"))
+        .agg(
+            F.count_distinct("n_buckets").alias("nb"),
+            F.max("n_buckets").alias("B"),
+        )
         .collect()[0]
     )
+    if s["nb"] != 1:
+        raise RuntimeError(
+            f"index parts under {path} disagree on n_buckets; "
+            "refusing to prune with mismatched bucket maps"
+        )
     B = int(s["B"])
     buckets = sorted({term_bucket_py(t, B) for t in uniq})
     post = None

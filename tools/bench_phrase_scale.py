@@ -61,13 +61,11 @@ def main() -> int:
     docs.count()
     phrase = "join hash"
 
-
     root = tempfile.mkdtemp(prefix="posidx_")
     t0 = time.time()
     write_text_index(docs, root, n_buckets=64, with_positions=True)
     build_pos = time.time() - t0
     pos_mb = _du(root)
-
 
     results = {}
     for tag, ph in (("common", phrase), ("selective", "zebra quilt")):
