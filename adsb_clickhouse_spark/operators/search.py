@@ -763,3 +763,84 @@ def phrase_probe_stored(
         .orderBy(F.desc("n_matches"), F.asc("doc_id"))
         .limit(int(k))
     )
+
+
+# ---------------------------------------------------------- diversity rerank
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    *,
+    k: int = 10,
+    lam: float = 0.7,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_candidates: int = 1000,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    1998 — public) of a retrieval SHORTLIST: greedily pick
+
+        argmax  λ·rel(d)  −  (1−λ)·max_{s∈selected} cos(d, s)
+
+    so near-duplicate results can't crowd the top-k. Returns (doc_id,
+    mmr_rank, rel, mmr_score) for the selected ``k``, 1-based ranks.
+
+    Scale contract: the input is a ranked shortlist by definition —
+    the corpus-sized work already happened in the legs that built it
+    (BM25 probe, ANN probe, RRF fusion). This operator collects the
+    ≤``max_candidates`` (id, rel, vector) rows and runs the O(k·n)
+    greedy selection driver-side in numpy — the same bounded-collect
+    law as every probe-side shortlist; it raises rather than collect
+    an unbounded frame. Relevance scores are min-max normalized onto
+    [0, 1] so λ trades against cosine on a comparable scale."""
+    import numpy as np
+
+    n = candidates.count()
+    if n > int(max_candidates):
+        raise ValueError(
+            f"mmr_rerank got {n} candidates (> {max_candidates}); rerank "
+            "operates on a bounded shortlist — tighten the upstream top-k"
+        )
+    rows = (
+        candidates.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("rel"))
+        .join(
+            embeddings.select(
+                F.col(vec_id_col).alias("doc_id"), F.col(vec_col).alias("v")
+            ),
+            "doc_id",
+        )
+        .collect()
+    )
+    if not rows:
+        return candidates.sparkSession.createDataFrame(
+            [], "doc_id long, mmr_rank int, rel double, mmr_score double"
+        )
+    ids = [r["doc_id"] for r in rows]
+    rel = np.array([float(r["rel"]) for r in rows])
+    mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0  # zero vectors: cosine 0 to everything
+    unit = mat / norms[:, None]
+    span = rel.max() - rel.min()
+    nrel = (rel - rel.min()) / span if span > 0 else np.ones_like(rel)
+    lam = float(lam)
+    selected: list[int] = []
+    max_sim = np.zeros(len(ids))
+    out = []
+    for rank in range(1, min(int(k), len(ids)) + 1):
+        mmr = lam * nrel - (1.0 - lam) * max_sim
+        mmr[selected] = -np.inf
+        # deterministic ties: smallest doc_id among the argmax set
+        best = min(
+            (i for i in range(len(ids)) if mmr[i] == mmr.max()),
+            key=lambda i: ids[i],
+        )
+        out.append((ids[best], rank, float(rel[best]), float(mmr[best])))
+        selected.append(best)
+        max_sim = np.maximum(max_sim, unit @ unit[best])
+    return candidates.sparkSession.createDataFrame(
+        out, "doc_id long, mmr_rank int, rel double, mmr_score double"
+    )

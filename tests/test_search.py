@@ -360,3 +360,44 @@ def test_compact_gcs_orphan_generations(spark, tmp_path):
     assert not os.path.exists(orphan)
     got = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20).collect()
     assert [tuple(r) for r in want] == [tuple(r) for r in got]
+
+
+def test_mmr_rerank_demotes_near_duplicates(spark):
+    import numpy as np
+
+    from adsb_clickhouse_spark.operators.search import mmr_rerank
+
+    # candidates: doc 0 most relevant; doc 1 = near-copy of doc 0's
+    # embedding with slightly lower relevance; doc 2 = novel direction,
+    # lower relevance still. MMR must pick 0, then 2, then 1.
+    cands = spark.createDataFrame(
+        [(0, 10.0), (1, 9.0), (2, 8.0)], "doc_id long, score double"
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = mmr_rerank(cands, embs, k=3, lam=0.5).collect()
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["mmr_rank"])] == [0, 2, 1]
+    # lambda=1 reduces to pure relevance order
+    rows = mmr_rerank(cands, embs, k=3, lam=1.0).collect()
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["mmr_rank"])] == [0, 1, 2]
+
+
+def test_mmr_rerank_is_bounded_by_contract(spark):
+    import pytest as _pytest
+
+    from adsb_clickhouse_spark.operators.search import mmr_rerank
+
+    cands = spark.range(50).selectExpr("id AS doc_id", "CAST(id AS DOUBLE) AS score")
+    embs = spark.range(50).selectExpr(
+        "id AS vec_id", "array(CAST(id AS DOUBLE), 1.0) AS embedding"
+    )
+    with _pytest.raises(ValueError, match="bounded shortlist"):
+        mmr_rerank(cands, embs, k=5, max_candidates=10)
+    out = mmr_rerank(cands, embs, k=5, max_candidates=100).collect()
+    assert len(out) == 5 and out[0]["rel"] == 49.0
