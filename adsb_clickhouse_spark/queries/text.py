@@ -621,8 +621,12 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_lm_bpe_sql() -> str:
     """Tagged union of the BPE and LM oracles: each branch's SELECT is
     the standalone oracle with NULL fills for the other branch's
-    columns (pieces stays a VARCHAR[]; the hash normalizer renders the
-    NULL list as the same token Spark's NULL array produces)."""
+    columns. ``pieces`` is serialized to a '|'-joined VARCHAR — the
+    driver's canonicalizer sorts result rows by every column and a
+    list-typed cell is unhashable in pandas (round-7 gate failure).
+    Safe because the bpe branch never emits a NULL or empty pieces
+    list (``enc`` filters ``len(toks) > 0``), so the only NULL is the
+    lm branch's fill, rendered identically by both engines."""
     bpe = _duck_bpe_sql().strip().rstrip()
     lm = _duck_lm_sql().strip().rstrip()
     # strip each standalone oracle's trailing ORDER BY; the union sorts
@@ -631,12 +635,13 @@ def _duck_lm_bpe_sql() -> str:
     return f"""
     WITH bpe_rows AS ({bpe_body}),
     lm_rows AS ({lm_body})
-    SELECT 'bpe' AS branch, doc_id, n_words, n_pieces, pieces, merges,
+    SELECT 'bpe' AS branch, doc_id, n_words, n_pieces,
+           array_to_string(pieces, '|') AS pieces, merges,
            CAST(NULL AS BIGINT) AS n_bigrams, CAST(NULL AS DOUBLE) AS ce,
            CAST(NULL AS VARCHAR) AS bucket
     FROM bpe_rows
     UNION ALL
-    SELECT 'lm', doc_id, NULL, NULL, CAST(NULL AS VARCHAR[]), NULL,
+    SELECT 'lm', doc_id, NULL, NULL, CAST(NULL AS VARCHAR), NULL,
            n_bigrams, ce, bucket
     FROM lm_rows
     ORDER BY branch, doc_id
@@ -671,7 +676,10 @@ def text_lm_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_words",
         "n_pieces",
-        "pieces",
+        # serialize: the gate's canonicalizer can't sort array cells
+        F.when(
+            F.col("pieces").isNotNull(), F.concat_ws("|", F.col("pieces"))
+        ).alias("pieces"),
         "merges",
         nul_l.alias("n_bigrams"),
         F.lit(None).cast("double").alias("ce"),
@@ -682,7 +690,7 @@ def text_lm_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         nul_l.alias("n_words"),
         nul_l.alias("n_pieces"),
-        F.lit(None).cast("array<string>").alias("pieces"),
+        F.lit(None).cast("string").alias("pieces"),
         F.lit(None).cast("string").alias("merges"),
         "n_bigrams",
         "ce",

@@ -84,6 +84,25 @@ def main() -> int:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             n_fail += 1
             continue
+        # Complex-type gate: the driver canonicalizes by pandas
+        # sort_values over every column, and a list/map/struct cell is
+        # unhashable there (round-7 text_lm_bpe failure). Our norm_cell
+        # stringifies lists, so without this guard the local gate passes
+        # where the driver crashes. Serialize arrays to strings in both
+        # the Spark query and the oracle instead.
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            print(
+                f"FAIL {name}: columns {complex_cols} are array/map/"
+                "struct — the driver's pandas canonicalizer cannot sort "
+                "these; serialize to string on both sides"
+            )
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"WEAK {name}: rows={len(srows)} (no oracle) [{time.time()-t0:.1f}s]")
             n_weak += 1
