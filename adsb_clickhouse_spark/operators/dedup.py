@@ -947,3 +947,71 @@ def duplicated_substring_stats(
             ).alias("dedup_text"),
         )
     )
+
+
+def boilerplate_line_removal(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 30,
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level boilerplate removal (RefinedWeb §"line-wise corrections",
+    Penedo 2023; CCNet dedups the same way at paragraph granularity —
+    pass ``sep="\\n\\n"``): a line whose TRIMMED form appears in at least
+    ``min_doc_freq`` distinct documents is navigation/footer boilerplate,
+    not content, and is excised from every document; the survivors are
+    reassembled in original order. Returns
+    ``(id_col, text_clean, n_kept, n_removed)`` — one row per input
+    document (a fully-boilerplate document comes back with
+    ``text_clean = ''``, it is not dropped).
+
+    Scale shape (100 TB): three shuffles, all on bounded-width keys —
+    (1) the doc-frequency aggregate, keyed on the 16-byte md5 of the
+    trimmed line (never the raw line bytes) with a map-side-combined
+    two-phase count-distinct; (2) the lines ⋈ boilerplate-set left join
+    on the same 16-byte key — the boilerplate side has exactly one row
+    per key, so AQE's skew-split handles the hot keys (a banner line in
+    10⁹ docs is precisely the skewed key this join always has) without
+    salting; (3) the doc-keyed reassembly groupBy. The per-doc line
+    order travels as a posexplode index and is restored with
+    array_sort over (pos, line) structs — no window, no single-partition
+    stage. When ``min_doc_freq`` is high the boilerplate set is small
+    and AQE demotes join (2) to a broadcast on its own; at web scale
+    with low thresholds it stays a shuffle join, which is the correct
+    plan. Exact-count df is intentional (it is the dedup signal); an
+    approx_count_distinct variant would save one exchange phase but
+    break the oracle and the removal guarantee.
+    """
+    import re as _re
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("pos", "ln"),
+    ).withColumn("k", F.md5(F.trim(F.col("ln"))))
+    boiler = (
+        lines.filter(F.trim(F.col("ln")) != "")
+        .groupBy("k")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= int(min_doc_freq))
+        .select("k", F.lit(True).alias("_rm"))
+    )
+    marked = lines.join(boiler, "k", "left")
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_rm").isNull(), F.struct("pos", "ln"))
+                    )
+                ),
+                lambda x: x["ln"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count(F.when(F.col("_rm").isNull(), 1)).alias("n_kept"),
+        F.count(F.when(F.col("_rm").isNotNull(), 1)).alias("n_removed"),
+    )

@@ -37,28 +37,127 @@ def _spark_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(copies)
 
 
+# Line-dedup corpus: the synthetic texts have no newlines, so both
+# engines append the SAME planted lines to every document — a universal
+# banner (df = corpus size; even/odd docs carry different raw whitespace
+# so the trim normalization is exercised), 7 medium-frequency copyright
+# variants (df ≈ n/7), and one unique footer per doc (df = 1, must
+# survive). With min_doc_freq=30 the banner and copyright lines are
+# boilerplate at sf0.01+ while every unique footer and original text
+# line is kept.
+_LINE_MIN_DF = 30
+
+_DUCK_LINE_CORPUS = """
+    SELECT doc_id,
+           coalesce(text, '') || chr(10) ||
+           (CASE WHEN doc_id % 2 = 0 THEN 'FOLLOW US ON SOCIAL MEDIA'
+                 ELSE ' FOLLOW US ON SOCIAL MEDIA ' END) || chr(10) ||
+           'Copyright ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+           'ref ' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents
+"""
+
+
+def _spark_line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    banner = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("FOLLOW US ON SOCIAL MEDIA")
+    ).otherwise(F.lit(" FOLLOW US ON SOCIAL MEDIA "))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.coalesce(F.col("text"), F.lit("")),
+            banner,
+            F.concat(F.lit("Copyright "), (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit("ref "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+
+
 @register(
     "dedup_exact",
     f"""
     WITH corpus AS ({_DUCK_CORPUS}),
     fp AS (SELECT doc_id, md5(coalesce(text, '')) AS f FROM corpus),
     g AS (SELECT f, count(*) AS n_docs, min(doc_id) AS canonical_id
-          FROM fp GROUP BY f HAVING count(*) > 1)
-    SELECT g.f AS fingerprint, g.n_docs AS n_docs,
-           g.canonical_id AS canonical_id, fp.doc_id AS dup_id
+          FROM fp GROUP BY f HAVING count(*) > 1),
+    line_corpus AS ({_DUCK_LINE_CORPUS}),
+    parts AS (SELECT doc_id,
+                     unnest(list_transform(
+                         string_split(coalesce(text, ''), chr(10)),
+                         (x, i) -> struct_pack(pos := i, ln := x))) AS u
+              FROM line_corpus),
+    l AS (SELECT doc_id, u.pos AS pos, u.ln AS ln, md5(trim(u.ln)) AS k
+          FROM parts),
+    boiler AS (SELECT k FROM (SELECT k, count(DISTINCT doc_id) AS df
+                              FROM l WHERE trim(ln) <> '' GROUP BY k)
+               WHERE df >= {_LINE_MIN_DF}),
+    m AS (SELECT l.doc_id, l.pos, l.ln, (b.k IS NOT NULL) AS rm
+          FROM l LEFT JOIN boiler b ON l.k = b.k),
+    la AS (SELECT doc_id,
+                  coalesce(string_agg(ln, chr(10) ORDER BY pos)
+                           FILTER (WHERE NOT rm), '') AS text_clean,
+                  count(*) FILTER (WHERE NOT rm) AS n_kept,
+                  count(*) FILTER (WHERE rm) AS n_removed
+           FROM m GROUP BY doc_id)
+    SELECT 'doc' AS branch, g.f AS fingerprint, g.n_docs AS n_docs,
+           g.canonical_id AS canonical_id, fp.doc_id AS dup_id,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_kept,
+           CAST(NULL AS BIGINT) AS n_removed
     FROM g JOIN fp ON fp.f = g.f AND fp.doc_id != g.canonical_id
-    ORDER BY fingerprint, dup_id
+    UNION ALL
+    SELECT 'line', md5(text_clean), NULL, NULL, NULL,
+           doc_id, n_kept, n_removed
+    FROM la
+    ORDER BY branch, fingerprint, dup_id, doc_id
     """,
-    doc="Exact dedup: md5-fingerprint hash-groupBy, min-id canonical.",
+    doc=(
+        "Tagged union. 'doc' = exact dedup: md5-fingerprint hash-groupBy, "
+        "min-id canonical, one dup row per non-canonical member. 'line' = "
+        "RefinedWeb-style line-level boilerplate removal "
+        "(operators/dedup.py::boilerplate_line_removal): lines whose "
+        "trimmed form appears in >= 30 distinct docs are excised and the "
+        "doc reassembled in order; the oracle pins the md5 of every "
+        "reassembled text plus kept/removed line counts over a corpus "
+        "with planted banner/copyright/unique-footer lines. Scale: both "
+        "branches shuffle only 16-byte md5 keys; the line branch's "
+        "boilerplate join is the AQE-skew-split case (hot banner keys, "
+        "one build row per key)."
+    ),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _spark_corpus(spark, sf_dir)
     groups = D.exact_duplicates(corpus)
-    return (
+    nul = F.lit(None).cast("long")
+    d = (
         groups.select("fingerprint", "n_docs", "canonical_id", F.explode("doc_ids").alias("dup_id"))
         .filter(F.col("dup_id") != F.col("canonical_id"))
-        .orderBy("fingerprint", "dup_id")
+        .select(
+            F.lit("doc").alias("branch"),
+            "fingerprint",
+            "n_docs",
+            "canonical_id",
+            "dup_id",
+            nul.alias("doc_id"),
+            nul.alias("n_kept"),
+            nul.alias("n_removed"),
+        )
     )
+    cleaned = D.boilerplate_line_removal(
+        _spark_line_corpus(spark, sf_dir), min_doc_freq=_LINE_MIN_DF
+    )
+    li = cleaned.select(
+        F.lit("line").alias("branch"),
+        F.md5(F.col("text_clean")).alias("fingerprint"),
+        nul.alias("n_docs"),
+        nul.alias("canonical_id"),
+        nul.alias("dup_id"),
+        "doc_id",
+        "n_kept",
+        "n_removed",
+    )
+    return d.unionByName(li).orderBy("branch", "fingerprint", "dup_id", "doc_id")
 
 
 _MAX_SHINGLE_FREQ = 20  # drop shingles in > this many docs before the join

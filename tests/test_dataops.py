@@ -1028,3 +1028,75 @@ def test_dedup_audit_sampled_recall_and_precision(spark):
     # deterministic: same numbers on a rerun
     again = D.dedup_audit(corpus, threshold=0.5, sample_mod=4).collect()[0]
     assert tuple(row) == tuple(again)
+
+
+# ---------------------------------------------------------------- line dedup
+
+
+def test_boilerplate_line_removal_excises_frequent_lines(spark):
+    rows = [
+        (i, f"unique content {i}\nSUBSCRIBE NOW\nCopyright 2026\nfooter {i}")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.boilerplate_line_removal(docs, min_doc_freq=5).collect()}
+    assert len(out) == 10
+    for i in range(10):
+        assert out[i]["text_clean"] == f"unique content {i}\nfooter {i}"
+        assert out[i]["n_kept"] == 2 and out[i]["n_removed"] == 2
+
+
+def test_boilerplate_line_removal_trim_normalization_and_order(spark):
+    # raw whitespace variants of the same banner count as ONE line; kept
+    # lines come back in original order, with their raw bytes untouched
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha\n  SHARE THIS  \nbravo"),
+            (1, "charlie\nSHARE THIS\ndelta"),
+            (2, "echo\nSHARE THIS \nfoxtrot"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.boilerplate_line_removal(docs, min_doc_freq=3).collect()}
+    assert out[0]["text_clean"] == "alpha\nbravo"
+    assert out[1]["text_clean"] == "charlie\ndelta"
+    assert out[2]["text_clean"] == "echo\nfoxtrot"
+
+
+def test_boilerplate_line_removal_keeps_fully_boilerplate_doc(spark):
+    docs = spark.createDataFrame(
+        [(i, "AD BLOCK DETECTED") for i in range(4)] + [(9, "real text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.boilerplate_line_removal(docs, min_doc_freq=4).collect()}
+    assert out[0]["text_clean"] == "" and out[0]["n_kept"] == 0 and out[0]["n_removed"] == 1
+    assert out[9]["text_clean"] == "real text"
+
+
+def test_boilerplate_line_removal_null_and_empty_text(spark):
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in D.boilerplate_line_removal(docs, min_doc_freq=2).collect()}
+    # NULL and '' both normalize to one empty line, which is never
+    # counted as boilerplate (empty lines carry structure, not signal)
+    assert out[0]["text_clean"] == "" and out[0]["n_removed"] == 0
+    assert out[1]["text_clean"] == "" and out[1]["n_removed"] == 0
+    assert out[2]["text_clean"] == "x"
+
+
+def test_boilerplate_paragraph_granularity(spark):
+    # CCNet-style paragraph dedup: sep="\n\n"; newlines INSIDE a
+    # paragraph do not split it
+    para = "lorem ipsum\ndolor sit"
+    docs = spark.createDataFrame(
+        [(i, f"keep {i}\n\n{para}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.boilerplate_line_removal(docs, min_doc_freq=6, sep="\n\n").collect()
+    }
+    for i in range(6):
+        assert out[i]["text_clean"] == f"keep {i}"
+        assert out[i]["n_removed"] == 1
