@@ -64,6 +64,15 @@ class PillowBackend:
         with PIL.Image.open(io.BytesIO(payload)) as im:
             return im.width, im.height
 
+    def pixels(self, payload: bytes):  # pragma: no cover
+        import io
+
+        import numpy as np
+        import PIL.Image
+
+        with PIL.Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("L")).ravel()
+
 
 class FakeBackend:
     """Deterministic byte-arithmetic stand-in: width/height derived from
@@ -73,6 +82,15 @@ class FakeBackend:
     def decode(self, payload: bytes) -> tuple[int, int]:
         first = payload[0] if payload else 0
         return (first * 7) % 512, (len(payload) * 13) % 512
+
+    def pixels(self, payload: bytes):
+        """Luminance stream for perceptual hashing: the raw payload
+        bytes ARE the fake pixels, so a small byte perturbation is a
+        small pixel perturbation — exactly the property the blockhash
+        needs to make planted near-dups meaningful in tests."""
+        import numpy as np
+
+        return np.frombuffer(payload, dtype=np.uint8)
 
 
 def decode_media(media: DataFrame, backend=None) -> DataFrame:
@@ -213,3 +231,144 @@ def extract_features(media: DataFrame, *, dim: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(batches, out_schema)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+PHASH_BITS = 64
+
+
+def perceptual_hash(media: DataFrame, *, backend=None) -> DataFrame:
+    """64-bit blockhash-style perceptual fingerprint per media row
+    (Yang et al. 2006 "Block Mean Value Based Image Perceptual Hashing";
+    the pHash family). The backend's luminance stream is split into 64
+    equal blocks; bit i = (mean(block_i) > median of the 64 block
+    means), so by construction half the bits are set and a LOCAL pixel
+    perturbation flips only the bits of the blocks it touches — visually
+    near-identical media land within a few bits of Hamming distance.
+
+    Arrow-batched ``mapInPandas``: payload bytes cross into Python once
+    per batch and the per-row work is O(n_pixels) numpy. Empty/NULL
+    payloads hash to 0 (an all-equal block-mean vector has no
+    above-median blocks), kept rather than dropped so the caller decides
+    their fate. Emits (media_id, phash int64) — the 64-bit word travels
+    as a signed long; only XOR/popcount/band-slicing ever touch it, all
+    sign-agnostic."""
+    import numpy as np
+
+    be = backend or FakeBackend()
+
+    def one(p: bytes) -> int:
+        px = be.pixels(p)
+        if px.size == 0:
+            return 0
+        # pad to a multiple of 64 by wrapping, so every block is non-empty
+        if px.size < PHASH_BITS:
+            px = np.tile(px, -(-PHASH_BITS // px.size))
+        means = np.array(
+            [b.mean() for b in np.array_split(px.astype(np.float64), PHASH_BITS)]
+        )
+        bits = means > np.median(means)
+        word = np.uint64(0)
+        for i, b in enumerate(bits):
+            if b:
+                word |= np.uint64(1) << np.uint64(i)
+        return int(word.view(np.int64))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [one(p if p is not None else b"") for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_near_dup(
+    hashes: DataFrame,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_band_freq: int | None = None,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate media pairs by Hamming distance on perceptual
+    hashes, without an O(n²) comparison: the 64-bit hash is sliced into
+    ``bands`` equal sub-words and two hashes within ``max_hamming`` bits
+    MUST agree on at least one whole band (pigeonhole: ``max_hamming <
+    bands`` differing bits cannot touch every band), so an exact
+    equi-join on (band_idx, band_val) produces a candidate superset and
+    ``bit_count(a XOR b)`` verifies exactly. Returns
+    (id_a, id_b, hamming), id_a < id_b.
+
+    Scale shape (100 TB): the band join is the only corpus-sized
+    exchange and it is an equi-join keyed on (band, 16-bit value) — the
+    same banded-LSH physics as the MinHash text path, with the same
+    skew valve: a band value carried by more than ``max_band_freq``
+    media rows (flat-color thumbnails, letterboxed frames) is dropped
+    from candidate generation before the self-join, bounding fan-out at
+    freq² per key; degenerate constant media are each other's exact
+    dups and the md5 family catches them instead. Everything past the
+    Arrow-batched hashing is JVM-side codegen — XOR, bit_count and the
+    band slices are built-in long expressions."""
+    if not 0 < bands <= PHASH_BITS or PHASH_BITS % bands:
+        raise ValueError(f"bands must divide {PHASH_BITS}")
+    if max_hamming >= bands:
+        raise ValueError(
+            "pigeonhole guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = PHASH_BITS // bands
+    mask = (1 << width) - 1
+    h = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("h"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = h.select("id", "h", F.posexplode(band_vals).alias("band", "bv"))
+    if max_band_freq is not None:
+        # hot-band valve: drop band keys carried by too many rows before
+        # the self-join (freq² fan-out); a ≤max_hamming pair loses its
+        # guarantee only if EVERY shared band is hot, i.e. it sits in a
+        # mega-cluster the exact-dup family already collapses
+        hot = (
+            banded.groupBy("band", "bv")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > int(max_band_freq))
+            .select("band", "bv")
+        )
+        banded = banded.join(hot, ["band", "bv"], "left_anti")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            on=[
+                F.col("x.band") == F.col("y.band"),
+                F.col("x.bv") == F.col("y.bv"),
+                F.col("x.id") < F.col("y.id"),
+            ],
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.h").alias("ha"),
+            F.col("y.h").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= int(max_hamming))

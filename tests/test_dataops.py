@@ -1100,3 +1100,66 @@ def test_boilerplate_paragraph_granularity(spark):
     for i in range(6):
         assert out[i]["text_clean"] == f"keep {i}"
         assert out[i]["n_removed"] == 1
+
+
+# ------------------------------------------------------- perceptual hashing
+
+
+def _pay(i: int) -> bytes:
+    return bytes(((i * 37 + j * 11) % 251) for j in range(256))
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, p, "image", "png") for i, p in rows],
+        "media_id long, payload binary, media_type string, format string",
+    )
+
+
+def test_perceptual_hash_deterministic_and_null_safe(spark):
+    df = _media_df(spark, [(0, _pay(0)), (1, _pay(0)), (2, None), (3, b"")])
+    out = {r["media_id"]: r["phash"] for r in M.perceptual_hash(df).collect()}
+    assert out[0] == out[1]          # same pixels, same hash
+    assert out[2] == 0 and out[3] == 0  # NULL/empty payloads hash to 0
+
+
+def test_phash_near_dup_finds_planted_pairs_only(spark):
+    perturbed = bytearray(_pay(3))
+    perturbed[12:16] = b"\xff" * 4    # brighten block 3
+    perturbed[160:164] = b"\x00" * 4  # darken block 40
+    rows = [(0, _pay(3)), (1, bytes(perturbed)), (2, _pay(3))] + [
+        (10 + i, _pay(50 + i)) for i in range(8)  # unrelated
+    ]
+    hashes = M.perceptual_hash(_media_df(spark, rows))
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in M.phash_near_dup(hashes).collect()}
+    assert pairs[(0, 2)] == 0                    # exact pixel dup
+    assert (0, 1) in pairs and 0 < pairs[(0, 1)] <= 3  # perturbed copy
+    assert (1, 2) in pairs
+    assert all(a < 10 and b < 10 for a, b in pairs)  # no unrelated pairs
+
+
+def test_phash_near_dup_pigeonhole_guard(spark):
+    hashes = M.perceptual_hash(_media_df(spark, [(0, _pay(0))]))
+    with pytest.raises(ValueError, match="pigeonhole"):
+        M.phash_near_dup(hashes, max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        M.phash_near_dup(hashes, bands=5)
+
+
+def test_phash_near_dup_hot_band_valve(spark):
+    # 10 constant-pixel thumbnails: identical hashes, so every band key
+    # has frequency 10 — the valve drops them all before the self-join
+    rows = [(i, bytes([128]) * 64) for i in range(10)]
+    hashes = M.perceptual_hash(_media_df(spark, rows)).persist()
+    assert M.phash_near_dup(hashes).count() == 45  # all C(10,2) pairs
+    assert M.phash_near_dup(hashes, max_band_freq=2).count() == 0
+    hashes.unpersist()
+
+
+def test_phash_composes_with_byte_budget_partitioning(spark):
+    media = M.repartition_by_bytes(
+        _media_df(spark, [(i, _pay(i)) for i in range(20)]), target_bytes=1 << 10
+    )
+    out = M.perceptual_hash(media)
+    assert out.count() == 20
+    assert M.phash_near_dup(out, max_hamming=3).count() == 0
