@@ -1,0 +1,240 @@
+"""Geospatial proximity operators for position-report streams.
+
+The reference's ADS-B schema stores per-aircraft positions
+(`schema/schema-local.sql` lat/lon columns) and its dashboards slice them
+by area; the natural heavy query over such data — "which pairs of
+aircraft came within R nautical miles of each other" — is a distance
+self-join that no built-in Spark operator expresses without a cartesian
+product. This module supplies it with the same candidate-generation
+physics as the banded text/phash dedup families, transplanted to 2D:
+
+1. bucket every point into a lat/lon grid cell at least as coarse as the
+   radius (one integer pair, pure codegen arithmetic);
+2. explode ONE side to its neighborhood — ±1 cell in latitude (degrees of
+   latitude are distance-uniform) and a latitude-dependent ±k in
+   longitude (degrees of longitude shrink by cos(lat), so k grows toward
+   the poles and is clamped to half the grid circumference, at which
+   point the neighborhood covers the full parallel and recall survives
+   even at the pole);
+3. equi-join the exploded side against exact cells — plus any caller
+   bucket columns (an hour bucket turns the join into per-hour conflict
+   detection) — and verify each candidate with the exact haversine.
+
+Correctness does not depend on the grid: the grid only has to be a
+superset generator (the ±1/±k spans are derived as upper bounds on the
+lat/lon separation of any pair within the radius, with one extra cell of
+slack for cell-boundary alignment and the asin() convexity of the true
+longitude bound), and the haversine filter is exact. At 100 TB the one
+corpus-sized exchange is the (bucket, cell) equi-join; hot cells — every
+aircraft parked on the same airport apron — are the skew regime, handled
+by the same ``max_cell_freq`` valve as the text families: a (bucket,
+cell) key carried by more than the cap is dropped from BOTH sides before
+the join, bounding per-key fan-out at freq², and AQE's skew split
+absorbs what remains under the cap.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_NM = 3440.065
+POLE_GUARD_DEG = 89.9999
+
+
+def haversine_nm(lat1, lon1, lat2, lon2):
+    """Great-circle distance in nautical miles as a JVM-side column —
+    the exact expression shape used by the stateful tracker
+    (streaming/stateful.py) and the adsb_track_distance oracle, so both
+    engines associate identically."""
+    a = (
+        F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)
+    )
+    return 2 * EARTH_RADIUS_NM * F.asin(F.sqrt(a))
+
+
+def grid_cells(
+    df: DataFrame,
+    *,
+    cell_deg: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Attach integer grid-cell coordinates (``cy``, ``cx``): ``cy`` is
+    the floor-divided latitude band, ``cx`` the longitude band wrapped
+    modulo the grid circumference so that −180/+180 are neighbors. The
+    seam cell may be narrower than ``cell_deg`` when it doesn't divide
+    360 evenly — over-coverage only; verification is exact."""
+    n_x = math.ceil(360.0 / cell_deg)
+    return df.withColumn(
+        "cy", F.floor(F.col(lat_col) / F.lit(cell_deg)).cast("int")
+    ).withColumn(
+        "cx",
+        F.pmod(F.floor(F.col(lon_col) / F.lit(cell_deg)).cast("int"), F.lit(n_x)),
+    )
+
+
+def _lon_halfwidth_cells(lat_expr, rlat_deg: float, s: float, n_x: int):
+    """Per-row longitude neighborhood half-width in cells: an upper bound
+    on the longitude separation of any pair within the radius given one
+    endpoint's latitude — rlat_deg / cos(|lat|+rlat_deg) degrees, the
+    worst case being the pair's more poleward edge — then ceil'd to
+    cells, +1 slack for cell-boundary alignment and the asin() convexity
+    of the exact bound, clamped to half the grid (full-parallel coverage
+    near the poles, where cos → 0 would otherwise explode it)."""
+    lat_edge = F.least(F.abs(lat_expr) + F.lit(rlat_deg), F.lit(POLE_GUARD_DEG))
+    return F.least(
+        F.ceil(F.lit(rlat_deg) / (F.cos(F.radians(lat_edge)) * F.lit(s))) + 1,
+        F.lit(n_x // 2),
+    ).cast("int")
+
+
+def _explode_neighborhood(df: DataFrame, k, n_x: int) -> DataFrame:
+    """Fan each row out to its 3×(2k+1) neighborhood cells: ±1 latitude
+    band, ±k longitude bands with modular wrap at the grid seam."""
+    return (
+        df.withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dx", F.explode(F.sequence(-k, k)))
+        .withColumn("cy", F.col("cy") + F.col("_dy"))
+        .withColumn("cx", F.pmod(F.col("cx") + F.col("_dx"), F.lit(n_x)))
+        .drop("_dy", "_dx")
+    )
+
+
+def proximity_pairs(
+    points: DataFrame,
+    *,
+    radius_nm: float,
+    cell_deg: float | None = None,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    bucket_cols: tuple[str, ...] = (),
+    carry_cols: tuple[str, ...] = (),
+    exclude_same: tuple[str, ...] = (),
+    max_cell_freq: int | None = None,
+) -> DataFrame:
+    """All pairs of points within ``radius_nm`` great-circle nautical
+    miles (and in the same ``bucket_cols`` slice), without a cartesian
+    product. Returns (``id_a``, ``id_b``, ``dist_nm``) with
+    ``id_a < id_b``, plus ``{c}_a``/``{c}_b`` for every ``carry_cols``
+    column; ``exclude_same`` columns must DIFFER between the two points
+    (e.g. ``("user_id",)`` drops an aircraft's self-proximity to its own
+    later reports).
+
+    ``cell_deg`` defaults to the radius in latitude degrees and must not
+    be smaller (the ±1 latitude-neighbor guarantee needs it). Fan-out is
+    3·(2k+1) cells per probe row — 9 at the equator for the default cell
+    size, growing only where cos(lat) shrinks. Only the probe side is
+    exploded; the build side keeps one row per point, so a pair (a<b) is
+    emitted exactly once, by a's neighborhood covering b's cell.
+    """
+    rlat_deg = radius_nm / 60.0
+    s = cell_deg if cell_deg is not None else rlat_deg
+    if s < rlat_deg:
+        raise ValueError(
+            f"cell_deg must be >= the radius in latitude degrees "
+            f"({rlat_deg:.6f}), got {s}"
+        )
+    n_x = math.ceil(360.0 / s)
+
+    cols = [F.col(id_col).alias("_pid"), F.col(lat_col).alias("_plat"),
+            F.col(lon_col).alias("_plon")]
+    cols += [F.col(c) for c in dict.fromkeys(bucket_cols + carry_cols + exclude_same)]
+    base = grid_cells(
+        points.select(*cols), cell_deg=s, lat_col="_plat", lon_col="_plon"
+    )
+
+    if max_cell_freq is not None:
+        # hot-cell valve: drop (bucket, cell) keys carried by more rows
+        # than the cap BEFORE the join — freq² fan-out per key otherwise.
+        # A pair is lost only if its shared cells are ALL hot, i.e. it
+        # sits inside a mega-cluster (airport apron) whose pairs the
+        # caller explicitly priced away.
+        keys = list(bucket_cols) + ["cy", "cx"]
+        hot = (
+            base.groupBy(*keys)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > int(max_cell_freq))
+            .select(*keys)
+        )
+        base = base.join(hot, keys, "left_anti")
+
+    probe = _explode_neighborhood(
+        base, _lon_halfwidth_cells(F.col("_plat"), rlat_deg, s, n_x), n_x
+    )
+
+    join_keys = list(bucket_cols) + ["cy", "cx"]
+    cond = [F.col(f"x.{c}") == F.col(f"y.{c}") for c in join_keys]
+    cond.append(F.col("x._pid") < F.col("y._pid"))
+    cond += [F.col(f"x.{c}") != F.col(f"y.{c}") for c in exclude_same]
+    out = [
+        F.col("x._pid").alias("id_a"),
+        F.col("y._pid").alias("id_b"),
+        haversine_nm(
+            F.col("x._plat"), F.col("x._plon"), F.col("y._plat"), F.col("y._plon")
+        ).alias("dist_nm"),
+    ]
+    out += [F.col(f"x.{c}").alias(f"{c}_a") for c in carry_cols]
+    out += [F.col(f"y.{c}").alias(f"{c}_b") for c in carry_cols]
+    return (
+        probe.alias("x")
+        .join(base.alias("y"), on=cond)
+        .select(*out)
+        .filter(F.col("dist_nm") <= F.lit(float(radius_nm)))
+    )
+
+
+def points_in_radius(
+    points: DataFrame,
+    centers: DataFrame,
+    *,
+    radius_nm: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    center_id_col: str = "center_id",
+) -> DataFrame:
+    """Tag each point with every center (a small DIMENSION table: airports,
+    sensors, geofences) within ``radius_nm`` of it. The CENTERS side is
+    exploded to its neighborhood and broadcast — each point lands in
+    exactly one cell and the center's neighborhood must cover it (the
+    half-width bound is computed from the center's latitude and already
+    accounts for the other endpoint sitting up to rlat_deg poleward), so
+    candidate pruning happens inside a broadcast hash join on the cell
+    key and the corpus is never shuffled at all. This is the 'points
+    near a fixed site list' dashboard query; use :func:`proximity_pairs`
+    for the all-pairs self-join."""
+    rlat_deg = radius_nm / 60.0
+    s = rlat_deg
+    n_x = math.ceil(360.0 / s)
+    cpts = grid_cells(points, cell_deg=s, lat_col=lat_col, lon_col=lon_col)
+    ccen = _explode_neighborhood(
+        grid_cells(
+            centers.select(
+                F.col(center_id_col).alias("_cid"),
+                F.col(lat_col).alias("_clat"),
+                F.col(lon_col).alias("_clon"),
+            ),
+            cell_deg=s,
+            lat_col="_clat",
+            lon_col="_clon",
+        ),
+        _lon_halfwidth_cells(F.col("_clat"), rlat_deg, s, n_x),
+        n_x,
+    ).dropDuplicates(["_cid", "cy", "cx"])
+    return (
+        cpts.join(F.broadcast(ccen), on=["cy", "cx"])
+        .withColumn(
+            "dist_nm",
+            haversine_nm(
+                F.col(lat_col), F.col(lon_col), F.col("_clat"), F.col("_clon")
+            ),
+        )
+        .filter(F.col("dist_nm") <= F.lit(float(radius_nm)))
+        .drop("cy", "cx", "_clat", "_clon")
+        .withColumnRenamed("_cid", center_id_col)
+    )

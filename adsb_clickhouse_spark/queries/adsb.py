@@ -350,26 +350,59 @@ def _haversine_nm_col(lat1, lon1, lat2, lon2):
              lag(lon) OVER w AS prev_lon
       FROM pts
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    track AS (
+      SELECT user_id,
+             count(*) AS n_reports,
+             round(coalesce(sum(CASE WHEN prev_lat IS NOT NULL THEN
+               {_HAVERSINE_DUCK.format(lat1='prev_lat', lon1='prev_lon', lat2='lat', lon2='lon')}
+             END), 0), 3) AS distance_nm
+      FROM steps
+      GROUP BY user_id
+    ),
+    hpts AS (
+      SELECT event_id, user_id, date_trunc('hour', ts) AS hb, lat, lon
+      FROM pts
+    ),
+    prox AS (
+      SELECT a.event_id AS event_a, b.event_id AS event_b,
+             a.user_id AS user_a, b.user_id AS user_b,
+             round({_HAVERSINE_DUCK.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')}, 3) AS dist_nm
+      FROM hpts a JOIN hpts b
+        ON a.hb = b.hb AND a.event_id < b.event_id AND a.user_id <> b.user_id
+      WHERE {_HAVERSINE_DUCK.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')} <= 15.0
     )
-    SELECT user_id,
-           count(*) AS n_reports,
-           round(coalesce(sum(CASE WHEN prev_lat IS NOT NULL THEN
-             {_HAVERSINE_DUCK.format(lat1='prev_lat', lon1='prev_lon', lat2='lat', lon2='lon')}
-           END), 0), 3) AS distance_nm
-    FROM steps
-    GROUP BY user_id
-    ORDER BY user_id
+    SELECT 'track' AS branch, user_id, n_reports, distance_nm,
+           CAST(NULL AS BIGINT) AS event_a, CAST(NULL AS BIGINT) AS event_b,
+           CAST(NULL AS BIGINT) AS user_a, CAST(NULL AS BIGINT) AS user_b,
+           CAST(NULL AS DOUBLE) AS dist_nm
+    FROM track
+    UNION ALL
+    SELECT 'proximity', NULL, NULL, NULL,
+           event_a, event_b, user_a, user_b, dist_nm
+    FROM prox
+    ORDER BY branch, user_id, event_a, event_b
     """,
     doc=(
+        "Tagged union (registry packing, see COVERAGE.md). branch='track': "
         "ST4 batch twin of the stateful tracker's distance-flown aggregate "
-        "(streaming/stateful.py): per-key cumulative great-circle distance "
-        "over consecutive positions, here as lag + haversine + sum with "
+        "(streaming/stateful.py) — per-key lag + haversine + sum with "
         "synthetic coordinates derived from `value` (fmod into valid "
-        "lat/lon ranges). Same formula shape in both engines; libm ULP "
-        "differences vanish under round(, 3)."
+        "lat/lon ranges). branch='proximity': the ADS-B conflict-detection "
+        "self-join — pairs of DIFFERENT users' reports in the same hour "
+        "bucket within 15 nm great-circle — via operators/geo.py's "
+        "grid-bucketed candidate join (exploded 3×(2k+1) neighborhood, "
+        "equi-join on (hour, cell), exact haversine verify), while the "
+        "oracle brute-forces within hour buckets; the physical strategies "
+        "differ, the result sets must not. Same haversine literal "
+        "association in both engines; libm ULP differences vanish under "
+        "round(, 3), and the 15.0 nm boundary filter runs on the "
+        "UNROUNDED distance in both."
     ),
 )
 def adsb_track_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geo import proximity_pairs
+
     e = load_table(spark, sf_dir, "events")
     v = F.coalesce(F.col("value"), F.lit(0.0))
     pts = e.select(
@@ -391,14 +424,50 @@ def adsb_track_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_lat").isNotNull(),
         _haversine_nm_col(F.col("prev_lat"), F.col("prev_lon"), F.col("lat"), F.col("lon")),
     )
-    return (
+    track = (
         steps.groupBy("user_id")
         .agg(
             F.count("*").alias("n_reports"),
             F.round(F.coalesce(F.sum(step_nm), F.lit(0.0)), 3).alias("distance_nm"),
         )
-        .orderBy("user_id")
+        .select(
+            F.lit("track").alias("branch"),
+            "user_id",
+            "n_reports",
+            "distance_nm",
+            F.lit(None).cast("long").alias("event_a"),
+            F.lit(None).cast("long").alias("event_b"),
+            F.lit(None).cast("long").alias("user_a"),
+            F.lit(None).cast("long").alias("user_b"),
+            F.lit(None).cast("double").alias("dist_nm"),
+        )
     )
+    hpts = pts.select(
+        "event_id",
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hb"),
+        "lat",
+        "lon",
+    )
+    prox = proximity_pairs(
+        hpts,
+        radius_nm=15.0,
+        id_col="event_id",
+        bucket_cols=("hb",),
+        carry_cols=("user_id",),
+        exclude_same=("user_id",),
+    ).select(
+        F.lit("proximity").alias("branch"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("n_reports"),
+        F.lit(None).cast("double").alias("distance_nm"),
+        F.col("id_a").alias("event_a"),
+        F.col("id_b").alias("event_b"),
+        F.col("user_id_a").alias("user_a"),
+        F.col("user_id_b").alias("user_b"),
+        F.round("dist_nm", 3).alias("dist_nm"),
+    )
+    return track.unionByName(prox).orderBy("branch", "user_id", "event_a", "event_b")
 
 
 # adsb_sliding_rollup merged into the adsb_rollups tagged union above

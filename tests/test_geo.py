@@ -1,0 +1,169 @@
+"""Geospatial proximity operators (operators/geo.py): grid-bucketed
+pair join and broadcast points-in-radius, verified against brute-force
+haversine on corpora planted with the geometric edge cases — cell
+boundaries, the antimeridian seam, and near-polar latitudes."""
+
+import math
+import random
+
+import pytest
+
+from adsb_clickhouse_spark.operators import geo as G
+
+
+def _hav_nm(lat1, lon1, lat2, lon2):
+    a = (
+        math.sin(math.radians(lat2 - lat1) / 2) ** 2
+        + math.cos(math.radians(lat1))
+        * math.cos(math.radians(lat2))
+        * math.sin(math.radians(lon2 - lon1) / 2) ** 2
+    )
+    return 2 * G.EARTH_RADIUS_NM * math.asin(math.sqrt(a))
+
+
+def _brute_pairs(rows, radius, same_bucket=False, diff_user=False):
+    out = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1:]:
+            if same_bucket and a[3] != b[3]:
+                continue
+            if diff_user and a[4] == b[4]:
+                continue
+            if _hav_nm(a[1], a[2], b[1], b[2]) <= radius:
+                out.add((min(a[0], b[0]), max(a[0], b[0])))
+    return out
+
+
+def _corpus(n=250, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        # clustered so some pairs actually fall within radius
+        clat = rng.choice([-80.0, -30.0, 0.0, 45.0, 88.9])
+        clon = rng.choice([-179.9, -60.0, 0.0, 120.0, 179.9])
+        rows.append(
+            (
+                i,
+                max(-89.99, min(89.99, clat + rng.uniform(-0.4, 0.4))),
+                ((clon + rng.uniform(-0.4, 0.4) + 180) % 360) - 180,
+                rng.randint(0, 1),  # bucket
+                rng.randint(0, 9),  # user
+            )
+        )
+    return rows
+
+
+SCHEMA = "id long, lat double, lon double, hb int, user_id int"
+
+
+def test_proximity_pairs_matches_bruteforce(spark):
+    rows = _corpus()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in G.proximity_pairs(
+            spark.createDataFrame(rows, SCHEMA), radius_nm=15.0
+        ).collect()
+    }
+    assert got == _brute_pairs(rows, 15.0)
+
+
+def test_proximity_pairs_bucket_and_exclude(spark):
+    rows = _corpus(seed=11)
+    got = G.proximity_pairs(
+        spark.createDataFrame(rows, SCHEMA),
+        radius_nm=15.0,
+        bucket_cols=("hb",),
+        exclude_same=("user_id",),
+        carry_cols=("user_id",),
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == _brute_pairs(
+        rows, 15.0, same_bucket=True, diff_user=True
+    )
+    by_id = {r[0]: r for r in rows}
+    for r in got:
+        assert r["user_id_a"] == by_id[r["id_a"]][4]
+        assert r["user_id_b"] == by_id[r["id_b"]][4]
+        assert r["user_id_a"] != r["user_id_b"]
+
+
+def test_proximity_antimeridian_and_pole(spark):
+    rows = [
+        (0, 10.0, 179.95, 0, 0),
+        (1, 10.0, -179.95, 0, 1),   # ~6 nm across the seam
+        (2, 89.5, 0.0, 0, 2),
+        (3, 89.5, 80.0, 0, 3),      # ~39 nm around the pole's parallel chord
+        (4, -10.0, 0.0, 0, 4),      # far from everything
+    ]
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_nm"]
+        for r in G.proximity_pairs(
+            spark.createDataFrame(rows, SCHEMA), radius_nm=40.0
+        ).collect()
+    }
+    assert set(got) == _brute_pairs(rows, 40.0)
+    assert (0, 1) in got and (2, 3) in got
+
+
+def test_proximity_cell_boundary_pair(spark):
+    # radius 15 nm → cell 0.25°; plant a pair straddling a cell edge at
+    # distance just under the radius, and a pair just over it
+    rows = [
+        (0, 0.2499, 50.0, 0, 0),
+        (1, 0.2501 + 0.20, 50.0, 0, 1),  # Δlat ≈ 0.2002° ≈ 12.0 nm
+        (2, 20.0, 7.0, 0, 2),
+        (3, 20.26, 7.0, 0, 3),           # Δlat 0.26° ≈ 15.6 nm > radius
+    ]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in G.proximity_pairs(
+            spark.createDataFrame(rows, SCHEMA), radius_nm=15.0
+        ).collect()
+    }
+    assert (0, 1) in got and (2, 3) not in got
+
+
+def test_proximity_cell_deg_validation(spark):
+    df = spark.createDataFrame([(0, 0.0, 0.0, 0, 0)], SCHEMA)
+    with pytest.raises(ValueError, match="cell_deg"):
+        G.proximity_pairs(df, radius_nm=30.0, cell_deg=0.4)  # < 0.5°
+
+
+def test_proximity_hot_cell_valve(spark):
+    # 20 aircraft parked on one apron + one en-route pair elsewhere
+    rows = [(i, 40.0001 + i * 1e-5, -73.0, 0, i) for i in range(20)]
+    rows += [(100, 10.0, 10.0, 0, 100), (101, 10.01, 10.0, 0, 101)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    assert G.proximity_pairs(df, radius_nm=15.0).count() == 190 + 1
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in G.proximity_pairs(df, radius_nm=15.0, max_cell_freq=10).collect()
+    }
+    assert got == {(100, 101)}  # apron pairs priced away, en-route kept
+
+
+def test_points_in_radius_matches_bruteforce(spark):
+    rows = _corpus(seed=23)
+    centers = [(0, 0.05, 0.05), (1, 88.95, 100.0), (2, 10.0, -179.99)]
+    pdf = spark.createDataFrame(rows, SCHEMA)
+    cdf = spark.createDataFrame(centers, "center_id long, lat double, lon double")
+    got = {
+        (r["id"], r["center_id"])
+        for r in G.points_in_radius(pdf, cdf, radius_nm=30.0).collect()
+    }
+    want = {
+        (p[0], c[0])
+        for p in rows
+        for c in centers
+        if _hav_nm(p[1], p[2], c[1], c[2]) <= 30.0
+    }
+    assert got == want
+    assert any(c == 1 for _, c in got) or not any(
+        _hav_nm(p[1], p[2], 88.95, 100.0) <= 30.0 for p in rows
+    )
+
+
+def test_points_in_radius_broadcasts_centers(spark):
+    pdf = spark.createDataFrame(_corpus(n=50), SCHEMA)
+    cdf = spark.createDataFrame([(0, 0.0, 0.0)], "center_id long, lat double, lon double")
+    plan = G.points_in_radius(pdf, cdf, radius_nm=30.0)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
