@@ -95,10 +95,21 @@ def _lon_halfwidth_cells(lat_expr, rlat_deg: float, s: float, n_x: int):
 
 def _explode_neighborhood(df: DataFrame, k, n_x: int) -> DataFrame:
     """Fan each row out to its 3×(2k+1) neighborhood cells: ±1 latitude
-    band, ±k longitude bands with modular wrap at the grid seam."""
+    band, ±k longitude bands with modular wrap at the grid seam.
+
+    The offset sequence's upper end is capped at ``n_x - 1 - k`` so the
+    offsets map to DISTINCT cells on the parallel: with ``k`` clamped to
+    ``n_x // 2`` and even ``n_x``, a naive ``sequence(-k, k)`` yields
+    ``n_x + 1`` offsets and ``pmod`` collides ``-k`` with ``+k`` — the
+    probe lands twice in the antipodal cell and a near-polar pair is
+    emitted twice. Capped, the full-parallel regime emits exactly
+    ``n_x`` offsets (one per cell) and sub-clamp widths are unchanged
+    (``n_x - 1 - k > k`` there)."""
     return (
         df.withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("_dx", F.explode(F.sequence(-k, k)))
+        .withColumn(
+            "_dx", F.explode(F.sequence(-k, F.least(k, F.lit(n_x - 1) - k)))
+        )
         .withColumn("cy", F.col("cy") + F.col("_dy"))
         .withColumn("cx", F.pmod(F.col("cx") + F.col("_dx"), F.lit(n_x)))
         .drop("_dy", "_dx")
@@ -150,11 +161,15 @@ def proximity_pairs(
     )
 
     if max_cell_freq is not None:
-        # hot-cell valve: drop (bucket, cell) keys carried by more rows
-        # than the cap BEFORE the join — freq² fan-out per key otherwise.
-        # A pair is lost only if its shared cells are ALL hot, i.e. it
-        # sits inside a mega-cluster (airport apron) whose pairs the
-        # caller explicitly priced away.
+        # hot-cell valve: drop (bucket, cell) HOME keys carried by more
+        # rows than the cap BEFORE the join — freq² fan-out per key
+        # otherwise. Unlike the multi-band phash valve there is no
+        # redundancy here (each point has exactly one home cell), so any
+        # pair with EITHER endpoint homed in a hot cell is dropped —
+        # including pairs whose other endpoint sits in a cold adjacent
+        # cell. The cap prices away the mega-cluster (airport apron) AND
+        # its immediate fringe; callers needing the fringe must raise
+        # the cap.
         keys = list(bucket_cols) + ["cy", "cx"]
         hot = (
             base.groupBy(*keys)
@@ -189,6 +204,9 @@ def proximity_pairs(
     )
 
 
+MAX_BROADCAST_CENTERS = 1_000_000
+
+
 def points_in_radius(
     points: DataFrame,
     centers: DataFrame,
@@ -197,6 +215,7 @@ def points_in_radius(
     lat_col: str = "lat",
     lon_col: str = "lon",
     center_id_col: str = "center_id",
+    max_centers: int = MAX_BROADCAST_CENTERS,
 ) -> DataFrame:
     """Tag each point with every center (a small DIMENSION table: airports,
     sensors, geofences) within ``radius_nm`` of it. The CENTERS side is
@@ -207,7 +226,22 @@ def points_in_radius(
     candidate pruning happens inside a broadcast hash join on the cell
     key and the corpus is never shuffled at all. This is the 'points
     near a fixed site list' dashboard query; use :func:`proximity_pairs`
-    for the all-pairs self-join."""
+    for the all-pairs self-join.
+
+    The dimension-table contract is ENFORCED, not advisory: the centers
+    side is counted at plan-build time (one bounded action — ``limit``
+    caps the scan) and a count above ``max_centers`` raises instead of
+    broadcasting a corpus. The default cap (10⁶ centers × ~5 exploded
+    cells × ~40 B ≈ 200 MB) is the edge of a sane executor broadcast;
+    a centers side bigger than that is not a dimension table — use
+    :func:`proximity_pairs` semantics or a shuffle join instead."""
+    n_centers = centers.limit(int(max_centers) + 1).count()
+    if n_centers > max_centers:
+        raise ValueError(
+            f"centers has more than max_centers={max_centers} rows; "
+            "broadcasting it would ship a corpus to every executor — "
+            "use proximity_pairs or raise max_centers explicitly"
+        )
     rlat_deg = radius_nm / 60.0
     s = rlat_deg
     n_x = math.ceil(360.0 / s)

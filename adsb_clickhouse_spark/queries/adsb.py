@@ -370,7 +370,17 @@ def _haversine_nm_col(lat1, lon1, lat2, lon2):
              round({_HAVERSINE_DUCK.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')}, 3) AS dist_nm
       FROM hpts a JOIN hpts b
         ON a.hb = b.hb AND a.event_id < b.event_id AND a.user_id <> b.user_id
-      WHERE {_HAVERSINE_DUCK.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')} <= 15.0
+      WHERE round({_HAVERSINE_DUCK.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')}, 3) <= 15.0
+    ),
+    centers AS (
+      SELECT event_id, lat, lon FROM pts WHERE event_id % 1000 = 0
+    ),
+    rad AS (
+      SELECT p.event_id AS event_a, c.event_id AS event_b,
+             p.user_id AS user_a,
+             round({_HAVERSINE_DUCK.format(lat1='p.lat', lon1='p.lon', lat2='c.lat', lon2='c.lon')}, 3) AS dist_nm
+      FROM pts p, centers c
+      WHERE round({_HAVERSINE_DUCK.format(lat1='p.lat', lon1='p.lon', lat2='c.lat', lon2='c.lon')}, 3) <= 25.0
     )
     SELECT 'track' AS branch, user_id, n_reports, distance_nm,
            CAST(NULL AS BIGINT) AS event_a, CAST(NULL AS BIGINT) AS event_b,
@@ -381,6 +391,10 @@ def _haversine_nm_col(lat1, lon1, lat2, lon2):
     SELECT 'proximity', NULL, NULL, NULL,
            event_a, event_b, user_a, user_b, dist_nm
     FROM prox
+    UNION ALL
+    SELECT 'radius', NULL, NULL, NULL,
+           event_a, event_b, user_a, CAST(NULL AS BIGINT), dist_nm
+    FROM rad
     ORDER BY branch, user_id, event_a, event_b
     """,
     doc=(
@@ -393,15 +407,21 @@ def _haversine_nm_col(lat1, lon1, lat2, lon2):
         "bucket within 15 nm great-circle — via operators/geo.py's "
         "grid-bucketed candidate join (exploded 3×(2k+1) neighborhood, "
         "equi-join on (hour, cell), exact haversine verify), while the "
-        "oracle brute-forces within hour buckets; the physical strategies "
-        "differ, the result sets must not. Same haversine literal "
-        "association in both engines; libm ULP differences vanish under "
-        "round(, 3), and the 15.0 nm boundary filter runs on the "
-        "UNROUNDED distance in both."
+        "oracle brute-forces within hour buckets. branch='radius' (r9): "
+        "points_in_radius — every report within 25 nm of a small derived "
+        "center list (event_id % 1000), exercising the broadcast "
+        "exploded-centers join against the oracle's brute-force cross "
+        "join. The physical strategies differ, the result sets must not. "
+        "Same haversine literal association in both engines; membership "
+        "at the radius boundary is decided on the ROUNDED distance "
+        "(round(d,3) <= R) in both — the operators run with a +0.001 nm "
+        "padded radius so their internal unrounded filter is never the "
+        "binding constraint and a libm ULP cannot flip row membership "
+        "(round-8 advisor finding)."
     ),
 )
 def adsb_track_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.geo import proximity_pairs
+    from ..operators.geo import points_in_radius, proximity_pairs
 
     e = load_table(spark, sf_dir, "events")
     v = F.coalesce(F.col("value"), F.lit(0.0))
@@ -449,25 +469,56 @@ def adsb_track_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lat",
         "lon",
     )
-    prox = proximity_pairs(
-        hpts,
-        radius_nm=15.0,
-        id_col="event_id",
-        bucket_cols=("hb",),
-        carry_cols=("user_id",),
-        exclude_same=("user_id",),
-    ).select(
-        F.lit("proximity").alias("branch"),
-        F.lit(None).cast("long").alias("user_id"),
-        F.lit(None).cast("long").alias("n_reports"),
-        F.lit(None).cast("double").alias("distance_nm"),
-        F.col("id_a").alias("event_a"),
-        F.col("id_b").alias("event_b"),
-        F.col("user_id_a").alias("user_a"),
-        F.col("user_id_b").alias("user_b"),
-        F.round("dist_nm", 3).alias("dist_nm"),
+    # +0.001 nm pad: the operator's internal unrounded filter must never
+    # be the binding constraint — gate membership is decided on the
+    # rounded distance below, identically in both engines (ULP-robust)
+    prox = (
+        proximity_pairs(
+            hpts,
+            radius_nm=15.001,
+            id_col="event_id",
+            bucket_cols=("hb",),
+            carry_cols=("user_id",),
+            exclude_same=("user_id",),
+        )
+        .withColumn("dist_nm", F.round("dist_nm", 3))
+        .filter(F.col("dist_nm") <= 15.0)
+        .select(
+            F.lit("proximity").alias("branch"),
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("long").alias("n_reports"),
+            F.lit(None).cast("double").alias("distance_nm"),
+            F.col("id_a").alias("event_a"),
+            F.col("id_b").alias("event_b"),
+            F.col("user_id_a").alias("user_a"),
+            F.col("user_id_b").alias("user_b"),
+            "dist_nm",
+        )
     )
-    return track.unionByName(prox).orderBy("branch", "user_id", "event_a", "event_b")
+    centers = pts.filter(F.col("event_id") % 1000 == 0).select(
+        F.col("event_id").alias("center_id"), "lat", "lon"
+    )
+    rad = (
+        points_in_radius(hpts, centers, radius_nm=25.001)
+        .withColumn("dist_nm", F.round("dist_nm", 3))
+        .filter(F.col("dist_nm") <= 25.0)
+        .select(
+            F.lit("radius").alias("branch"),
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("long").alias("n_reports"),
+            F.lit(None).cast("double").alias("distance_nm"),
+            F.col("event_id").alias("event_a"),
+            F.col("center_id").alias("event_b"),
+            F.col("user_id").alias("user_a"),
+            F.lit(None).cast("long").alias("user_b"),
+            "dist_nm",
+        )
+    )
+    return (
+        track.unionByName(prox)
+        .unionByName(rad)
+        .orderBy("branch", "user_id", "event_a", "event_b")
+    )
 
 
 # adsb_sliding_rollup merged into the adsb_rollups tagged union above

@@ -88,6 +88,19 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     headline_total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
 
+    # dashboard-class vs analytic split (r8 verdict #7): the reference's
+    # operative budget is the 5 s dashboard refresh; adsb_track_distance
+    # is an analytic union row (all-pairs conflict join, output-dominated
+    # at sf0.1) — its dashboard-shaped 'track' branch is timed separately
+    # under `branches`. Report the worst DASHBOARD-class adsb row so
+    # budget adjudication doesn't trip over analytic output volume.
+    ANALYTIC_ADSB = {"adsb_track_distance"}
+    dash_rows = {
+        n: t for n, t in timings.items()
+        if n.startswith("adsb_") and n not in ANALYTIC_ADSB
+    }
+    dashboard_max = round(max(dash_rows.values()), 3) if dash_rows else 0.0
+
     # per-branch timings for the tagged-union rows: a literal-tag filter
     # constant-folds the other union children away (PruneFilters), so
     # each branch is timed as its own plan — cross-round deltas can then
@@ -100,7 +113,7 @@ def main() -> None:
         "text_winnow_fingerprint": ("method", ["winnow", "chunk"]),
         "dedup_ngram_jaccard": ("branch", ["pair", "cc", "decon"]),
         "adsb_rollups": ("branch", ["tumbling", "sliding"]),
-        "adsb_track_distance": ("branch", ["track", "proximity"]),
+        "adsb_track_distance": ("branch", ["track", "proximity", "radius"]),
         # caveat: text_lm_bpe's BPE merge LEARNING runs driver-side at
         # plan-build time, so the 'lm' branch timing includes it even
         # though the filter prunes the bpe leg's execution — compare the
@@ -206,6 +219,7 @@ def main() -> None:
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "headline_20_total": headline_total,
+        "dashboard_max_sec": dashboard_max,
         delta_key.replace("delta_vs", "delta_total_vs"): round(sum(delta.values()), 2),
         "ingest_rows_per_sec": ingest_rate,
         "ingest_rows": n_rows,
@@ -219,6 +233,8 @@ def main() -> None:
                 "branches": branch_timings,
                 delta_key: delta,
                 "total": total,
+                "dashboard_max_sec": dashboard_max,
+                "dashboard_rows": dash_rows,
                 "ingest_rows_per_sec": ingest_rate,
                 "ingest_rates_all": [round(r, 1) for r in sorted(rates)],
                 "env_canary_sec": env_canary,

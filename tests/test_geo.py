@@ -58,13 +58,13 @@ SCHEMA = "id long, lat double, lon double, hb int, user_id int"
 
 def test_proximity_pairs_matches_bruteforce(spark):
     rows = _corpus()
-    got = {
-        (r["id_a"], r["id_b"])
-        for r in G.proximity_pairs(
-            spark.createDataFrame(rows, SCHEMA), radius_nm=15.0
-        ).collect()
-    }
+    collected = G.proximity_pairs(
+        spark.createDataFrame(rows, SCHEMA), radius_nm=15.0
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in collected}
     assert got == _brute_pairs(rows, 15.0)
+    # multiplicity: exactly-once emission, not just the right pair SET
+    assert len(collected) == len(got)
 
 
 def test_proximity_pairs_bucket_and_exclude(spark):
@@ -79,6 +79,7 @@ def test_proximity_pairs_bucket_and_exclude(spark):
     assert {(r["id_a"], r["id_b"]) for r in got} == _brute_pairs(
         rows, 15.0, same_bucket=True, diff_user=True
     )
+    assert len(got) == len({(r["id_a"], r["id_b"]) for r in got})
     by_id = {r[0]: r for r in rows}
     for r in got:
         assert r["user_id_a"] == by_id[r["id_a"]][4]
@@ -94,14 +95,27 @@ def test_proximity_antimeridian_and_pole(spark):
         (3, 89.5, 80.0, 0, 3),      # ~39 nm around the pole's parallel chord
         (4, -10.0, 0.0, 0, 4),      # far from everything
     ]
-    got = {
-        (r["id_a"], r["id_b"]): r["dist_nm"]
-        for r in G.proximity_pairs(
-            spark.createDataFrame(rows, SCHEMA), radius_nm=40.0
-        ).collect()
-    }
+    collected = G.proximity_pairs(
+        spark.createDataFrame(rows, SCHEMA), radius_nm=40.0
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["dist_nm"] for r in collected}
     assert set(got) == _brute_pairs(rows, 40.0)
     assert (0, 1) in got and (2, 3) in got
+    # lat 89.5 clamps k to the full parallel — exactly the regime where
+    # the pre-fix sequence(-k, k) emitted duplicate rows; check counts
+    assert len(collected) == len(got)
+
+
+def test_proximity_no_duplicate_rows_near_pole(spark):
+    # regression: (89.9, 0) vs (89.9, 180) are ~12 nm apart over the pole;
+    # the 0.25-degree grid (radius 15 nm) gives n_x=1440 (even) and the
+    # half-width clamp k=720, where sequence(-k, k) has n_x+1 offsets and
+    # pmod collides -k with +k — the pair used to be emitted twice.
+    rows = [(0, 89.9, 0.0, 0, 0), (1, 89.9, 180.0, 0, 1)]
+    collected = G.proximity_pairs(
+        spark.createDataFrame(rows, SCHEMA), radius_nm=15.0
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in collected] == [(0, 1)]
 
 
 def test_proximity_cell_boundary_pair(spark):
@@ -167,3 +181,16 @@ def test_points_in_radius_broadcasts_centers(spark):
     cdf = spark.createDataFrame([(0, 0.0, 0.0)], "center_id long, lat double, lon double")
     plan = G.points_in_radius(pdf, cdf, radius_nm=30.0)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_points_in_radius_center_cap_trips(spark):
+    # the dimension-table contract is enforced: a centers side above the
+    # cap raises instead of broadcasting a corpus to every executor
+    pdf = spark.createDataFrame(_corpus(n=10), SCHEMA)
+    cdf = spark.createDataFrame(
+        [(i, float(i % 80), float(i % 170)) for i in range(5)],
+        "center_id long, lat double, lon double",
+    )
+    with pytest.raises(ValueError, match="max_centers"):
+        G.points_in_radius(pdf, cdf, radius_nm=30.0, max_centers=3)
+    assert G.points_in_radius(pdf, cdf, radius_nm=30.0, max_centers=5) is not None
