@@ -478,6 +478,11 @@ def curate_documents(
     quality_model: dict | None = None,
     quality_min_prob: float | None = 0.5,
     quality_n_buckets: int = 4096,
+    media_col: str | None = None,
+    media_backend=None,
+    media_max_hamming: int = 3,
+    media_bands: int = 4,
+    media_max_band_freq: int | None = None,
 ) -> CurationResult:
     """Run the full curation funnel over a document corpus.
 
@@ -522,6 +527,21 @@ def curate_documents(
       is None — GPT-3's stochastic Pareto rule (high scorers almost
       always survive, low scorers keep a deterministic hash-derived
       long tail). Adds ``clf_prob`` to every ``scored`` row.
+    - ``media_col`` (r9): media as a first-class curation citizen — when
+      the corpus carries an opaque binary payload column, the dedup
+      stage also collapses docs whose MEDIA are duplicates: exact
+      payload-md5 groups contribute (representative, member) edges and
+      the perceptual-hash banded-Hamming join (operators/multimodal.py)
+      contributes near-dup edges, all unioned with the text MinHash
+      pairs into ONE component graph, so the existing retention policies
+      (min_id / max_quality) and the leakage-free splits apply uniformly
+      across modalities. NULL payloads contribute no edges (a missing
+      image must not glue unrelated docs into one cluster). Scale shape:
+      the payload is hashed once (Arrow-batched mapInPandas), the exact
+      pass shuffles 16-byte md5 keys, and the near-dup pass is the
+      banded equi-join with its ``media_max_band_freq`` valve — no new
+      corpus-sized exchange beyond those keys; payload bytes never enter
+      a shuffle.
     - ``retention``: which member of each near-dup cluster survives —
       ``'min_id'`` (deterministic canonical id, the default) or
       ``'max_quality'`` (keep the member with the highest
@@ -532,6 +552,7 @@ def curate_documents(
       component join.
     """
     from .dedup import connected_components, minhash_lsh_pairs
+    from .multimodal import media_dedup_edges
     from .packing import pack_assignments
     from .scrub import pii_scrub
 
@@ -606,7 +627,23 @@ def curate_documents(
 
     pairs = minhash_lsh_pairs(
         filtered, text_col="clean_text", id_col="doc_id", threshold=dedup_threshold
-    )
+    ).select("id_a", "id_b")
+    if media_col is not None:
+        pairs = pairs.unionByName(
+            media_dedup_edges(
+                docs.select(
+                    F.col(id_col).alias("media_id"), F.col(media_col).alias("payload")
+                ).join(
+                    filtered.select(F.col("doc_id").alias("media_id")),
+                    "media_id",
+                    "left_semi",
+                ),
+                backend=media_backend,
+                max_hamming=media_max_hamming,
+                bands=media_bands,
+                max_band_freq=media_max_band_freq,
+            )
+        )
     comps = connected_components(pairs)
     if retention == "min_id":
         dropped = comps.filter(F.col("id") != F.col("comp"))

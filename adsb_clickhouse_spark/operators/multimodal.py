@@ -292,6 +292,49 @@ def perceptual_hash(media: DataFrame, *, backend=None) -> DataFrame:
     return media.mapInPandas(batches, PHASH_SCHEMA)
 
 
+def media_dedup_edges(
+    media: DataFrame,
+    *,
+    backend=None,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_band_freq: int | None = None,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Duplicate-graph edges (id_a, id_b) for a binary media corpus —
+    the media stage of the curation funnel (operators/curation.py
+    ``media_col``): exact payload-md5 groups contribute (representative,
+    member) star edges, the perceptual-hash banded-Hamming join
+    contributes near-dup pair edges. NULL payloads contribute NOTHING —
+    md5(NULL) is NULL (never equi-joins) and they are filtered before
+    hashing, so docs without media can't be glued into one cluster by a
+    shared sentinel hash (empty payloads all hash to phash 0 but are
+    byte-identical, so collapsing them is correct).
+
+    Scale shape: the exact pass is one groupBy + semi-join on 16-byte
+    md5 keys (star edges, not the freq² clique); the near-dup pass is
+    the banded equi-join with its hot-band valve. Payload bytes cross
+    into Python once (Arrow) for hashing and never enter a shuffle."""
+    m = media.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    ).filter(F.col("payload").isNotNull())
+    fps = m.select(F.col("media_id").alias("id"), F.md5("payload").alias("__fp"))
+    reps = fps.groupBy("__fp").agg(F.min("id").alias("__rep"))
+    exact_edges = (
+        fps.join(reps, "__fp")
+        .filter(F.col("id") != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    near_edges = phash_near_dup(
+        perceptual_hash(m, backend=backend),
+        max_hamming=max_hamming,
+        bands=bands,
+        max_band_freq=max_band_freq,
+    ).select("id_a", "id_b")
+    return exact_edges.unionByName(near_edges)
+
+
 def phash_near_dup(
     hashes: DataFrame,
     *,

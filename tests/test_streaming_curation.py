@@ -398,3 +398,67 @@ def test_text_index_empty_bootstrap_and_empty_batch(spark, tmp_path):
     assert [(r["doc_id"], r["score"]) for r in rows] == [
         (r["doc_id"], r["score"]) for r in rows2
     ]
+
+
+def _media_payloads():
+    A = bytes((i * 37 + (i // 10) * 11) % 256 for i in range(640))
+    B = bytes((i * 91 + 7) % 256 for i in range(640))
+    Bp = bytearray(B)
+    for j in range(5):
+        Bp[j] = 255
+    C = bytes((i * 53 + 101) % 256 for i in range(640))
+    return A, B, bytes(Bp), C
+
+
+def test_media_dedup_within_and_cross_batch(spark, tmp_path):
+    """Exact media dedup rides the fingerprint store: an in-batch payload
+    copy keeps the lowest id, a cross-batch copy is suppressed by the
+    'm|' fingerprints, NULL-payload docs are exempt."""
+    A, B, Bp, C = _media_payloads()
+    ing = CurationIngest(str(tmp_path), run_id="r1", media_dedup=True)
+    rows0 = [
+        (0, "first document about rivers and stone bridges", A),
+        (1, "second document describing orchards and cider presses", A),
+        (2, "third document on alpine weather and snowfall", C),
+    ]
+    ing.process_batch(
+        spark.createDataFrame(rows0, "doc_id long, text string, payload binary"),
+        batch_id=0,
+    )
+    kept0 = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+    assert kept0 == {0, 2}  # 1's payload is a byte-copy of 0's
+    rows1 = [
+        (10, "fourth document concerning tidal marshes and herons", A),
+        (11, "fifth document about pottery kilns and glazing", None),
+        (12, "sixth document on compilers and register allocation", None),
+    ]
+    ing.process_batch(
+        spark.createDataFrame(rows1, "doc_id long, text string, payload binary"),
+        batch_id=1,
+    )
+    kept1 = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+    # 10 suppressed by the stored media fingerprint; NULL payloads both kept
+    assert kept1 == {0, 2, 11, 12}
+
+
+def test_media_near_dup_collapses_at_compaction(spark, tmp_path):
+    """Perceptual near-copies (distinct bytes, tiny blockhash hamming)
+    pass the per-batch exact gates but collapse when compact_curated adds
+    phash edges to the component graph — the lambda split for media."""
+    A, B, Bp, C = _media_payloads()
+    ing = CurationIngest(str(tmp_path), run_id="r1", media_dedup=True)
+    rows = [
+        (0, "base document carrying the original image payload", B),
+        (1, "perturbed copy document with slightly damaged pixels", Bp),
+        (2, "genuinely different document with unrelated artwork", C),
+    ]
+    ing.process_batch(
+        spark.createDataFrame(rows, "doc_id long, text string, payload binary"),
+        batch_id=0,
+    )
+    kept = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+    assert kept == {0, 1, 2}  # exact gates can't see the perturbation
+    stats = ing.compact_curated(spark, assume_quiesced=True)
+    assert stats["dropped_docs"] == 1
+    kept2 = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+    assert kept2 == {0, 2}

@@ -21,7 +21,16 @@ how many junk docs survive the lm_bucket filter (should be ~0: every
 alien bigram is unseen, so junk ties at the uniform-score maximum and
 the strict-threshold rule sinks it to tail).
 
-Usage: python tools/bench_curation_scale.py [n_docs] [--full|--gates]
+With ``--media`` (round 9) every doc carries a 640-byte binary payload:
+1% are byte-exact copies of their neighbor's payload, 1% are perceptual
+near-copies (first block forced to 0xFF — blockhash hamming <= 3 against
+the original, verified at generation scale in tests), the rest unique
+random bytes. The funnel runs with ``media_col='payload'`` and the probe
+reports how many planted media copies the component graph collapsed
+(expected: all of them) and the end-to-end wall time with the media
+stage on.
+
+Usage: python tools/bench_curation_scale.py [n_docs] [--full|--gates|--media]
 Prints one JSON line; headline numbers live in README's measured scale
 behavior table.
 """
@@ -36,9 +45,10 @@ sys.path.insert(0, ".")
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a not in ("--full", "--gates")]
+    args = [a for a in sys.argv[1:] if a not in ("--full", "--gates", "--media")]
     full = "--full" in sys.argv[1:]
     gates = "--gates" in sys.argv[1:]
+    media = "--media" in sys.argv[1:]
     n = int(args[0]) if args else 1_000_000
 
     from pyspark.sql import functions as F
@@ -68,6 +78,38 @@ def main() -> int:
                 F.concat(F.lit(junk), F.col("doc_id").cast("string")),
             ).otherwise(F.col("text")),
         )
+    if media:
+        # synthetic payloads, Arrow-batched: doc_id%100==1 -> byte-exact
+        # copy of (doc_id-1)'s payload; %100==3 -> perceptual near-copy
+        # (first blockhash block forced to 0xFF, hamming <= 3); else
+        # unique random bytes (cross-pair hamming ~32, min ~21 measured)
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        def gen(it):
+            import numpy as np
+
+            for pdf in it:
+                payloads = []
+                for did in pdf["doc_id"]:
+                    src = did - 1 if did % 100 in (1, 3) else did
+                    rs = np.random.RandomState(int(src) % (2**31))
+                    px = rs.randint(0, 256, 640).astype(np.uint8)
+                    if did % 100 == 3:
+                        px[:5] = 255
+                    payloads.append(px.tobytes())
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+        pay = corpus.select("doc_id").mapInPandas(
+            gen,
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("payload", T.BinaryType()),
+                ]
+            ),
+        )
+        corpus = corpus.join(pay, "doc_id")
     corpus = corpus.persist()
     corpus.count()  # materialize: probe timing excludes generation
 
@@ -87,6 +129,9 @@ def main() -> int:
             (F.col("doc_id") % 97 == 11) & (F.col("doc_id") % 50 != 3)
         ).select("doc_id", "text")
         extra["lm_n_buckets"] = 4096
+    if media:
+        extra["media_col"] = "payload"
+        extra["media_max_band_freq"] = 10_000
     t0 = time.time()
     res = curate_documents(
         corpus,
@@ -99,7 +144,22 @@ def main() -> int:
     # force the packed stage fully (funnel's max(pack_id) already ran the
     # prefix-sum job; count the rows too so the full output materializes)
     funnel["packed_rows"] = res.packed.count()
-    out = {"n_docs": n, "full": full, "gates": gates, **funnel}
+    out = {"n_docs": n, "full": full, "gates": gates, "media": media, **funnel}
+    if media:
+        # planted media copies are the HIGHER id of each (i-1, i) pair;
+        # min_id retention must have condemned exactly those still in
+        # the filtered set (text policies may have dropped some first)
+        dropped_df = res.dropped_dups.select(F.col("id").alias("doc_id"))
+        fil_ids = res.filtered.select("doc_id")
+        planted = fil_ids.filter((F.col("doc_id") % 100).isin(1, 3)).join(
+            fil_ids.select((F.col("doc_id") + 1).alias("doc_id")),
+            "doc_id",
+            "left_semi",  # the copied partner (i-1) must also be in play
+        )
+        out["media_planted_pairs_in_filtered"] = planted.count()
+        out["media_planted_dropped"] = planted.join(
+            dropped_df, "doc_id", "left_semi"
+        ).count()
     if gates:
         kept_junk = res.filtered.filter(F.col("doc_id") % 50 == 3).count()
         n_junk = corpus.filter(F.col("doc_id") % 50 == 3).count()
