@@ -29,12 +29,22 @@ from .streaming.pipeline import IngestPipeline
 
 
 class AdsbEngine:
-    def __init__(self, spark: SparkSession, base_dir: str, *, now: datetime | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        *,
+        now: datetime | None = None,
+        conflict_radius_nm: float | None = None,
+    ):
         self.spark = spark
         self.base_dir = base_dir
         self.now = now
         self.pipelines: dict[str, IngestPipeline] = {
-            name: IngestPipeline(cfg, base_dir, now=now) for name, cfg in SOURCES.items()
+            name: IngestPipeline(
+                cfg, base_dir, now=now, conflict_radius_nm=conflict_radius_nm
+            )
+            for name, cfg in SOURCES.items()
         }
 
     # -- ingestion ---------------------------------------------------------

@@ -81,6 +81,8 @@ class IngestPipeline:
         *,
         now: datetime | None = None,
         run_id: str | None = None,
+        conflict_radius_nm: float | None = None,
+        conflict_max_cell_freq: int | None = None,
     ):
         self.cfg = cfg
         self.base = base_dir
@@ -88,6 +90,15 @@ class IngestPipeline:
         self.history_path = os.path.join(base_dir, cfg.name, "history")
         self.state_path = os.path.join(base_dir, cfg.name, "state")
         self.combined_path = os.path.join(base_dir, "combined", "state")
+        self.conflicts_path = os.path.join(base_dir, cfg.name, "conflicts")
+        # live conflict detection (r9): when a radius is set, every batch
+        # refreshes an "aircraft currently within R nm of each other"
+        # table derived from the *_latest view — the reference's whole
+        # point is continuous dashboards (5 s refresh,
+        # dashboards/examples/Current_Positions_Global_Stream.json:212),
+        # and a conflict board is the canonical derived live view
+        self.conflict_radius_nm = conflict_radius_nm
+        self.conflict_max_cell_freq = conflict_max_cell_freq
         # scopes batch ids in the history layout; start() pins it to the
         # checkpoint so batch numbering and scope live or die together
         self.run_id = run_id
@@ -126,8 +137,57 @@ class IngestPipeline:
                 ttl="1 hour",
                 now=self.now,
             )
+            # derived live view: conflicts among CURRENT positions. Runs
+            # after the state upsert so the batch's own reports are in
+            # play; cost is bounded by the active-aircraft count (the
+            # latest view is one row per key inside the freshness
+            # window), not by ingest volume or history size.
+            if self.conflict_radius_nm is not None:
+                self._refresh_conflicts(clean.sparkSession)
         finally:
             clean.unpersist()
+
+    def _refresh_conflicts(self, spark) -> None:
+        """Rewrite the conflicts table from the current *_latest view:
+        the grid-bucketed proximity self-join (operators/geo.py) over one
+        row per active aircraft. Generational write + atomic pointer swap
+        (the fingerprint-store discipline): a crash mid-refresh leaves
+        the previous generation readable, a replay converges."""
+        import shutil
+
+        from ..operators.geo import proximity_pairs
+
+        cur = self.latest(spark).filter(
+            F.col("lat").isNotNull() & F.col("lon").isNotNull()
+        )
+        pairs = proximity_pairs(
+            cur.select("icao24", "lat", "lon"),
+            radius_nm=float(self.conflict_radius_nm),
+            id_col="icao24",
+            carry_cols=("lat", "lon"),
+            max_cell_freq=self.conflict_max_cell_freq,
+        )
+        gen = f"gen-{uuid.uuid4().hex[:12]}"
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(self.conflicts_path, gen)
+        )
+        ptr = os.path.join(self.conflicts_path, "_CURRENT")
+        tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(gen)
+        os.replace(tmp, ptr)
+        for e in os.listdir(self.conflicts_path):
+            if e.startswith("gen-") and e != gen:
+                shutil.rmtree(
+                    os.path.join(self.conflicts_path, e), ignore_errors=True
+                )
+
+    def conflicts(self, spark) -> DataFrame:
+        """The live conflict board: (icao24_a, icao24_b, dist_nm, lat/lon
+        of both) pairs currently within the configured radius."""
+        with open(os.path.join(self.conflicts_path, "_CURRENT")) as fh:
+            gen = fh.read().strip()
+        return spark.read.parquet(os.path.join(self.conflicts_path, gen))
 
     # -- streaming entry ----------------------------------------------------
 

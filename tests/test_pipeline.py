@@ -187,3 +187,70 @@ def test_streaming_cascade_file_source(spark, tmp_base):
     assert state.groupBy("icao24").count().filter("count > 1").count() == 0
     hist = tables.read_history(spark, pipe.history_path)
     assert hist.count() >= state.count()
+
+
+def _raw_positions(spark, rows, ts):
+    """Minimal raw batch with controlled coordinates: (hex, lat, lon)."""
+    from adsb_clickhouse_spark.schemas import raw_schema
+
+    schema = raw_schema(GLOBAL_STREAM)
+    dicts = [
+        {"hex": h, "lat": la, "lon": lo, "scrape_time": ts, "source": "test"}
+        for h, la, lo in rows
+    ]
+    ordered = [[d.get(f.name) for f in schema.fields] for d in dicts]
+    return spark.createDataFrame(ordered, schema)
+
+
+def test_live_conflict_view_surfaces_and_clears(spark, tmp_base):
+    """Streaming conflict detection (r9): the per-batch proximity join
+    over the *_latest view — a conflict planted in batch 1 surfaces on
+    the board after that batch and clears when the aircraft departs."""
+    from datetime import timedelta
+
+    pipe = IngestPipeline(
+        GLOBAL_STREAM, tmp_base, now=NOW, run_id="runC", conflict_radius_nm=15.0
+    )
+    t0 = NOW - timedelta(seconds=30)
+    # batch 0: ~60 nm apart -> empty board
+    pipe.process_batch(
+        _raw_positions(spark, [("aaa111", 40.0, -73.0), ("bbb222", 41.0, -73.0)], t0),
+        batch_id=0,
+    )
+    assert pipe.conflicts(spark).count() == 0
+    # batch 1: bbb222 closes to ~6 nm -> conflict surfaces
+    pipe.process_batch(
+        _raw_positions(spark, [("bbb222", 40.1, -73.0)], NOW - timedelta(seconds=20)),
+        batch_id=1,
+    )
+    got = pipe.conflicts(spark).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {("aaa111", "bbb222")}
+    assert len(got) == 1 and got[0]["dist_nm"] <= 15.0
+    assert got[0]["lat_b"] == 40.1  # carried coordinates for the board
+    # batch 2: bbb222 departs -> the board clears (latest view wins)
+    pipe.process_batch(
+        _raw_positions(spark, [("bbb222", 45.0, -60.0)], NOW - timedelta(seconds=10)),
+        batch_id=2,
+    )
+    assert pipe.conflicts(spark).count() == 0
+
+
+def test_conflict_refresh_is_replay_safe(spark, tmp_base):
+    """A replayed batch converges the conflict board (generational write
+    + pointer swap), leaving exactly one readable generation."""
+    from datetime import timedelta
+
+    pipe = IngestPipeline(
+        GLOBAL_STREAM, tmp_base, now=NOW, run_id="runR", conflict_radius_nm=15.0
+    )
+    raw = _raw_positions(
+        spark,
+        [("aaa111", 40.0, -73.0), ("bbb222", 40.05, -73.0)],
+        NOW - timedelta(seconds=30),
+    )
+    pipe.process_batch(raw, batch_id=0)
+    pipe.process_batch(raw, batch_id=0)  # foreachBatch redelivery
+    got = pipe.conflicts(spark).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {("aaa111", "bbb222")}
+    gens = [e for e in os.listdir(pipe.conflicts_path) if e.startswith("gen-")]
+    assert len(gens) == 1  # old generations GC'd after the pointer swap

@@ -47,7 +47,9 @@ def _drain(queries, names=None):
 def test_four_source_concurrent_soak_with_maintenance_and_restart(spark, tmp_base):
     in_dirs = {}
     fed = dict.fromkeys(SOURCES, 0)
-    eng = AdsbEngine(spark, tmp_base, now=NOW)
+    # conflict detection ON for every source (r9): the per-batch
+    # proximity refresh must fit inside the same freshness budgets
+    eng = AdsbEngine(spark, tmp_base, now=NOW, conflict_radius_nm=50.0)
     yesterday = NOW - timedelta(days=1)
 
     for name in SOURCES:
