@@ -204,6 +204,123 @@ def proximity_pairs(
     )
 
 
+def _coarse_cell_expr(lat_col: str, lon_col: str, cell_deg: float):
+    """Single-int coarse grid cell id: (cy − cy_min)·n_x + cx. Used as
+    the partition key of the stored geo layout — one directory per
+    coarse cell, at most ceil(180/s)·ceil(360/s) of them (2,664 at the
+    default 5°)."""
+    n_x = math.ceil(360.0 / cell_deg)
+    cy_min = math.floor(-90.0 / cell_deg)
+    cy = F.floor(F.col(lat_col) / F.lit(cell_deg)).cast("int")
+    cx = F.pmod(F.floor(F.col(lon_col) / F.lit(cell_deg)).cast("int"), F.lit(n_x))
+    return ((cy - F.lit(cy_min)) * n_x + cx).cast("int")
+
+
+def write_geo_layout(
+    points: DataFrame,
+    path: str,
+    *,
+    cell_deg: float = 5.0,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    sort_col: str | None = None,
+) -> None:
+    """Persist positions partitioned by COARSE grid cell — the stored
+    half of the dashboard geo probes, same discipline as the ANN
+    ``bucket``/``list_id`` layouts (operators/layout.py): at 100 TB a
+    "points near these sites" probe must be a partition-pruned scan of
+    the touched cells, never a corpus scan + filter. The coarse cell
+    (default 5° ≈ 300 nm of latitude) bounds directory count at ~2.7k
+    while keeping the pruned fraction ≈ (touched cells)/(n cells)."""
+    from .layout import write_ann_layout
+
+    df = points.withColumn(
+        "geo_cell", _coarse_cell_expr(lat_col, lon_col, cell_deg)
+    )
+    write_ann_layout(df, path, key_col="geo_cell", sort_col=sort_col)
+
+
+def _touched_coarse_cells(
+    centers: list[tuple[float, float]], radius_nm: float, cell_deg: float
+) -> list[int]:
+    """Driver-side twin of the probe-side neighborhood explode, at the
+    coarse cell size: every coarse cell that can hold a point within
+    ``radius_nm`` of any center (±1 latitude band, latitude-dependent
+    ±k longitude bands, same clamp arithmetic as _lon_halfwidth_cells /
+    _explode_neighborhood — including the n_x−1−k cap that keeps the
+    full-parallel regime duplicate-free). Centers are a dimension table
+    (points_in_radius's enforced contract), so this is bounded work."""
+    n_x = math.ceil(360.0 / cell_deg)
+    cy_min = math.floor(-90.0 / cell_deg)
+    rlat = radius_nm / 60.0
+    cells: set[int] = set()
+    for lat, lon in centers:
+        cy0 = math.floor(lat / cell_deg)
+        cx0 = math.floor(lon / cell_deg) % n_x
+        lat_edge = min(abs(lat) + rlat, POLE_GUARD_DEG)
+        k = min(
+            int(math.ceil(rlat / (math.cos(math.radians(lat_edge)) * cell_deg)))
+            + 1,
+            n_x // 2,
+        )
+        hi = min(k, n_x - 1 - k)
+        for dy in (-1, 0, 1):
+            for dx in range(-k, hi + 1):
+                cells.add((cy0 + dy - cy_min) * n_x + (cx0 + dx) % n_x)
+    return sorted(cells)
+
+
+def points_in_radius_stored(
+    spark,
+    path: str,
+    centers: DataFrame,
+    *,
+    radius_nm: float,
+    cell_deg: float = 5.0,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    center_id_col: str = "center_id",
+    max_centers: int = 100_000,
+) -> DataFrame:
+    """``points_in_radius`` against a stored geo layout: collect the
+    (bounded, contract-enforced) centers, list the coarse cells their
+    neighborhoods touch, read ONLY those partitions (the isin filter
+    reaches the scan as a PartitionFilter — plan-pinned in
+    tests/test_geo.py), then run the exact broadcast join on the pruned
+    scan. Probe cost is proportional to touched/total cells of the
+    corpus regardless of corpus size."""
+    if cell_deg < radius_nm / 60.0:
+        raise ValueError(
+            f"cell_deg must be >= the radius in latitude degrees "
+            f"({radius_nm / 60.0:.6f}), got {cell_deg}"
+        )
+    from .layout import probe_ann_layout
+
+    crows = centers.limit(int(max_centers) + 1).select(
+        F.col(center_id_col), F.col(lat_col), F.col(lon_col)
+    ).collect()
+    if len(crows) > max_centers:
+        raise ValueError(
+            f"centers has more than max_centers={max_centers} rows; "
+            "not a dimension table — probe per-cell instead"
+        )
+    cells = _touched_coarse_cells(
+        [(r[lat_col], r[lon_col]) for r in crows], radius_nm, cell_deg
+    )
+    pruned = probe_ann_layout(spark, path, cells, key_col="geo_cell").drop(
+        "geo_cell"
+    )
+    return points_in_radius(
+        pruned,
+        centers,
+        radius_nm=radius_nm,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        center_id_col=center_id_col,
+        max_centers=max_centers,
+    )
+
+
 MAX_BROADCAST_CENTERS = 1_000_000
 
 

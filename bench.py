@@ -120,6 +120,7 @@ def main() -> None:
         # 'lm' branch across rounds, not against a standalone LM run
         "text_lm_bpe": ("branch", ["bpe", "lm"]),
         "search_retrieval": ("branch", ["bm25", "hybrid", "phrase"]),
+        "mm_decode_metadata": ("branch", ["decode", "phash", "phash_valve"]),
     }
     branch_timings: dict[str, float] = {}
     BRANCH_RUNS = min(N_RUNS, 2)  # 14 extra plans; keep the add-on bounded

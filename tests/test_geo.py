@@ -194,3 +194,42 @@ def test_points_in_radius_center_cap_trips(spark):
     with pytest.raises(ValueError, match="max_centers"):
         G.points_in_radius(pdf, cdf, radius_nm=30.0, max_centers=3)
     assert G.points_in_radius(pdf, cdf, radius_nm=30.0, max_centers=5) is not None
+
+
+def test_geo_layout_stored_probe_matches_and_prunes(spark, tmp_path):
+    """Stored coarse-grid layout: the from-disk probe returns exactly the
+    full-scan points_in_radius result, and the coarse-cell filter reaches
+    the scan as a PartitionFilter (the ANN-layout discipline)."""
+    import os
+
+    rows = _corpus(seed=31, n=300)
+    pdf = spark.createDataFrame(rows, SCHEMA)
+    centers = [(0, 0.05, 0.05), (1, 45.2, 120.1), (2, -80.0, -60.0)]
+    cdf = spark.createDataFrame(centers, "center_id long, lat double, lon double")
+    path = str(tmp_path / "geo_layout")
+    G.write_geo_layout(pdf, path, cell_deg=5.0, sort_col="id")
+
+    stored = G.points_in_radius_stored(
+        spark, path, cdf, radius_nm=30.0, cell_deg=5.0
+    )
+    full = G.points_in_radius(pdf, cdf, radius_nm=30.0)
+    got = sorted((r["id"], r["center_id"]) for r in stored.collect())
+    want = sorted((r["id"], r["center_id"]) for r in full.collect())
+    assert got == want and got  # non-vacuous
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "geo_cell" in plan.split("PartitionFilters")[1][:200]
+    # prune is physical: far more cell directories exist than are probed
+    n_dirs = sum(1 for e in os.listdir(path) if e.startswith("geo_cell="))
+    n_probed = len(
+        G._touched_coarse_cells([(c[1], c[2]) for c in centers], 30.0, 5.0)
+    )
+    assert n_probed < n_dirs or n_dirs <= 9  # tiny corpora may be compact
+
+
+def test_geo_layout_cell_too_fine_raises(spark, tmp_path):
+    cdf = spark.createDataFrame([(0, 0.0, 0.0)], "center_id long, lat double, lon double")
+    with pytest.raises(ValueError, match="cell_deg"):
+        G.points_in_radius_stored(
+            spark, str(tmp_path / "x"), cdf, radius_nm=600.0, cell_deg=5.0
+        )
