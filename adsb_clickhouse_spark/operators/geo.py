@@ -196,9 +196,18 @@ def proximity_pairs(
     ]
     out += [F.col(f"x.{c}").alias(f"{c}_a") for c in carry_cols]
     out += [F.col(f"y.{c}").alias(f"{c}_b") for c in carry_cols]
+    # Pin the shuffled hash join with the UNEXPLODED side as build: the
+    # probe side is 3·(2k+1)× the corpus, but Catalyst's Generate node
+    # passes the child's sizeInBytes through un-multiplied, so the
+    # planner may estimate the exploded side under the broadcast
+    # threshold and try to SHIP THE EXPLODED CORPUS to every executor —
+    # at 2M reports clustered at lat 85° (k≈13, fan 81×) the attempted
+    # broadcast is 9.2 GiB and the job dies; at 100 TB it's absurd. The
+    # hint keeps the documented plan: both sides exchange on
+    # (bucket, cy, cx), base is hashed per-partition.
     return (
         probe.alias("x")
-        .join(base.alias("y"), on=cond)
+        .join(base.alias("y").hint("shuffle_hash"), on=cond)
         .select(*out)
         .filter(F.col("dist_nm") <= F.lit(float(radius_nm)))
     )

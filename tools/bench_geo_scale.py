@@ -215,6 +215,16 @@ def run_stored(spark, n: int) -> dict:
         t0 = time.time()
         mem_rows = points_in_radius(reports, centers, radius_nm=50.0).count()
         t_mem = time.time() - t0
+        # disk-vs-disk baseline: the same probe over an UNPRUNED scan of
+        # the written layout — what the probe costs without the
+        # partition filter (the in-memory number has the corpus already
+        # persisted in executor RAM, so it understates scan cost)
+        t0 = time.time()
+        full_rows = points_in_radius(
+            spark.read.parquet(path).drop("geo_cell"), centers, radius_nm=50.0
+        ).count()
+        t_full = time.time() - t0
+        assert full_rows == mem_rows
         from adsb_clickhouse_spark.operators.geo import _touched_coarse_cells
 
         touched = len(
@@ -228,6 +238,7 @@ def run_stored(spark, n: int) -> dict:
         "cell_dirs": n_dirs,
         "cells_probed": touched,
         "probe_from_disk_sec": round(t_stored, 1),
+        "probe_full_disk_scan_sec": round(t_full, 1),
         "probe_in_memory_sec": round(t_mem, 1),
         "rows_match": stored_rows == mem_rows,
         "rows": stored_rows,
