@@ -398,3 +398,98 @@ def points_in_radius(
         .drop("cy", "cx", "_clat", "_clon")
         .withColumnRenamed("_cid", center_id_col)
     )
+
+
+MAX_POLYGON_VERTICES = 10_000
+
+
+def _crossing_parity_expr(lat, lon, vertices):
+    """Even-odd ray-casting containment as ONE boolean column: for each
+    polygon edge (y1,x1)->(y2,x2), the eastward ray from the point
+    crosses it iff the edge straddles the point's latitude and the
+    edge's longitude at that latitude lies east of the point. Parity of
+    the crossing count decides containment. All literals fold at plan
+    build; the arithmetic is the IEEE +,-,*,/ chain
+    ``(x2-x1)*(lat-y1)/(y2-y1)+x1`` written with the SAME association as
+    the DuckDB oracle twin, so both engines produce bit-identical
+    doubles and strict comparisons cannot ULP-flip membership."""
+    n = len(vertices)
+    crossings = None
+    for i in range(n):
+        y1, x1 = vertices[i]
+        y2, x2 = vertices[(i + 1) % n]
+        straddles = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        xs = (F.lit(x2) - F.lit(x1)) * (lat - F.lit(y1)) / (
+            F.lit(y2) - F.lit(y1)
+        ) + F.lit(x1)
+        c = F.when(straddles & (lon < xs), F.lit(1)).otherwise(F.lit(0))
+        crossings = c if crossings is None else crossings + c
+    ymin = min(v[0] for v in vertices)
+    ymax = max(v[0] for v in vertices)
+    xmin = min(v[1] for v in vertices)
+    xmax = max(v[1] for v in vertices)
+    bbox = (
+        (lat >= F.lit(ymin)) & (lat <= F.lit(ymax))
+        & (lon >= F.lit(xmin)) & (lon <= F.lit(xmax))
+    )
+    return bbox & (crossings % 2 == 1)
+
+
+def points_in_polygons(
+    points: DataFrame,
+    polygons: dict[object, list[tuple[float, float]]],
+    *,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    poly_id_type: str = "string",
+    max_vertices: int = MAX_POLYGON_VERTICES,
+) -> DataFrame:
+    """Tag each point with every polygon (geofence) containing it — the
+    restricted-airspace / zone-alert query. ``polygons`` maps a polygon
+    id to its vertex ring as (lat, lon) tuples (closing edge implied;
+    rings must not cross the antimeridian — split such zones into two).
+    Returns the point rows (minus none) with a ``poly_id`` column, one
+    output row per (point, containing polygon).
+
+    Spark-first shape: geofence sets are DIMENSION data (an airspace DB
+    is thousands of zones, not billions), so containment compiles into
+    the plan itself — per polygon a bbox guard plus the even-odd
+    crossing parity over its edges (:func:`_crossing_parity_expr`), all
+    of it one whole-stage-codegen projection followed by an
+    ``array_compact``+``explode`` of the matched ids. ZERO joins, ZERO
+    shuffles, zero Python on the hot path: at 100 TB this is a pure
+    corpus scan, embarrassingly parallel, with filters still pushable
+    beneath it. The plan-size contract is enforced: total vertex count
+    above ``max_vertices`` raises (a polygon table that big should use a
+    broadcast edge-table join + parity aggregate instead — one corpus
+    shuffle — which no caller has needed yet).
+
+    Boundary semantics: even-odd rule with strict comparisons — points
+    exactly ON an edge or vertex fall to whichever side the IEEE
+    arithmetic puts them, deterministically and identically in the
+    DuckDB oracle (same literal association; see the 'geofence' branch
+    of adsb_track_distance)."""
+    total = sum(len(v) for v in polygons.values())
+    if total > max_vertices:
+        raise ValueError(
+            f"polygons carry {total} vertices > max_vertices={max_vertices}; "
+            "not dimension data — use a broadcast edge-table join instead"
+        )
+    for pid, verts in polygons.items():
+        if len(verts) < 3:
+            raise ValueError(f"polygon {pid!r} has fewer than 3 vertices")
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    matched = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    _crossing_parity_expr(lat, lon, verts),
+                    F.lit(pid).cast(poly_id_type),
+                )
+                for pid, verts in polygons.items()
+            ]
+        )
+    )
+    return (
+        points.withColumn("poly_id", F.explode(matched))
+    )

@@ -381,6 +381,28 @@ def _haversine_nm_col(lat1, lon1, lat2, lon2):
              round({_HAVERSINE_DUCK.format(lat1='p.lat', lon1='p.lon', lat2='c.lat', lon2='c.lon')}, 3) AS dist_nm
       FROM pts p, centers c
       WHERE round({_HAVERSINE_DUCK.format(lat1='p.lat', lon1='p.lon', lat2='c.lat', lon2='c.lon')}, 3) <= 25.0
+    ),
+    gedges AS (
+      SELECT * FROM (VALUES
+        (1, 19.73, 31.17, 41.29, 33.91),
+        (1, 41.29, 33.91, 38.57, 58.23),
+        (1, 38.57, 58.23, 17.11, 54.77),
+        (1, 17.11, 54.77, 19.73, 31.17),
+        (2, -49.31, -119.43, -21.87, -117.29),
+        (2, -21.87, -117.29, -35.53, -99.71),
+        (2, -35.53, -99.71, -22.63, -82.17),
+        (2, -22.63, -82.17, -48.19, -84.33),
+        (2, -48.19, -84.33, -49.31, -119.43)
+      ) AS t(poly, y1, x1, y2, x2)
+    ),
+    gf AS (
+      SELECT p.event_id AS event_a, CAST(t.poly AS BIGINT) AS event_b,
+             p.user_id AS user_a
+      FROM pts p JOIN gedges t
+        ON ((t.y1 > p.lat) <> (t.y2 > p.lat))
+       AND (p.lon < (t.x2 - t.x1) * (p.lat - t.y1) / (t.y2 - t.y1) + t.x1)
+      GROUP BY p.event_id, t.poly, p.user_id
+      HAVING count(*) % 2 = 1
     )
     SELECT 'track' AS branch, user_id, n_reports, distance_nm,
            CAST(NULL AS BIGINT) AS event_a, CAST(NULL AS BIGINT) AS event_b,
@@ -395,6 +417,11 @@ def _haversine_nm_col(lat1, lon1, lat2, lon2):
     SELECT 'radius', NULL, NULL, NULL,
            event_a, event_b, user_a, CAST(NULL AS BIGINT), dist_nm
     FROM rad
+    UNION ALL
+    SELECT 'geofence', NULL, NULL, NULL,
+           event_a, event_b, user_a, CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM gf
     ORDER BY branch, user_id, event_a, event_b
     """,
     doc=(
@@ -411,7 +438,16 @@ def _haversine_nm_col(lat1, lon1, lat2, lon2):
         "points_in_radius — every report within 25 nm of a small derived "
         "center list (event_id % 1000), exercising the broadcast "
         "exploded-centers join against the oracle's brute-force cross "
-        "join. The physical strategies differ, the result sets must not. "
+        "join. branch='geofence' (r9): points_in_polygons — every report "
+        "inside either of two fixed airspace polygons (a convex quad and "
+        "a concave chevron), the containment compiled into ONE codegen "
+        "projection (bbox guard + even-odd crossing parity, zero "
+        "joins/shuffles) while the oracle computes the identical parity "
+        "via an edge-table join + GROUP BY HAVING count(*)%2=1; the "
+        "crossing intersect (x2-x1)*(lat-y1)/(y2-y1)+x1 is written with "
+        "the same IEEE association in both engines, so strict "
+        "comparisons cannot ULP-flip membership. "
+        "The physical strategies differ, the result sets must not. "
         "Same haversine literal association in both engines; membership "
         "at the radius boundary is decided on the ROUNDED distance "
         "(round(d,3) <= R) in both — the operators run with a +0.001 nm "
@@ -421,7 +457,11 @@ def _haversine_nm_col(lat1, lon1, lat2, lon2):
     ),
 )
 def adsb_track_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.geo import points_in_radius, proximity_pairs
+    from ..operators.geo import (
+        points_in_polygons,
+        points_in_radius,
+        proximity_pairs,
+    )
 
     e = load_table(spark, sf_dir, "events")
     v = F.coalesce(F.col("value"), F.lit(0.0))
@@ -514,9 +554,26 @@ def adsb_track_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist_nm",
         )
     )
+    gf_polys = {
+        1: [(19.73, 31.17), (41.29, 33.91), (38.57, 58.23), (17.11, 54.77)],
+        2: [(-49.31, -119.43), (-21.87, -117.29), (-35.53, -99.71),
+            (-22.63, -82.17), (-48.19, -84.33)],
+    }
+    gf = points_in_polygons(pts, gf_polys, poly_id_type="long").select(
+        F.lit("geofence").alias("branch"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("n_reports"),
+        F.lit(None).cast("double").alias("distance_nm"),
+        F.col("event_id").alias("event_a"),
+        F.col("poly_id").alias("event_b"),
+        F.col("user_id").alias("user_a"),
+        F.lit(None).cast("long").alias("user_b"),
+        F.lit(None).cast("double").alias("dist_nm"),
+    )
     return (
         track.unionByName(prox)
         .unionByName(rad)
+        .unionByName(gf)
         .orderBy("branch", "user_id", "event_a", "event_b")
     )
 

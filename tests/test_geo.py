@@ -249,3 +249,86 @@ def test_proximity_pair_join_never_broadcasts_probe(spark):
     )
     assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoop" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+# -- geofence containment (points_in_polygons) --------------------------
+
+
+def _pip_brute(lat, lon, verts):
+    """Pure-Python even-odd ray casting, same arithmetic as the operator."""
+    n = len(verts)
+    inside = False
+    for i in range(n):
+        y1, x1 = verts[i]
+        y2, x2 = verts[(i + 1) % n]
+        if (y1 > lat) != (y2 > lat) and lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+POLYS = {
+    "convex": [(10.0, 10.0), (30.0, 12.0), (28.0, 35.0), (8.0, 30.0)],
+    # concave chevron: the notch re-enters, so bbox alone over-matches
+    "chevron": [(-40.0, -60.0), (-20.0, -60.0), (-30.0, -45.0),
+                (-20.0, -30.0), (-40.0, -30.0)],
+    "triangle": [(50.0, 100.0), (70.0, 110.0), (52.0, 130.0)],
+}
+
+
+def test_points_in_polygons_matches_bruteforce(spark):
+    rng = random.Random(23)
+    rows = []
+    for i in range(600):
+        # half the points sampled near polygon bboxes so interiors,
+        # notches, and edges all get real coverage
+        if i % 2 == 0:
+            verts = POLYS[rng.choice(list(POLYS))]
+            ys = [v[0] for v in verts]; xs = [v[1] for v in verts]
+            lat = rng.uniform(min(ys) - 3, max(ys) + 3)
+            lon = rng.uniform(min(xs) - 3, max(xs) + 3)
+        else:
+            lat, lon = rng.uniform(-89, 89), rng.uniform(-179, 179)
+        rows.append((i, lat, lon))
+    pdf = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = {
+        (r["id"], r["poly_id"])
+        for r in G.points_in_polygons(pdf, POLYS).collect()
+    }
+    want = {
+        (i, pid)
+        for (i, lat, lon) in rows
+        for pid, verts in POLYS.items()
+        if _pip_brute(lat, lon, verts)
+    }
+    assert got == want and want  # non-vacuous
+    # sanity: the chevron notch actually excluded some bbox-interior point
+    notch_misses = [
+        (i, lat, lon) for (i, lat, lon) in rows
+        if -40 < lat < -20 and -60 < lon < -30
+        and not _pip_brute(lat, lon, POLYS["chevron"])
+    ]
+    assert notch_misses
+
+
+def test_points_in_polygons_plan_is_scan_only(spark):
+    """Containment compiles into the plan: no join, no exchange, no
+    Python — a pure whole-stage-codegen projection over the scan."""
+    pdf = spark.createDataFrame([(0, 20.0, 20.0)], "id long, lat double, lon double")
+    plan = (
+        G.points_in_polygons(pdf, POLYS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Join", "Exchange", "EvalPython"):
+        assert bad not in plan
+    assert "Generate explode" in plan
+
+
+def test_points_in_polygons_contracts(spark):
+    pdf = spark.createDataFrame([(0, 0.0, 0.0)], "id long, lat double, lon double")
+    with pytest.raises(ValueError, match="max_vertices"):
+        G.points_in_polygons(
+            pdf, {"big": [(float(i), float(i)) for i in range(40)]},
+            max_vertices=10,
+        )
+    with pytest.raises(ValueError, match="fewer than 3"):
+        G.points_in_polygons(pdf, {"line": [(0.0, 0.0), (1.0, 1.0)]})

@@ -207,6 +207,13 @@ def run_stored(spark, n: int) -> dict:
         write_geo_layout(reports, path, cell_deg=5.0, sort_col="event_id")
         t_write = time.time() - t0
         n_dirs = sum(1 for e in os.listdir(path) if e.startswith("geo_cell="))
+        # untimed warmup: the first broadcast join in a session pays JIT
+        # + codegen compile (~2-4 s) — measured ordering artifact, not
+        # probe cost; warm both paths before timing either
+        points_in_radius(reports.limit(1000), centers, radius_nm=50.0).count()
+        points_in_radius_stored(
+            spark, path, centers, radius_nm=50.0, cell_deg=5.0
+        ).count()
         t0 = time.time()
         stored_rows = points_in_radius_stored(
             spark, path, centers, radius_nm=50.0, cell_deg=5.0
