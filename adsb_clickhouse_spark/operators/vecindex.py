@@ -1,0 +1,320 @@
+"""Stored streaming vector index — the embedding twin of the stored
+BM25 inverted index (operators/search.py).
+
+A generational IVF layout under one directory:
+
+- ``_GEN`` — pointer file naming the current ``gen-*`` generation
+  (atomic ``os.replace`` swap, same discipline as every other store).
+- ``gen-*/centroids/`` — the coarse quantizer, (list_id, c) rows.
+- ``gen-*/vectors/`` — the indexed corpus partitioned by ``list_id``
+  (the ANN-layout discipline: a probe reads nprobe/n_lists of the
+  data via PartitionFilters, never the corpus).
+- ``gen-*/_FOLDED`` — transitive manifest of folded segment names.
+- ``segments/<name>/vectors/`` — appended batches, ALSO partitioned by
+  ``list_id`` under the current generation's centroids, name-keyed and
+  overwritten on replay (a redelivered batch converges instead of
+  duplicating).
+
+Lifecycle (mirrors write/append/compact/GC of the text index):
+
+- :func:`init_vector_index` bootstraps an EMPTY generation with
+  deterministic seed centroids, so every later write is a replay-safe
+  segment append — no batch ever initializes the index from data (the
+  crash window "init landed, stream marker didn't" cannot
+  double-index).
+- :func:`append_vector_index` assigns a batch to the CURRENT
+  generation's centroids (broadcast, one Arrow pass) and writes a
+  name-keyed segment. Probe correctness never depends on centroid
+  quality — a probe scores candidates with the exact cosine — so
+  bootstrap-seeded assignments only cost recall/balance until the
+  first compaction re-learns the quantizer from real data.
+- :func:`knn_probe_stored` selects each query's nprobe nearest lists
+  driver-side (centroids are n_lists-bounded by construction), reads
+  ONLY those ``list_id=`` partitions of the generation and every live
+  segment, and scores exactly.
+- :func:`compact_vector_index` folds live segments into a new
+  generation, re-running Lloyd k-means (similarity.ivf_build) over the
+  accumulated corpus so the quantizer tracks the data distribution.
+  Crash-safe by the store discipline: new generation fully written →
+  transitive ``_FOLDED`` manifest → one atomic pointer swap → GC;
+  interruption anywhere leaves a readable index and a re-run
+  converges. Orphan generations (a compaction that died before its
+  swap) are GC'd at the next compaction, like the text index.
+
+At 100 TB: appends touch only the batch (one Arrow assignment pass +
+a partitioned write), probes touch nprobe/n_lists of the corpus plus
+the (small, periodically folded) segment tail, and compaction is the
+one corpus-sized job — amortized over every later probe, exactly the
+economics measured for the fingerprint store and the text index
+(README measured-scale table).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .search import _FOLDED_MANIFEST, _folded_set, _gen_name, _live_segments, _swap_pointer
+from .similarity import _d2_fold, _id_as_long, _nonzero_norm, as_double, cosine
+
+VEC_SCHEMA = "id long, v array<double>, list_id int"
+
+
+def _seed_centroids(dim: int, n_lists: int, seed: str):
+    """Deterministic bootstrap centroids in [-1, 1]^dim — md5-derived,
+    library-free, so an index initialized anywhere assigns identically."""
+    cent = []
+    for li in range(n_lists):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{li}|{d}".encode()).hexdigest()[:15]
+            row.append(int(h, 16) / float(16**15) * 2.0 - 1.0)
+        cent.append(row)
+    return cent
+
+
+def _read_centroids(spark: SparkSession, path: str, gen: str):
+    import numpy as np
+
+    rows = spark.read.parquet(os.path.join(path, gen, "centroids")).collect()
+    rows.sort(key=lambda r: r["list_id"])
+    return np.asarray([r["c"] for r in rows], dtype=np.float64)
+
+
+def _write_centroids(spark: SparkSession, out: str, cent) -> None:
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+        "list_id int, c array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "centroids"))
+
+
+def _assign(vectors: DataFrame, cent, *, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v, list_id) under the given centroids — one Arrow pass;
+    zero-norm vectors are excluded wholesale (the corpus-wide cosine
+    contract, see similarity.knn_bruteforce)."""
+    import numpy as np
+    import pandas as pd
+
+    src = vectors.select(
+        _id_as_long(vectors, id_col, "id"), as_double(F.col(vec_col)).alias("v")
+    ).filter(_nonzero_norm(F.col("v")))
+    bc = vectors.sparkSession.sparkContext.broadcast(np.asarray(cent))
+
+    def gen(batches):
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["v"].to_numpy())
+            pdf = pdf.assign(list_id=_d2_fold(mat, c).argmin(axis=1).astype("int32"))
+            yield pdf
+
+    return src.mapInPandas(gen, VEC_SCHEMA)
+
+
+def _has_vectors(part: str) -> bool:
+    root = os.path.join(part, "vectors")
+    if not os.path.isdir(root):
+        return False
+    for sub, _dirs, files in os.walk(root):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def init_vector_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    dim: int,
+    n_lists: int = 16,
+    seed: str = "vecindex",
+) -> dict:
+    """Bootstrap an EMPTY index generation (seed centroids, no vectors)
+    so later writes are all replay-safe segment appends. Idempotent."""
+    gen = _gen_name(path)
+    if gen is not None:
+        cent = _read_centroids(spark, path, gen)
+        return {
+            "generation": gen,
+            "n_lists": int(cent.shape[0]),
+            "dim": int(cent.shape[1]),
+            "existed": True,
+        }
+    new_gen = f"gen-{uuid.uuid4().hex[:8]}"
+    out = os.path.join(path, new_gen)
+    os.makedirs(out, exist_ok=True)
+    _write_centroids(spark, out, _seed_centroids(dim, n_lists, seed))
+    with open(os.path.join(out, _FOLDED_MANIFEST), "w") as fh:
+        fh.write("")
+    _swap_pointer(path, new_gen)
+    return {"generation": new_gen, "n_lists": n_lists, "dim": dim, "existed": False}
+
+
+def append_vector_index(
+    vectors: DataFrame,
+    path: str,
+    segment: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Add a batch of NEW vectors as segment ``segments/<segment>`` —
+    assigned under the CURRENT generation's centroids so every part of
+    the index prunes on the same ``list_id`` keys. Name-keyed overwrite:
+    a replayed batch converges. The appended-ids-are-new contract
+    belongs to the caller (the curation ingest's batch markers /
+    fingerprint store), same as the text index."""
+    gen = _gen_name(path)
+    if gen is None:
+        raise RuntimeError(
+            f"no vector index at {path}; init_vector_index must create "
+            "the layout before appends"
+        )
+    spark = vectors.sparkSession
+    cent = _read_centroids(spark, path, gen)
+    out = os.path.join(path, "segments", segment, "vectors")
+    assigned = _assign(vectors, cent, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(out)
+    n = spark.read.option("basePath", out).parquet(out).count()
+    return {"segment": segment, "n_vectors": int(n), "generation": gen}
+
+
+def knn_probe_stored(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kNN over the stored index: per query, the nprobe nearest lists
+    are chosen driver-side against the (n_lists-bounded) centroid table,
+    then ONLY those ``list_id=`` partitions of the generation and every
+    live segment are read (the isin filter reaches each scan as a
+    PartitionFilter — plan-pinned in tests) and scored with the exact
+    cosine. Returns (query_id, neighbor_id, rank, cos_sim) like
+    ivf_search. Queries are a probe-sized dimension table by contract."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    gen = _gen_name(path)
+    if gen is None:
+        raise RuntimeError(f"no vector index at {path}")
+    cent = _read_centroids(spark, path, gen)
+    qrows = queries.select(
+        _id_as_long(queries, id_col, "query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        if not np.any(qv * qv):
+            continue  # zero-norm contract
+        d2 = _d2_fold(qv[None, :], cent)[0]
+        for li in np.argsort(d2, kind="stable")[:nprobe]:
+            probe_rows.append((r["query_id"], r["qv"], int(li)))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, list_id int"
+    )
+    needed = sorted({r[2] for r in probe_rows})
+    parts = [os.path.join(path, gen)] + [
+        os.path.join(path, "segments", s) for s in _live_segments(path)
+    ]
+    cand = None
+    for p in parts:
+        if not _has_vectors(p):
+            continue
+        root = os.path.join(p, "vectors")
+        nxt = (
+            spark.read.option("basePath", root)
+            .parquet(root)
+            .filter(F.col("list_id").isin(needed))
+        )
+        cand = nxt if cand is None else cand.unionByName(nxt)
+    if cand is None:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cos_sim double"
+        )
+    dim = int(cent.shape[1])
+    scored = (
+        cand.join(F.broadcast(probes), "list_id")
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("v"), dim))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "rank",
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+def compact_vector_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    n_lists: int | None = None,
+    iters: int = 3,
+) -> dict:
+    """Fold live segments into a new generation, re-learning the coarse
+    quantizer (Lloyd k-means over the accumulated corpus) so list
+    balance tracks the data instead of the bootstrap seeds. The one
+    corpus-sized maintenance job; single concurrent maintainer."""
+    gen = _gen_name(path)
+    if gen is None:
+        raise RuntimeError(f"no vector index at {path}")
+    for e in os.listdir(path):
+        if e.startswith("gen-") and e != gen:
+            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+    segs = _live_segments(path)
+    if not segs:
+        return {"folded_segments": 0, "generation": gen}
+    cent = _read_centroids(spark, path, gen)
+    parts = [os.path.join(path, gen)] + [os.path.join(path, "segments", s) for s in segs]
+    data_parts = [p for p in parts if _has_vectors(p)]
+    new_gen = f"gen-{uuid.uuid4().hex[:8]}"
+    out = os.path.join(path, new_gen)
+    if data_parts:
+        allv = None
+        for p in data_parts:
+            root = os.path.join(p, "vectors")
+            nxt = spark.read.option("basePath", root).parquet(root).select("id", "v")
+            allv = nxt if allv is None else allv.unionByName(nxt)
+        from .similarity import ivf_build
+
+        want = int(n_lists) if n_lists is not None else int(cent.shape[0])
+        assignments, new_cent = ivf_build(
+            allv, n_lists=want, iters=iters, id_col="id", vec_col="v"
+        )
+        (
+            allv.join(assignments, "id")
+            .select("id", "v", "list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(os.path.join(out, "vectors"))
+        )
+        _write_centroids(spark, out, new_cent)
+    else:
+        os.makedirs(out, exist_ok=True)
+        _write_centroids(spark, out, cent)
+    folded = _folded_set(path, gen) | set(segs)
+    with open(os.path.join(out, _FOLDED_MANIFEST), "w") as fh:
+        fh.write("".join(f"{e}\n" for e in sorted(folded)))
+    _swap_pointer(path, new_gen)
+    for e in segs:
+        shutil.rmtree(os.path.join(path, "segments", e), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, gen), ignore_errors=True)
+    return {"folded_segments": len(segs), "generation": new_gen}

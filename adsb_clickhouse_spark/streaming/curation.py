@@ -53,6 +53,13 @@ adds perceptual-hash near-dup edges to the component graph, so a
 perturbed copy of an already-kept image is collapsed on the same
 lambda split as text (exact = per batch, near = periodic compaction).
 
+With ``vector_index=True`` (r9) each batch's survivors' embeddings
+become a name-keyed segment of a stored IVF vector index
+(operators/vecindex.py) under ``base_dir/vector_index`` — curated
+docs are kNN-searchable as they land, with the same generational
+append/compact/GC lifecycle as the text index (compaction re-learns
+the coarse quantizer from the accumulated corpus).
+
 With ``text_index=True`` each batch's survivors also become a
 name-keyed segment of a stored BM25 inverted index
 (operators/search.py) under ``base_dir/text_index`` — the curated
@@ -130,6 +137,9 @@ class CurationIngest:
         media_max_hamming: int = 3,
         media_bands: int = 4,
         media_max_band_freq: int | None = None,
+        vector_index: bool = False,
+        vec_col: str = "embedding",
+        vector_n_lists: int = 16,
     ):
         self.curated_path = os.path.join(base_dir, "curated")
         self.fps_path = os.path.join(base_dir, "fingerprints")
@@ -148,6 +158,10 @@ class CurationIngest:
         self.media_max_hamming = media_max_hamming
         self.media_bands = media_bands
         self.media_max_band_freq = media_max_band_freq
+        self.vector_index = vector_index
+        self.vec_col = vec_col
+        self.vector_n_lists = vector_n_lists
+        self.vector_index_path = os.path.join(base_dir, "vector_index")
 
     def _seg(self, batch_id: int | None) -> str:
         if batch_id is None:
@@ -304,6 +318,40 @@ class CurationIngest:
                     self.index_path,
                     seg,
                 )
+            if self.vector_index and self.vec_col in docs.columns:
+                # the curated batch's embeddings become a name-keyed
+                # segment of the stored vector index — same replay and
+                # ordering contract as the text index above (runs before
+                # the fingerprint append for the same re-evaluation
+                # hazard). Init is bootstrap-only (seed centroids, no
+                # data), so a crashed init + replay cannot double-index;
+                # dim is inferred from the first embedded batch.
+                from ..operators.vecindex import (
+                    _gen_name as _vec_gen,
+                    append_vector_index,
+                    init_vector_index,
+                )
+
+                vecs = fresh.join(
+                    docs.select("doc_id", self.vec_col), "doc_id"
+                ).filter(F.col(self.vec_col).isNotNull())
+                if _vec_gen(self.vector_index_path) is None:
+                    probe_row = vecs.select(self.vec_col).first()
+                    if probe_row is not None:
+                        init_vector_index(
+                            spark,
+                            self.vector_index_path,
+                            dim=len(probe_row[0]),
+                            n_lists=self.vector_n_lists,
+                        )
+                if _vec_gen(self.vector_index_path) is not None:
+                    append_vector_index(
+                        vecs.select("doc_id", self.vec_col),
+                        self.vector_index_path,
+                        seg,
+                        id_col="doc_id",
+                        vec_col=self.vec_col,
+                    )
             fps_out = fresh.select("fingerprint")
             if media_on:
                 fps_out = fps_out.unionByName(
@@ -597,3 +645,23 @@ class CurationIngest:
         from ..operators.search import compact_text_index
 
         return compact_text_index(spark, self.index_path)
+
+    def knn(
+        self, spark: SparkSession, queries: DataFrame, *, k: int = 10, nprobe: int = 4
+    ) -> DataFrame:
+        """Embedding kNN over the ingest's accreting vector index
+        (requires ``vector_index=True``); queries are (vec_id,
+        embedding) probe rows."""
+        from ..operators.vecindex import knn_probe_stored
+
+        return knn_probe_stored(
+            spark, self.vector_index_path, queries, k=k, nprobe=nprobe
+        )
+
+    def compact_vector_index(self, spark: SparkSession, **kw) -> dict:
+        """Fold vector-index segments into a new generation, re-learning
+        the coarse quantizer from the accumulated corpus (same
+        maintenance slot as compact_text_index)."""
+        from ..operators.vecindex import compact_vector_index
+
+        return compact_vector_index(spark, self.vector_index_path, **kw)
