@@ -230,33 +230,112 @@ def adsb_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
+    ),
+    sess AS (
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(new_session) AS BIGINT) AS n_sessions
+      FROM gaps
+      GROUP BY user_id
+    ),
+    rpts AS (
+      SELECT user_id, ts, event_id,
+             fmod(coalesce(value, 0), 90) AS lat,
+             fmod(coalesce(value, 0) * 7, 180) AS lon
+      FROM events WHERE user_id % 7 = 0
+    ),
+    rseg AS (
+      SELECT user_id,
+             lag(epoch_us(ts)) OVER w AS t0, epoch_us(ts) AS t1,
+             lag(lat) OVER w AS lat0, lat AS lat1,
+             lag(lon) OVER w AS lon0, lon AS lon1
+      FROM rpts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    rgrid AS (
+      SELECT user_id, t0, t1, lat0, lat1, lon0, lon1,
+             unnest(generate_series(
+               t0 + (7200000000 - (t0 % 7200000000)) % 7200000000,
+               t1 - 1, 7200000000)) AS g
+      FROM rseg
+      WHERE t0 IS NOT NULL AND t1 - t0 <= 86400000000
     )
-    SELECT user_id, count(*) AS n_events,
-           CAST(sum(new_session) AS BIGINT) AS n_sessions
-    FROM gaps
-    GROUP BY user_id
-    ORDER BY user_id
+    SELECT 'sessions' AS branch, user_id, n_events, n_sessions,
+           CAST(NULL AS TIMESTAMP) AS grid_ts,
+           CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon
+    FROM sess
+    UNION ALL
+    SELECT 'resample', user_id, NULL, NULL,
+           make_timestamp(g),
+           lat0 + (lat1 - lat0) * (CAST(g - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)),
+           lon0 + (lon1 - lon0) * (CAST(g - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+    FROM rgrid
+    ORDER BY branch, user_id, grid_ts
     """,
     doc=(
-        "Sessionization: lag + gap>threshold flag + cumulative session ids. "
-        "Gaps compared at microsecond precision on both sides (DuckDB "
+        "Tagged union (registry packing, see COVERAGE.md). "
+        "branch='sessions': lag + gap>threshold flag + cumulative session "
+        "ids. Gaps compared at microsecond precision on both sides (DuckDB "
         "intervals are exact micros; casting ts to long would floor to "
         "seconds and diverge in the (1800s, 1801s) band). The oracle sum is "
-        "CAST to BIGINT — DuckDB HUGEINT otherwise reaches pandas as float64."
+        "CAST to BIGINT — DuckDB HUGEINT otherwise reaches pandas as "
+        "float64. branch='resample' (r9): trajectory resampling "
+        "(operators/trajectory.py) — every 7th user's synthetic track "
+        "resampled onto the 2 h grid with linear interpolation, segments "
+        "wider than 24 h dropped; the operator's window+explode plan vs "
+        "the oracle's lag + generate_series unnest. Grid instants are "
+        "exact integer-micros arithmetic in both engines; the "
+        "interpolation v0 + (v1 - v0) * ((g - t0)/(t1 - t0)) is the same "
+        "IEEE association on both sides, so values hash bit-identically "
+        "with no rounding."
     ),
 )
 def adsb_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trajectory import resample_track
+
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     micros = F.unix_micros(F.col("ts"))
     gap = micros - F.lag(micros).over(w)
     new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
-    return (
+    sess = (
         e.withColumn("new_session", new_session)
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"), F.sum("new_session").alias("n_sessions"))
-        .orderBy("user_id")
+        .select(
+            F.lit("sessions").alias("branch"),
+            "user_id",
+            "n_events",
+            "n_sessions",
+            F.lit(None).cast("timestamp").alias("grid_ts"),
+            F.lit(None).cast("double").alias("lat"),
+            F.lit(None).cast("double").alias("lon"),
+        )
     )
+    v = F.coalesce(F.col("value"), F.lit(0.0))
+    rpts = e.filter(F.col("user_id") % 7 == 0).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (v % 90).alias("lat"),
+        ((v * 7) % 180).alias("lon"),
+    )
+    res = resample_track(
+        rpts,
+        interval_s=7200,
+        id_col="user_id",
+        value_cols=("lat", "lon"),
+        order_tiebreak=("event_id",),
+        max_gap_s=86400,
+    ).select(
+        F.lit("resample").alias("branch"),
+        "user_id",
+        F.lit(None).cast("long").alias("n_events"),
+        F.lit(None).cast("long").alias("n_sessions"),
+        "grid_ts",
+        "lat",
+        "lon",
+    )
+    return sess.unionByName(res).orderBy("branch", "user_id", "grid_ts")
 
 
 @register(
