@@ -36,13 +36,18 @@ class AdsbEngine:
         *,
         now: datetime | None = None,
         conflict_radius_nm: float | None = None,
+        geofences: dict | None = None,
     ):
         self.spark = spark
         self.base_dir = base_dir
         self.now = now
         self.pipelines: dict[str, IngestPipeline] = {
             name: IngestPipeline(
-                cfg, base_dir, now=now, conflict_radius_nm=conflict_radius_nm
+                cfg,
+                base_dir,
+                now=now,
+                conflict_radius_nm=conflict_radius_nm,
+                geofences=geofences,
             )
             for name, cfg in SOURCES.items()
         }

@@ -71,6 +71,32 @@ def _checkpoint_run_id(checkpoint_dir: str) -> str:
             return fh.read().strip()
 
 
+def _swap_generation(df: DataFrame, path: str) -> None:
+    """Generational overwrite behind an atomic pointer (the
+    fingerprint-store discipline): the new generation is fully written,
+    then one ``os.replace`` of the pointer, then old generations are
+    GC'd — a crash mid-refresh leaves the previous generation readable
+    and a replay converges."""
+    import shutil
+
+    gen = f"gen-{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(os.path.join(path, gen))
+    ptr = os.path.join(path, "_CURRENT")
+    tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(gen)
+    os.replace(tmp, ptr)
+    for e in os.listdir(path):
+        if e.startswith("gen-") and e != gen:
+            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+
+
+def _read_generation(spark, path: str) -> DataFrame:
+    with open(os.path.join(path, "_CURRENT")) as fh:
+        gen = fh.read().strip()
+    return spark.read.parquet(os.path.join(path, gen))
+
+
 class IngestPipeline:
     """Per-source ingestion cascade writing history + state + combined."""
 
@@ -83,6 +109,7 @@ class IngestPipeline:
         run_id: str | None = None,
         conflict_radius_nm: float | None = None,
         conflict_max_cell_freq: int | None = None,
+        geofences: dict | None = None,
     ):
         self.cfg = cfg
         self.base = base_dir
@@ -99,6 +126,13 @@ class IngestPipeline:
         # and a conflict board is the canonical derived live view
         self.conflict_radius_nm = conflict_radius_nm
         self.conflict_max_cell_freq = conflict_max_cell_freq
+        # live geofence alerts (r9): zone_id -> vertex ring; every batch
+        # refreshes an "aircraft currently inside restricted airspace"
+        # table — the containment test compiles into the plan
+        # (operators/geo.py points_in_polygons), so the refresh is one
+        # codegen projection over the latest view
+        self.geofences = geofences
+        self.zones_path = os.path.join(base_dir, cfg.name, "zones")
         # scopes batch ids in the history layout; start() pins it to the
         # checkpoint so batch numbering and scope live or die together
         self.run_id = run_id
@@ -144,6 +178,8 @@ class IngestPipeline:
             # window), not by ingest volume or history size.
             if self.conflict_radius_nm is not None:
                 self._refresh_conflicts(clean.sparkSession)
+            if self.geofences:
+                self._refresh_zones(clean.sparkSession)
         finally:
             clean.unpersist()
 
@@ -153,8 +189,6 @@ class IngestPipeline:
         row per active aircraft. Generational write + atomic pointer swap
         (the fingerprint-store discipline): a crash mid-refresh leaves
         the previous generation readable, a replay converges."""
-        import shutil
-
         from ..operators.geo import proximity_pairs
 
         cur = self.latest(spark).filter(
@@ -167,27 +201,31 @@ class IngestPipeline:
             carry_cols=("lat", "lon"),
             max_cell_freq=self.conflict_max_cell_freq,
         )
-        gen = f"gen-{uuid.uuid4().hex[:12]}"
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(self.conflicts_path, gen)
+        _swap_generation(pairs, self.conflicts_path)
+
+    def _refresh_zones(self, spark) -> None:
+        """Rewrite the zone-occupancy table from the current *_latest
+        view: compiled point-in-polygon containment over one row per
+        active aircraft — same generational discipline as conflicts."""
+        from ..operators.geo import points_in_polygons
+
+        cur = self.latest(spark).filter(
+            F.col("lat").isNotNull() & F.col("lon").isNotNull()
         )
-        ptr = os.path.join(self.conflicts_path, "_CURRENT")
-        tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(gen)
-        os.replace(tmp, ptr)
-        for e in os.listdir(self.conflicts_path):
-            if e.startswith("gen-") and e != gen:
-                shutil.rmtree(
-                    os.path.join(self.conflicts_path, e), ignore_errors=True
-                )
+        occ = points_in_polygons(
+            cur.select("icao24", "lat", "lon"), self.geofences
+        ).select("icao24", "poly_id", "lat", "lon")
+        _swap_generation(occ, self.zones_path)
 
     def conflicts(self, spark) -> DataFrame:
         """The live conflict board: (icao24_a, icao24_b, dist_nm, lat/lon
         of both) pairs currently within the configured radius."""
-        with open(os.path.join(self.conflicts_path, "_CURRENT")) as fh:
-            gen = fh.read().strip()
-        return spark.read.parquet(os.path.join(self.conflicts_path, gen))
+        return _read_generation(spark, self.conflicts_path)
+
+    def zones(self, spark) -> DataFrame:
+        """The live geofence board: (icao24, poly_id, lat, lon) — every
+        aircraft currently inside a configured zone."""
+        return _read_generation(spark, self.zones_path)
 
     # -- streaming entry ----------------------------------------------------
 

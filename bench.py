@@ -113,7 +113,8 @@ def main() -> None:
         "text_winnow_fingerprint": ("method", ["winnow", "chunk"]),
         "dedup_ngram_jaccard": ("branch", ["pair", "cc", "decon"]),
         "adsb_rollups": ("branch", ["tumbling", "sliding"]),
-        "adsb_track_distance": ("branch", ["track", "proximity", "radius"]),
+        "adsb_track_distance": ("branch", ["track", "proximity", "radius", "geofence"]),
+        "adsb_sessionize": ("branch", ["sessions", "resample"]),
         # caveat: text_lm_bpe's BPE merge LEARNING runs driver-side at
         # plan-build time, so the 'lm' branch timing includes it even
         # though the filter prunes the bpe leg's execution — compare the

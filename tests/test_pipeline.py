@@ -254,3 +254,34 @@ def test_conflict_refresh_is_replay_safe(spark, tmp_base):
     assert {(r["id_a"], r["id_b"]) for r in got} == {("aaa111", "bbb222")}
     gens = [e for e in os.listdir(pipe.conflicts_path) if e.startswith("gen-")]
     assert len(gens) == 1  # old generations GC'd after the pointer swap
+
+
+def test_live_geofence_board_surfaces_and_clears(spark, tmp_base):
+    """Zone-occupancy board (r9): an aircraft entering a configured
+    polygon surfaces on the board after that batch and clears when its
+    latest position leaves the zone."""
+    from datetime import timedelta
+
+    zone = {"alpha": [(39.5, -74.5), (41.5, -74.5), (41.5, -72.5), (39.5, -72.5)]}
+    pipe = IngestPipeline(
+        GLOBAL_STREAM, tmp_base, now=NOW, run_id="runZ", geofences=zone
+    )
+    # batch 0: one inside the box, one far away
+    pipe.process_batch(
+        _raw_positions(
+            spark,
+            [("aaa111", 40.5, -73.5), ("bbb222", 10.0, 10.0)],
+            NOW - timedelta(seconds=30),
+        ),
+        batch_id=0,
+    )
+    got = pipe.zones(spark).collect()
+    assert [(r["icao24"], r["poly_id"]) for r in got] == [("aaa111", "alpha")]
+    # batch 1: aaa111 leaves -> board clears (latest view wins)
+    pipe.process_batch(
+        _raw_positions(spark, [("aaa111", 50.0, -60.0)], NOW - timedelta(seconds=20)),
+        batch_id=1,
+    )
+    assert pipe.zones(spark).count() == 0
+    gens = [e for e in os.listdir(pipe.zones_path) if e.startswith("gen-")]
+    assert len(gens) == 1  # generational swap GC'd the old board
