@@ -91,6 +91,13 @@ def cmd_curate_maintain(args) -> int:
     if args.compact_index:
         idx = ing.compact_text_index(spark)
         print(f"text_index: {idx}")
+    if args.compact_vectors:
+        from .operators.search import _gen_name
+
+        if _gen_name(ing.vector_index_path) is not None:
+            print(f"vector_index: {ing.compact_vector_index(spark)}")
+        else:
+            print("vector_index: none at this base dir")
     return 0
 
 
@@ -138,6 +145,11 @@ def main(argv: list[str] | None = None) -> int:
         "--compact-index",
         action="store_true",
         help="also fold the searchable text index's accumulated segments",
+    )
+    p_c.add_argument(
+        "--compact-vectors",
+        action="store_true",
+        help="also fold the searchable vector index's accumulated segments",
     )
     p_c.add_argument(
         "--assume-quiesced",

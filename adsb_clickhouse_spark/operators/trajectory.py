@@ -52,13 +52,21 @@ def resample_track(
     value_cols: tuple[str, ...] = ("lat", "lon"),
     order_tiebreak: tuple[str, ...] = (),
     max_gap_s: int | None = None,
+    method: str = "linear",
 ) -> DataFrame:
     """Resample each key's reports onto the fixed ``interval_s`` grid.
 
     Returns (``id_col``, ``grid_ts`` timestamp, *value_cols) — one row
     per grid instant that falls inside a [t0, t1) report segment (and,
-    with ``max_gap_s``, only segments no wider than the cap), each
-    value linearly interpolated between the bracketing reports."""
+    with ``max_gap_s``, only segments no wider than the cap).
+    ``method='linear'`` interpolates each value between the bracketing
+    reports; ``method='locf'`` carries the last observation forward
+    (step fill — the ClickHouse ``WITH FILL`` / timeseries gap-fill
+    semantics, right for categorical or sensor-latched columns where a
+    synthetic average is a lie). Same plan either way — the method only
+    changes the projected expression."""
+    if method not in ("linear", "locf"):
+        raise ValueError(f"method must be 'linear' or 'locf', got {method!r}")
     dt = int(interval_s) * MICROS
     w = Window.partitionBy(id_col).orderBy(ts_col, *order_tiebreak)
     t1 = F.unix_micros(F.col(ts_col))
@@ -90,10 +98,13 @@ def resample_track(
         F.col(id_col),
         F.timestamp_micros(F.col("_g")).alias("grid_ts"),
     ]
-    out += [
-        (
-            F.col(f"_{c}0") + (F.col(f"_{c}1") - F.col(f"_{c}0")) * frac
-        ).alias(c)
-        for c in value_cols
-    ]
+    if method == "locf":
+        out += [F.col(f"_{c}0").alias(c) for c in value_cols]
+    else:
+        out += [
+            (
+                F.col(f"_{c}0") + (F.col(f"_{c}1") - F.col(f"_{c}0")) * frac
+            ).alias(c)
+            for c in value_cols
+        ]
     return grid.select(*out)

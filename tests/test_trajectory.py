@@ -107,3 +107,31 @@ def test_duplicate_timestamps_are_safe(spark):
     got = _collect(df)
     assert all(g[1] in (0, 60_000_000) for g in got)
     assert all(abs(g[2]) < 10 for g in got)  # finite, no NaN/Inf
+
+
+def test_locf_step_fill(spark):
+    """method='locf' carries the segment-start value forward at every
+    grid instant (step fill), including weight-0 on-grid reports."""
+    rows = [
+        (1, 0, 10.0, 20.0),
+        (1, 150_000_000, 16.0, 26.0),  # 2.5 min later
+        (1, 240_000_000, 24.0, 44.0),
+    ]
+    got = _collect(
+        resample_track(_mk(spark, rows), interval_s=60, method="locf")
+    )
+    assert got == [
+        (1, 0, 10.0, 20.0),
+        (1, 60_000_000, 10.0, 20.0),
+        (1, 120_000_000, 10.0, 20.0),
+        (1, 180_000_000, 16.0, 26.0),
+        # 240 s == the final report's own instant: half-open segments
+        # never emit it (no following segment), same as linear
+    ]
+
+
+def test_bad_method_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="method"):
+        resample_track(_mk(spark, [(1, 0, 0.0, 0.0)]), interval_s=60, method="cubic")
