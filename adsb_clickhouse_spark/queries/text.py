@@ -224,6 +224,65 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_signals(d).join(mix, "doc_id").orderBy("doc_id")
 
 
+# -------- link-graph quality (PageRank over the synthetic host graph) -------
+# Edge derivation: every document is an outlink from its `source` host to
+# a hash-derived target host — deterministic and SQL-expressible in both
+# engines, standing in for the crawl's real hyperlink extraction (which
+# is upstream parsing, not engine work). The salt decouples the link hash
+# from the split hash.
+_PR_EDGE_SALT = 97
+_PR_DST_MOD = 20
+_PR_ITERS = 5
+
+
+def _duck_pagerank_ctes(iters: int = _PR_ITERS) -> str:
+    """Unrolled-CTE DuckDB twin of operators/graph.py::pagerank — the
+    same integer ops (multiply + floor-divide) in the same order, one
+    CTE trio (inflow, dangling mass, new ranks) per iteration. Integer
+    fixed-point is what makes this oracle possible at all: a float
+    PageRank's distributed sums would differ across engines in the last
+    ULPs."""
+    from ..functions.texttools import duck_salted_md5_long
+    from ..operators.graph import DAMPING_DEN as dd
+    from ..operators.graph import DAMPING_NUM as dn
+    from ..operators.graph import PAGERANK_SCALE as sc
+
+    dst = (
+        "'src' || CAST("
+        + duck_salted_md5_long("md5(coalesce(text, ''))", _PR_EDGE_SALT)
+        + f" % {_PR_DST_MOD} AS VARCHAR)"
+    )
+    parts = [
+        f"pe0 AS (SELECT source AS src, {dst} AS dst FROM documents)",
+        "pe AS (SELECT DISTINCT src, dst FROM pe0 WHERE src != dst)",
+        "pn AS (SELECT src AS node FROM pe UNION SELECT dst FROM pe)",
+        "pnn AS (SELECT count(*) AS n FROM pn)",
+        "pod AS (SELECT src, count(*) AS outdeg FROM pe GROUP BY 1)",
+        f"pr0 AS (SELECT node, CAST({sc} // n AS BIGINT) AS rank_fp FROM pn CROSS JOIN pnn)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        parts.append(
+            f"inf{i} AS (SELECT pe.dst AS node, "
+            f"CAST(sum(({dn} * r.rank_fp) // ({dd} * pod.outdeg)) AS BIGINT) AS inflow "
+            f"FROM pe JOIN {p} r ON pe.src = r.node "
+            f"JOIN pod ON pe.src = pod.src GROUP BY 1)"
+        )
+        parts.append(
+            f"dm{i} AS (SELECT CAST(coalesce(sum(r.rank_fp), 0) AS BIGINT) AS dm "
+            f"FROM {p} r LEFT JOIN pod ON r.node = pod.src "
+            f"WHERE pod.src IS NULL)"
+        )
+        parts.append(
+            f"pr{i} AS (SELECT pn.node, "
+            f"CAST(({dd - dn} * {sc}) // ({dd} * n) + ({dn} * dm) // ({dd} * n) "
+            f"+ coalesce(inflow, 0) AS BIGINT) AS rank_fp "
+            f"FROM pn CROSS JOIN pnn CROSS JOIN dm{i} "
+            f"LEFT JOIN inf{i} ON pn.node = inf{i}.node)"
+        )
+    return ",\n    ".join(parts)
+
+
 def _duck_quality_sql() -> str:
     from ..functions.texttools import duck_md5_long, duck_word_ngrams
     from ..operators.curation import SPLIT_SALT
@@ -243,7 +302,9 @@ def _duck_quality_sql() -> str:
     rep AS (SELECT doc_id, max(c) AS top_c,
                    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
             FROM bgc GROUP BY 1)
-    SELECT m.doc_id AS doc_id,
+    ,{_duck_pagerank_ctes()}
+    SELECT 'doc' AS branch,
+           m.doc_id AS doc_id,
            round(n_stop / greatest(n_tokens, 1), 4) AS stopword_ratio,
            round(n_uniq / greatest(n_tokens, 1), 4) AS unique_ratio,
            round(n_chars / greatest(n_tokens, 1), 4) AS mean_token_len,
@@ -258,9 +319,15 @@ def _duck_quality_sql() -> str:
            md5(text) AS exact_fingerprint,
            CAST({sb} AS INTEGER) AS split_bucket,
            CASE WHEN {sb} < 8 THEN 'train'
-                WHEN {sb} = 8 THEN 'val' ELSE 'test' END AS split
+                WHEN {sb} = 8 THEN 'val' ELSE 'test' END AS split,
+           CAST(NULL AS VARCHAR) AS node,
+           CAST(NULL AS BIGINT) AS rank_fp
     FROM m LEFT JOIN rep ON m.doc_id = rep.doc_id
-    ORDER BY doc_id
+    UNION ALL
+    SELECT 'pagerank', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, node, rank_fp
+    FROM pr{_PR_ITERS}
+    ORDER BY branch, doc_id, node
     """
 
 
@@ -289,18 +356,70 @@ def _duck_quality_sql() -> str:
         "docs can never straddle splits — eval-leakage-free by "
         "construction (operators/curation.py::dedup_aware_split, which "
         "also takes near-dup pair edges to split whole clusters "
-        "together; pure projection, zero shuffles)."
+        "together; pure projection, zero shuffles). Round 9 packs the "
+        "link-graph quality signal in as the 'pagerank' branch: "
+        "fixed-point integer PageRank (operators/graph.py) over the "
+        "hash-derived host graph, 5 iterations at damping 17/20 — "
+        "integer micro-unit ranks make the distributed sum "
+        "order-independent, so the DuckDB unrolled-CTE twin matches "
+        "bit-exactly (a float PageRank could never be hash-verified "
+        "cross-engine)."
     ),
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texttools import salted_md5_long
     from ..operators.curation import dedup_aware_split, quality_signals
+    from ..operators.graph import pagerank
 
     d = load_table(spark, sf_dir, "documents")
-    return (
+    nul_s = F.lit(None).cast("string")
+    nul_d = F.lit(None).cast("double")
+    nul_l = F.lit(None).cast("long")
+    doc = (
         quality_signals(d)
         .join(dedup_aware_split(d), "doc_id")
-        .orderBy("doc_id")
+        .select(
+            F.lit("doc").alias("branch"),
+            "*",
+            nul_s.alias("node"),
+            nul_l.alias("rank_fp"),
+        )
     )
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    dst = F.concat(
+        F.lit("src"),
+        (salted_md5_long(fp, _PR_EDGE_SALT) % _PR_DST_MOD).cast("string"),
+    )
+    edges = (
+        d.select(F.col("source").alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    # default per-round checkpointing: with the loop invariants pinned
+    # inside the operator, 5 eager rank checkpoints (2.2 s) beat the
+    # lazy 2^5-chain plan (8.5 s of tiny-task storms) at local[32]/32.
+    pr = pagerank(edges, iterations=_PR_ITERS).select(
+        F.lit("pagerank").alias("branch"),
+        nul_l.alias("doc_id"),
+        *[
+            nul_d.alias(c)
+            for c in (
+                "stopword_ratio",
+                "unique_ratio",
+                "mean_token_len",
+                "top_bigram_frac",
+                "dup_bigram_frac",
+                "quality_score",
+            )
+        ],
+        nul_s.alias("bag_fingerprint"),
+        nul_s.alias("exact_fingerprint"),
+        F.lit(None).cast("int").alias("split_bucket"),
+        nul_s.alias("split"),
+        "node",
+        "rank_fp",
+    )
+    return doc.unionByName(pr).orderBy("branch", "doc_id", "node")
 
 
 _CHUNK_TOKENS = 32

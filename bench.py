@@ -121,6 +121,11 @@ def main() -> None:
         # 'lm' branch across rounds, not against a standalone LM run
         "text_lm_bpe": ("branch", ["bpe", "lm"]),
         "search_retrieval": ("branch", ["bm25", "hybrid", "phrase"]),
+        # same caveat: text_quality's pagerank branch executes its
+        # iterative joins at plan-build time (eager rank checkpoints),
+        # so the 'doc' branch timing includes them — compare branches
+        # across rounds, not against a standalone doc-signals run
+        "text_quality": ("branch", ["doc", "pagerank"]),
         "mm_decode_metadata": ("branch", ["decode", "phash", "phash_valve"]),
     }
     branch_timings: dict[str, float] = {}

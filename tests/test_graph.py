@@ -1,0 +1,81 @@
+"""PageRank (operators/graph.py): Spark vs the pure-Python integer twin,
+structural sanity, and the plan contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from adsb_clickhouse_spark.operators.graph import (
+    PAGERANK_SCALE,
+    pagerank,
+    pagerank_py,
+)
+
+
+def _run(spark, edges, iterations=5):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, iterations=iterations).collect()
+    }
+    want = pagerank_py(edges, iterations=iterations)
+    return got, want
+
+
+def test_pagerank_matches_python_twin_exactly(spark):
+    # chain + cycle + dangling node + a hub with many in-links
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("d", "hub"), ("e", "hub"), ("f", "hub"), ("g", "hub"),
+        ("hub", "a"),
+        ("a", "sink"),  # sink has no out-edges: dangling mass path
+    ]
+    got, want = _run(spark, edges)
+    assert got == want  # bit-exact: integer arithmetic both sides
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    edges = [(f"leaf{i}", "hub") for i in range(8)] + [("hub", "leaf0")]
+    got, _ = _run(spark, edges, iterations=3)
+    assert got["hub"] == max(got.values())
+    assert got["hub"] > got["leaf1"]
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    got, want = _run(spark, edges, iterations=4)
+    assert got == want
+    total = sum(got.values())
+    # floor drift only: within (edges + N) units per round of scale
+    assert PAGERANK_SCALE - (len(edges) + 4) * 4 * 4 <= total <= PAGERANK_SCALE
+
+
+def test_pagerank_multi_edges_count_per_row(spark):
+    # documented semantics: a doubled edge contributes twice
+    single, _ = _run(spark, [("a", "b"), ("a", "c")], iterations=2)
+    doubled, want = _run(
+        spark, [("a", "b"), ("a", "b"), ("a", "c")], iterations=2
+    )
+    assert doubled == want
+    assert doubled["b"] > single["b"]
+
+
+def test_pagerank_empty_graph(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(df, iterations=2).collect() == []
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+
+
+def test_pagerank_per_iteration_exchange_is_rank_sized(spark):
+    """Plan contract: with checkpointing off, the edge-side scan feeds
+    the per-iteration join through its pinned repartition("src") —
+    ranks move, edges don't re-shuffle per round."""
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string"
+    )
+    plan = pagerank(df, iterations=2, checkpoint=False)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
