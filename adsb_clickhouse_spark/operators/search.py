@@ -848,3 +848,162 @@ def mmr_rerank(
     return candidates.sparkSession.createDataFrame(
         out, "doc_id long, mmr_rank int, rel double, mmr_score double"
     )
+
+
+# ------------------------------------------------------------ retrieval eval
+
+
+def retrieval_eval(
+    docs: DataFrame,
+    queries: dict[str, str],
+    *,
+    k: int = 10,
+    rel_threshold: int = 4,
+    rel_cap: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Retrieval quality metrics per query — (``query_id``, ``n_rel``,
+    ``recall_at_k``, ``mrr``, ``ndcg``) — for a QUERY SET ranked by the
+    BM25 law against graded relevance judgments derived from the corpus
+    itself: rel(q, d) = min(total occurrences of q's terms in d,
+    ``rel_cap``) — capped term-frequency grading, a pseudo-relevance
+    law that saturates (so one spammy doc can't own the ideal ranking)
+    while still DIVERGING from BM25's idf-weighted, length-normalized
+    order, which is what makes nDCG discriminative; d is relevant iff
+    rel >= ``rel_threshold``. Derived qrels make the harness
+    self-contained (the operational smoke eval when no human judgments
+    exist); swap in editorial qrels by joining them instead.
+
+    Metrics (standard IR definitions, Järvelin & Kekäläinen 2002 for
+    nDCG):
+      recall@k = |top-k ∩ relevant| / |relevant|;
+      MRR      = 1 / rank of the first relevant doc in the top-k (0 if
+                 none);
+      nDCG@k   = DCG@k / IDCG@k with gain 2^rel − 1 for relevant docs
+                 (0 below threshold), discount log2(rank + 1); IDCG
+                 ranks the relevant set by (rel desc, doc_id).
+
+    Scale shape: ONE term-filtered corpus scan covers the whole query
+    set (terms = the union over queries — same fast path as
+    bm25_search), document frequencies and idf are query-independent
+    and broadcast, per-(query, doc) scores reduce in one two-key
+    aggregation, and the only per-query structure is a rank window
+    PARTITIONED BY query_id over the term-matched candidates — queries
+    are eval DIMENSION data (hundreds, not billions), so the window
+    parallelizes across queries while each partition holds one query's
+    candidate set. Metric folds run over ≤k-row shortlists. Score and
+    metric float chains mirror the DuckDB oracle twin association
+    exactly (the 'eval' branch of search_retrieval).
+    """
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("queries must be a non-empty {query_id: text} dict")
+    qt_rows = []
+    for qid, qtext in queries.items():
+        terms = _query_terms(qtext)
+        if not terms:
+            raise ValueError(f"query {qid!r} has no tokens under the token law")
+        qt_rows += [(qid, t) for t in terms]
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(qt_rows, "query_id string, term string")
+    all_terms = sorted({t for _, t in qt_rows})
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"))
+    stats = d.filter(F.col("dl") > 0).agg(
+        F.count("*").alias("N"), (F.sum("dl") / F.count("*")).alias("avgdl")
+    )
+    tfs = doc_term_freqs(docs, text_col=text_col, id_col=id_col, terms=all_terms)
+    idf = (
+        tfs.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "avgdl",
+            F.log(
+                1.0
+                + (F.col("N") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        tfs.join(F.broadcast(qt), "term")
+        .join(F.broadcast(idf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.least(F.sum("tf"), F.lit(int(rel_cap))).alias("rel"),
+            F.round(F.sum(_bm25_score_col(k1, b)), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= int(k)
+    )
+    gain = F.when(
+        F.col("rel") >= int(rel_threshold), F.pow(F.lit(2.0), F.col("rel")) - 1.0
+    ).otherwise(F.lit(0.0))
+    dcg_terms = ranked.select(
+        "query_id",
+        "rank",
+        (gain / F.log2(F.col("rank") + F.lit(1.0))).alias("dterm"),
+        F.when(F.col("rel") >= int(rel_threshold), F.col("rank")).alias("rrank"),
+    )
+    per_q_topk = dcg_terms.groupBy("query_id").agg(
+        F.sum("dterm").alias("dcg"),
+        F.min("rrank").alias("first_rel_rank"),
+        F.count(F.when(F.col("rrank").isNotNull(), 1)).alias("n_rel_topk"),
+    )
+    relv = scored.filter(F.col("rel") >= int(rel_threshold))
+    wi = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal = (
+        relv.withColumn("irank", F.row_number().over(wi))
+        .filter(F.col("irank") <= int(k))
+        .select(
+            "query_id",
+            (
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("irank") + F.lit(1.0))
+            ).alias("iterm"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("iterm").alias("idcg"))
+    )
+    n_rel = relv.groupBy("query_id").agg(F.count("*").alias("n_rel"))
+    qids = spark.createDataFrame(
+        [(qid,) for qid in queries], "query_id string"
+    )
+    return (
+        qids.join(n_rel, "query_id", "left")
+        .join(per_q_topk, "query_id", "left")
+        .join(ideal, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+            F.when(
+                F.coalesce("n_rel", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_rel_topk", F.lit(0))
+                    / F.col("n_rel").cast("double"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall_at_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.when(
+                F.coalesce("idcg", F.lit(0.0)) > 0,
+                F.round(F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+    )

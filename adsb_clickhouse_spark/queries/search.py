@@ -27,6 +27,18 @@ _RRF_VEC = 0   # probe vector
 _PHRASE = "hash join"
 _PHRASE_K = 50
 
+# retrieval-eval query set (r9): graded qrels derived from term overlap,
+# rel >= _EVAL_THR is relevant; BM25 law ranks, metrics at k=10
+_EVAL_QUERIES = {
+    "q_cust": "customer order value data",
+    "q_dup": "dup key vector",
+    "q_join": "join hash merge window",
+    "q_spark": "spark query batch column",
+}
+_EVAL_K = 10
+_EVAL_THR = 4
+_EVAL_CAP = 6
+
 
 def _duck_bm25_ctes() -> str:
     """The shared BM25 CTE chain ending at ``sc`` (doc_id,
@@ -49,6 +61,85 @@ def _duck_bm25_ctes() -> str:
                         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))),
                         4) AS score
            FROM tf JOIN idf USING (term) GROUP BY 1)"""
+
+
+def _duck_eval_ctes() -> str:
+    """CTE chain for the 'eval' branch, ending at ``eeval`` — twin of
+    operators/search.py::retrieval_eval. Reuses the bm25 chain's ``d``
+    (tokenized docs) and ``stats`` (N, avgdl); per-(query, doc) scores
+    follow the identical BM25 literal association; metric sums run over
+    ≤k-row shortlists and round exactly where the Spark side rounds
+    (score → 4 BEFORE ranking, so rank order is ULP-robust; ndcg/recall
+    → 4, mrr → 6 at emission)."""
+    import re as _re
+
+    from ..functions.texttools import TOKEN_RE
+
+    def _terms(q: str) -> list[str]:
+        seen: dict[str, None] = {}
+        for t in _re.findall(TOKEN_RE, q.lower()):
+            seen.setdefault(t, None)
+        return list(seen)
+
+    qt_vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in _EVAL_QUERIES.items()
+        for t in _terms(q)
+    )
+    union_terms = ", ".join(
+        f"'{t}'" for t in sorted({t for q in _EVAL_QUERIES.values() for t in _terms(q)})
+    )
+    q_vals = ", ".join(f"('{qid}')" for qid in _EVAL_QUERIES)
+    gain = f"CASE WHEN rel >= {_EVAL_THR} THEN pow(2.0, rel) - 1.0 ELSE 0.0 END"
+    return f"""eqt(query_id, term) AS (VALUES {qt_vals}),
+    eq(query_id) AS (VALUES {q_vals}),
+    e2 AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+    etf AS (SELECT doc_id, dl, term, count(*) AS tf
+            FROM e2 WHERE term IN ({union_terms}) GROUP BY 1, 2, 3),
+    edft AS (SELECT term, count(*) AS df FROM etf GROUP BY 1),
+    eidf AS (SELECT term, avgdl,
+                    ln(1.0 + (N - df + 0.5) / (df + 0.5)) AS idf
+             FROM edft, stats),
+    esc AS (SELECT query_id, doc_id, least(sum(tf), {_EVAL_CAP}) AS rel,
+                   round(sum(idf * ((tf * (1.2 + 1.0))
+                         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))),
+                         4) AS score
+            FROM etf JOIN eqt USING (term) JOIN eidf USING (term)
+            GROUP BY 1, 2),
+    ernk AS (SELECT query_id, doc_id, rel, score,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) AS rank
+             FROM esc QUALIFY rank <= {_EVAL_K}),
+    edcg AS (SELECT query_id,
+                    sum(({gain}) / log2(rank + 1.0)) AS dcg,
+                    min(CASE WHEN rel >= {_EVAL_THR} THEN rank END)
+                      AS first_rel_rank,
+                    count(CASE WHEN rel >= {_EVAL_THR} THEN 1 END)
+                      AS n_rel_topk
+             FROM ernk GROUP BY 1),
+    erel AS (SELECT query_id, doc_id, rel FROM esc WHERE rel >= {_EVAL_THR}),
+    eideal AS (SELECT query_id,
+                      sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg
+               FROM (SELECT query_id, rel,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY rel DESC, doc_id)
+                              AS irank
+                     FROM erel) t
+               WHERE irank <= {_EVAL_K} GROUP BY 1),
+    enrel AS (SELECT query_id, count(*) AS n_rel FROM erel GROUP BY 1),
+    eeval AS (SELECT eq.query_id AS query_id,
+                     coalesce(n_rel, 0) AS n_rel,
+                     CASE WHEN coalesce(n_rel, 0) > 0
+                          THEN round(coalesce(n_rel_topk, 0)
+                                     / CAST(n_rel AS DOUBLE), 4)
+                          ELSE 0.0 END AS recall_at_k,
+                     round(coalesce(1.0 / first_rel_rank, 0.0), 6) AS mrr,
+                     CASE WHEN coalesce(idcg, 0.0) > 0
+                          THEN round(coalesce(dcg, 0.0) / idcg, 4)
+                          ELSE 0.0 END AS ndcg
+              FROM eq LEFT JOIN enrel USING (query_id)
+              LEFT JOIN edcg USING (query_id)
+              LEFT JOIN eideal USING (query_id))"""
 
 
 def _duck_retrieval_sql() -> str:
@@ -99,18 +190,28 @@ def _duck_retrieval_sql() -> str:
              GROUP BY doc_id, start HAVING count(*) = {len(ph_terms)}),
     ph_top AS (SELECT doc_id, count(*) AS n_matches
                FROM hits GROUP BY 1
-               ORDER BY n_matches DESC, doc_id LIMIT {_PHRASE_K})
+               ORDER BY n_matches DESC, doc_id LIMIT {_PHRASE_K}),
+    {_duck_eval_ctes()}
     SELECT 'bm25' AS branch, doc_id, n_terms_matched, score,
            CAST(NULL AS BIGINT) AS bm25_rank, CAST(NULL AS BIGINT) AS ann_rank,
-           CAST(NULL AS DOUBLE) AS rrf_score, CAST(NULL AS BIGINT) AS n_matches
+           CAST(NULL AS DOUBLE) AS rrf_score, CAST(NULL AS BIGINT) AS n_matches,
+           CAST(NULL AS VARCHAR) AS query_id, CAST(NULL AS BIGINT) AS n_rel,
+           CAST(NULL AS DOUBLE) AS recall_at_k, CAST(NULL AS DOUBLE) AS mrr,
+           CAST(NULL AS DOUBLE) AS ndcg
     FROM bm25_top
     UNION ALL
-    SELECT 'hybrid', doc_id, NULL, NULL, bm25_rank, ann_rank, rrf_score, NULL
+    SELECT 'hybrid', doc_id, NULL, NULL, bm25_rank, ann_rank, rrf_score, NULL,
+           NULL, NULL, NULL, NULL, NULL
     FROM fused
     UNION ALL
-    SELECT 'phrase', doc_id, NULL, NULL, NULL, NULL, NULL, n_matches
+    SELECT 'phrase', doc_id, NULL, NULL, NULL, NULL, NULL, n_matches,
+           NULL, NULL, NULL, NULL, NULL
     FROM ph_top
-    ORDER BY branch, doc_id
+    UNION ALL
+    SELECT 'eval', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           query_id, n_rel, recall_at_k, mrr, ndcg
+    FROM eeval
+    ORDER BY branch, doc_id, query_id
     """
 
 
@@ -129,16 +230,36 @@ def _duck_retrieval_sql() -> str:
         "slots land there; candidate-bounded counts only). The stored "
         "inverted index (generational layout, replay-safe appends, "
         "transitive-_FOLDED compaction, positional phrase probe) "
-        "returns identical rows — pinned in tests/test_search.py."
+        "returns identical rows — pinned in tests/test_search.py. "
+        "Round 9 packs the retrieval-quality harness in as the 'eval' "
+        "branch: recall@10 / MRR / nDCG@10 per query over a 4-query "
+        "set against graded term-overlap qrels "
+        "(operators/search.py::retrieval_eval — one term-filtered "
+        "corpus scan for the whole query set, broadcast idf, per-query "
+        "rank windows over term-matched candidates, metric folds on "
+        "bounded shortlists)."
     ),
 )
 def search_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.search import bm25_search, hybrid_search_rrf, phrase_search
+    from ..operators.search import (
+        bm25_search,
+        hybrid_search_rrf,
+        phrase_search,
+        retrieval_eval,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
     nul_l = F.lit(None).cast("long")
     nul_d = F.lit(None).cast("double")
+    nul_s = F.lit(None).cast("string")
+    eval_nulls = [
+        nul_s.alias("query_id"),
+        nul_l.alias("n_rel"),
+        nul_d.alias("recall_at_k"),
+        nul_d.alias("mrr"),
+        nul_d.alias("ndcg"),
+    ]
     b = bm25_search(d, _BM25_QUERY, k=_BM25_K).select(
         F.lit("bm25").alias("branch"),
         "doc_id",
@@ -148,6 +269,7 @@ def search_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_l.alias("ann_rank"),
         nul_d.alias("rrf_score"),
         nul_l.alias("n_matches"),
+        *eval_nulls,
     )
     h = hybrid_search_rrf(
         d, e, _BM25_QUERY, _RRF_VEC, kb=_RRF_KB, ka=_RRF_KA, k=_RRF_K, c=_RRF_C
@@ -160,6 +282,7 @@ def search_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ann_rank").cast("long"),
         "rrf_score",
         nul_l.alias("n_matches"),
+        *eval_nulls,
     )
     p = phrase_search(d, _PHRASE, k=_PHRASE_K).select(
         F.lit("phrase").alias("branch"),
@@ -170,5 +293,28 @@ def search_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_l.alias("ann_rank"),
         nul_d.alias("rrf_score"),
         "n_matches",
+        *eval_nulls,
     )
-    return b.unionByName(h).unionByName(p).orderBy("branch", "doc_id")
+    ev = retrieval_eval(
+        d, _EVAL_QUERIES, k=_EVAL_K, rel_threshold=_EVAL_THR, rel_cap=_EVAL_CAP
+    ).select(
+        F.lit("eval").alias("branch"),
+        nul_l.alias("doc_id"),
+        nul_l.alias("n_terms_matched"),
+        nul_d.alias("score"),
+        nul_l.alias("bm25_rank"),
+        nul_l.alias("ann_rank"),
+        nul_d.alias("rrf_score"),
+        nul_l.alias("n_matches"),
+        "query_id",
+        "n_rel",
+        "recall_at_k",
+        "mrr",
+        "ndcg",
+    )
+    return (
+        b.unionByName(h)
+        .unionByName(p)
+        .unionByName(ev)
+        .orderBy("branch", "doc_id", "query_id")
+    )

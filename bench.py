@@ -120,7 +120,7 @@ def main() -> None:
         # though the filter prunes the bpe leg's execution — compare the
         # 'lm' branch across rounds, not against a standalone LM run
         "text_lm_bpe": ("branch", ["bpe", "lm"]),
-        "search_retrieval": ("branch", ["bm25", "hybrid", "phrase"]),
+        "search_retrieval": ("branch", ["bm25", "hybrid", "phrase", "eval"]),
         # same caveat: text_quality's pagerank branch executes its
         # iterative joins at plan-build time (eager rank checkpoints),
         # so the 'doc' branch timing includes them — compare branches

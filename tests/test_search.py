@@ -401,3 +401,99 @@ def test_mmr_rerank_is_bounded_by_contract(spark):
         mmr_rerank(cands, embs, k=5, max_candidates=10)
     out = mmr_rerank(cands, embs, k=5, max_candidates=100).collect()
     assert len(out) == 5 and out[0]["rel"] == 49.0
+
+
+# ------------------------------------------------------------ retrieval eval
+
+
+def _eval_df(spark, docs, queries, **kw):
+    from adsb_clickhouse_spark.operators.search import retrieval_eval
+
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = retrieval_eval(d, queries, **kw).collect()
+    return {r["query_id"]: r for r in out}
+
+
+def test_retrieval_eval_hand_computed(spark):
+    """3 docs, one query 'cat dog', threshold 2, cap 6, k 2.
+    rel: d1 = min(2+1, 6)=3, d2 = min(1,6)=1 (<thr), d3 = min(2+2,6)=4.
+    relevant = {d1 (rel 3), d3 (rel 4)} -> n_rel 2, ideal = [d3, d1].
+    BM25 ranks d1 vs d3 by tf/length; with k=2 both relevant docs are
+    in the top-2 either way -> recall 1.0, mrr 1.0; ndcg depends on
+    whether BM25 agrees with the ideal (it ranks d3 first: higher tf,
+    shorter) -> dcg == idcg -> 1.0."""
+    docs = [
+        (1, "cat cat dog fish"),
+        (2, "dog bird bird bird"),
+        (3, "cat cat dog dog"),
+    ]
+    m = _eval_df(spark, docs, {"q": "cat dog"}, k=2, rel_threshold=2, rel_cap=6)
+    r = m["q"]
+    assert r["n_rel"] == 2
+    assert r["recall_at_k"] == 1.0
+    assert r["mrr"] == 1.0
+    assert r["ndcg"] == 1.0
+
+
+def test_retrieval_eval_imperfect_ranking_ndcg_below_one(spark):
+    """A long spammy doc holds max graded rel (capped Σtf) but BM25's
+    length normalization ranks a short doc above it -> the realized
+    DCG ordering differs from the ideal and nDCG < 1."""
+    docs = [
+        (1, "cat dog " * 3 + "x y z " * 60),  # rel capped, long -> low BM25
+        (2, "cat dog"),                        # rel 2, short -> high BM25
+        (3, "bird"),
+    ]
+    m = _eval_df(spark, docs, {"q": "cat dog"}, k=2, rel_threshold=2, rel_cap=4)
+    r = m["q"]
+    assert r["n_rel"] == 2 and r["recall_at_k"] == 1.0
+    assert r["mrr"] == 1.0  # top-1 (doc 2) is relevant
+    assert 0.0 < r["ndcg"] < 1.0
+
+
+def test_retrieval_eval_no_relevant_docs_zero_metrics(spark):
+    docs = [(1, "cat"), (2, "dog")]  # one occurrence each < threshold
+    m = _eval_df(spark, docs, {"q": "cat dog"}, k=5, rel_threshold=3)
+    r = m["q"]
+    assert r["n_rel"] == 0
+    assert r["recall_at_k"] == 0.0 and r["mrr"] == 0.0 and r["ndcg"] == 0.0
+
+
+def test_retrieval_eval_mrr_counts_first_relevant_rank(spark):
+    """Two short sub-threshold docs outrank the only relevant doc by
+    BM25 length normalization (tf saturation: doubled tf in a 4x longer
+    doc scores lower per term) -> first relevant lands at rank 3 and
+    mrr = round(1/3, 6)."""
+    docs = [
+        (1, "cat dog"),                     # Σtf 2 < thr, short, high BM25
+        (2, "cat dog"),
+        (3, "cat cat dog dog x x x x"),     # Σtf 4 = relevant, diluted
+    ]
+    m = _eval_df(spark, docs, {"q": "cat dog"}, k=3, rel_threshold=4)
+    r = m["q"]
+    assert r["n_rel"] == 1 and r["recall_at_k"] == 1.0
+    assert r["mrr"] == round(1.0 / 3.0, 6)
+
+
+def test_retrieval_eval_multi_query_independent(spark):
+    """Metrics for one query are unaffected by adding another query."""
+    docs = [(1, "cat cat dog dog"), (2, "dog dog bird bird"), (3, "fish")]
+    solo = _eval_df(spark, docs, {"qa": "cat dog"}, k=2, rel_threshold=2)
+    both = _eval_df(
+        spark, docs, {"qa": "cat dog", "qb": "bird fish"}, k=2, rel_threshold=2
+    )
+    for f in ("n_rel", "recall_at_k", "mrr", "ndcg"):
+        assert solo["qa"][f] == both["qa"][f]
+    assert set(both) == {"qa", "qb"}
+
+
+def test_retrieval_eval_rejects_empty_inputs(spark):
+    import pytest as _pytest
+
+    from adsb_clickhouse_spark.operators.search import retrieval_eval
+
+    d = spark.createDataFrame([(1, "cat")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="non-empty"):
+        retrieval_eval(d, {})
+    with _pytest.raises(ValueError, match="no tokens"):
+        retrieval_eval(d, {"q": "!!!"})
