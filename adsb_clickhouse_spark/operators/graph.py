@@ -48,6 +48,9 @@ DAMPING_NUM = 17
 DAMPING_DEN = 20
 
 
+MAX_SEEDS = 10_000
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -56,6 +59,7 @@ def pagerank(
     dst_col: str = "dst",
     scale: int = PAGERANK_SCALE,
     checkpoint: bool = True,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over ``edges``: returns (``node``,
     ``rank_fp``) where ``rank_fp`` is the rank in integer
@@ -84,9 +88,31 @@ def pagerank(
     False leaves the ranks lazy, so the plan carries 2^T copies of the
     node-sized rank chain — measurably cheaper than T eager checkpoint
     jobs for small T over small graphs, exponential poison for large T.
+
+    ``seeds`` switches the operator to TrustRank (Gyöngyi et al., VLDB
+    2004): the teleport mass — the damping base, the dangling
+    redistribution, and the initial ranks — lands ONLY on the seed
+    nodes (split evenly), so trust flows outward from a hand-vetted
+    domain list and nodes unreachable from any seed converge to rank 0:
+    the spam-demotion prior of web curation, next to unseeded
+    PageRank's popularity prior. Seeds are DIMENSION data (a vetted
+    list, not a corpus): they compile into the plan as an IN-list, so
+    the count is enforced at ``MAX_SEEDS`` and every seed must exist in
+    the graph (checked with one bounded action).
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    seed_list: list | None = None
+    if seeds is not None:
+        seed_list = list(dict.fromkeys(seeds))
+        if not seed_list:
+            raise ValueError("seeds must be non-empty when given")
+        if len(seed_list) > MAX_SEEDS:
+            raise ValueError(
+                f"{len(seed_list)} seeds > MAX_SEEDS={MAX_SEEDS}; a seed "
+                "set that big is not a vetted dimension list — use a "
+                "broadcast-join variant"
+            )
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     # loop-invariant tables are pinned ONCE regardless of `checkpoint`
     # (which governs only the per-round rank lineage): without this, the
@@ -111,7 +137,25 @@ def pagerank(
     # the node-sized rank table moves per round
     eo = e.join(outdeg, "src").repartition("src").localCheckpoint(eager=True)
 
-    ranks = nodes.withColumn("rank_fp", F.lit(int(scale // n)).cast("long"))
+    if seed_list is None:
+        n_t = n
+        on_teleport = F.lit(True)
+    else:
+        n_t = len(seed_list)
+        on_teleport = F.col("node").isin(seed_list)
+        found = nodes.filter(on_teleport).count()
+        if found != n_t:
+            raise ValueError(
+                f"{n_t - found} seed(s) are not nodes of the graph"
+            )
+    base_lit = ((DAMPING_DEN - DAMPING_NUM) * scale) // (DAMPING_DEN * n_t)
+
+    ranks = nodes.withColumn(
+        "rank_fp",
+        F.when(on_teleport, F.lit(int(scale // n_t)))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
     for _ in range(int(iterations)):
         inflow = (
             eo.join(ranks, eo["src"] == ranks["node"])
@@ -128,16 +172,19 @@ def pagerank(
             ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
             .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("dm"))
         )
+        teleport = F.when(
+            on_teleport,
+            F.lit(base_lit)
+            + F.expr(f"({DAMPING_NUM} * dm) div ({DAMPING_DEN} * {n_t})"),
+        ).otherwise(F.lit(0))
         ranks = (
             nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (
-                    F.lit(((DAMPING_DEN - DAMPING_NUM) * scale) // (DAMPING_DEN * n)).cast("long")
-                    + F.expr(f"({DAMPING_NUM} * dm) div ({DAMPING_DEN} * {n})")
-                    + F.coalesce(F.col("inflow"), F.lit(0))
-                ).cast("long").alias("rank_fp"),
+                (teleport + F.coalesce(F.col("inflow"), F.lit(0)))
+                .cast("long")
+                .alias("rank_fp"),
             )
         )
         if checkpoint:
@@ -150,18 +197,22 @@ def pagerank_py(
     *,
     iterations: int = 5,
     scale: int = PAGERANK_SCALE,
+    seeds: list | None = None,
 ) -> dict[object, int]:
     """Pure-Python reference twin of :func:`pagerank` for tests —
-    identical integer arithmetic, no Spark."""
+    identical integer arithmetic (incl. the TrustRank seeded-teleport
+    mode), no Spark."""
     nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
     n = len(nodes)
     if n == 0:
         return {}
+    tele = set(nodes) if seeds is None else set(seeds)
+    n_t = len(tele)
     outdeg: dict[object, int] = {}
     for u, _ in edges:
         outdeg[u] = outdeg.get(u, 0) + 1
-    ranks = {v: scale // n for v in nodes}
-    base = ((DAMPING_DEN - DAMPING_NUM) * scale) // (DAMPING_DEN * n)
+    ranks = {v: (scale // n_t if v in tele else 0) for v in nodes}
+    base = ((DAMPING_DEN - DAMPING_NUM) * scale) // (DAMPING_DEN * n_t)
     for _ in range(iterations):
         inflow: dict[object, int] = {}
         for u, v in edges:
@@ -169,6 +220,9 @@ def pagerank_py(
                 DAMPING_DEN * outdeg[u]
             )
         dm = sum(r for v, r in ranks.items() if v not in outdeg)
-        share = (DAMPING_NUM * dm) // (DAMPING_DEN * n)
-        ranks = {v: base + share + inflow.get(v, 0) for v in nodes}
+        share = (DAMPING_NUM * dm) // (DAMPING_DEN * n_t)
+        ranks = {
+            v: (base + share if v in tele else 0) + inflow.get(v, 0)
+            for v in nodes
+        }
     return ranks

@@ -79,3 +79,53 @@ def test_pagerank_per_iteration_exchange_is_rank_sized(spark):
     )
     plan = pagerank(df, iterations=2, checkpoint=False)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------- trustrank
+
+
+def test_trustrank_matches_python_twin_exactly(spark):
+    edges = [
+        ("seed", "a"), ("a", "b"), ("b", "seed"),
+        ("spamhub", "spam1"), ("spam1", "spamhub"),
+        ("a", "sink"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, iterations=4, seeds=["seed"]).collect()
+    }
+    want = pagerank_py(edges, iterations=4, seeds=["seed"])
+    assert got == want
+
+
+def test_trustrank_unreachable_spam_cluster_gets_zero(spark):
+    """The TrustRank property: nodes with no path from any seed hold
+    rank 0 exactly (integer arithmetic — no epsilon leakage)."""
+    edges = [
+        ("seed", "a"), ("a", "b"),
+        ("spamhub", "spam1"), ("spam1", "spamhub"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, iterations=5, seeds=["seed"]).collect()
+    }
+    assert got["spamhub"] == 0 and got["spam1"] == 0
+    assert got["seed"] > 0 and got["a"] > 0 and got["b"] > 0
+    # (no hop-distance rank inequality asserted: a 3-node chain whose
+    # tail is dangling OSCILLATES at small fixed iteration counts — the
+    # bit-exact twin test above pins the arithmetic instead)
+    assert got == pagerank_py(edges, iterations=5, seeds=["seed"])
+
+
+def test_trustrank_seed_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="not nodes"):
+        pagerank(df, seeds=["nope"])
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank(df, seeds=[])
+    from adsb_clickhouse_spark.operators.graph import MAX_SEEDS
+
+    with pytest.raises(ValueError, match="MAX_SEEDS"):
+        pagerank(df, seeds=[f"s{i}" for i in range(MAX_SEEDS + 1)])
