@@ -17,7 +17,14 @@ below the top few, second-order effects — who links you, not how many —
 legitimately reorder near-ties) and total rank mass must equal the
 fixed-point scale minus bounded floor drift.
 
-Usage: python tools/bench_pagerank_scale.py [n_edges] [n_nodes]
+``--trust`` switches to the TrustRank mode: the same graph plus a
+DISCONNECTED 100k-edge spam component (node ids >= n_nodes, no path
+from any seed), seeds = the 10 biggest legitimate hubs. Verified
+planted truth: every spam node holds rank EXACTLY 0 after 5 rounds
+(integer teleport leaks no epsilon into unreachable components), while
+the legitimate component carries all the mass.
+
+Usage: python tools/bench_pagerank_scale.py [--trust] [n_edges] [n_nodes]
 Prints one JSON line; headline numbers live in README's measured scale
 behavior table.
 """
@@ -32,8 +39,10 @@ sys.path.insert(0, ".")
 
 
 def main() -> int:
-    n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
-    n_nodes = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    args = [a for a in sys.argv[1:] if a != "--trust"]
+    trust = "--trust" in sys.argv[1:]
+    n_edges = int(args[0]) if len(args) > 0 else 5_000_000
+    n_nodes = int(args[1]) if len(args) > 1 else 500_000
     iters = 5
 
     from pyspark.sql import functions as F
@@ -55,24 +64,43 @@ def main() -> int:
         (F.col("id") * F.lit(40503) % F.lit(n_nodes)).alias("src"),
         F.floor(F.lit(float(n_nodes)) * F.pow(u, F.lit(4.0))).cast("long").alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
+    seeds = None
+    if trust:
+        # disconnected spam ring: ids >= n_nodes, unreachable from seeds
+        spam = spark.range(100_000).select(
+            (F.col("id") + F.lit(n_nodes)).alias("src"),
+            (
+                (F.col("id") + 1) % F.lit(100_000) + F.lit(n_nodes)
+            ).alias("dst"),
+        )
+        edges = edges.union(spam)
+        seeds = list(range(10))
     edges = edges.localCheckpoint(eager=True)  # exclude generation cost
     n_e = edges.count()
 
     t0 = time.time()
-    ranks = pagerank(edges, iterations=iters)
+    ranks = pagerank(edges, iterations=iters, seeds=seeds)
     build_s = time.time() - t0
 
     t0 = time.time()
     top = ranks.orderBy(F.desc("rank_fp"), "node").limit(10).collect()
     total = ranks.agg(F.sum("rank_fp")).collect()[0][0]
+    spam_mass = (
+        ranks.filter(F.col("node") >= n_nodes)
+        .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)))
+        .collect()[0][0]
+        if trust
+        else None
+    )
     read_s = time.time() - t0
 
     top_ids = [r["node"] for r in top]
     drift = PAGERANK_SCALE - total
 
-    print(json.dumps({
+    out = {
+        "mode": "trustrank" if trust else "pagerank",
         "n_edges": n_e,
-        "n_nodes": n_nodes,
+        "n_nodes": n_nodes + (100_000 if trust else 0),
         "iterations": iters,
         "pagerank_total_sec": round(build_s, 1),
         "per_iteration_sec": round(build_s / iters, 2),
@@ -80,7 +108,11 @@ def main() -> int:
         "top3_is_012_in_order": top_ids[:3] == [0, 1, 2],
         "top1_rank_share_pct": round(100.0 * top[0]["rank_fp"] / PAGERANK_SCALE, 2),
         "mass_drift_ppm": round(1e6 * drift / PAGERANK_SCALE, 3),
-    }))
+    }
+    if trust:
+        out["spam_component_rank_total"] = spam_mass
+        out["spam_exactly_zero"] = spam_mass == 0
+    print(json.dumps(out))
     return 0
 
 
