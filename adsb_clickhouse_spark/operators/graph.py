@@ -102,17 +102,61 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    seed_list: list | None = None
-    if seeds is not None:
-        seed_list = list(dict.fromkeys(seeds))
-        if not seed_list:
-            raise ValueError("seeds must be non-empty when given")
-        if len(seed_list) > MAX_SEEDS:
+    return pagerank_multi(
+        edges,
+        teleports={"rank_fp": seeds},
+        iterations=iterations,
+        src_col=src_col,
+        dst_col=dst_col,
+        scale=scale,
+        checkpoint=checkpoint,
+    )
+
+
+def pagerank_multi(
+    edges: DataFrame,
+    *,
+    teleports: dict[str, list | None],
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = PAGERANK_SCALE,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Run SEVERAL teleport distributions through ONE rank propagation:
+    ``teleports`` maps an output column name to its seed list (None =
+    uniform teleport, i.e. classic PageRank). Returns (``node``, one
+    integer rank column per name).
+
+    This is the batched personalized-PageRank shape: the k rank vectors
+    share every join and aggregate — the per-round edge⋈rank join, the
+    per-dst reduce, and the dangling-mass aggregate each run ONCE with k
+    columns instead of k times with one — so evaluating PageRank and a
+    TrustRank (or k per-topic teleports) costs one propagation, not k.
+    All arithmetic is the fixed-point integer law of :func:`pagerank`,
+    per column.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not teleports:
+        raise ValueError("teleports must be a non-empty {name: seeds} dict")
+    names = list(teleports)
+    seed_lists: dict[str, list | None] = {}
+    for name, seeds in teleports.items():
+        if seeds is None:
+            seed_lists[name] = None
+            continue
+        sl = list(dict.fromkeys(seeds))
+        if not sl:
+            raise ValueError(f"seeds for {name!r} must be non-empty when given")
+        if len(sl) > MAX_SEEDS:
             raise ValueError(
-                f"{len(seed_list)} seeds > MAX_SEEDS={MAX_SEEDS}; a seed "
-                "set that big is not a vetted dimension list — use a "
+                f"{len(sl)} seeds for {name!r} > MAX_SEEDS={MAX_SEEDS}; a "
+                "seed set that big is not a vetted dimension list — use a "
                 "broadcast-join variant"
             )
+        seed_lists[name] = sl
+
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     # loop-invariant tables are pinned ONCE regardless of `checkpoint`
     # (which governs only the per-round rank lineage): without this, the
@@ -126,7 +170,10 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+        out = nodes
+        for name in names:
+            out = out.withColumn(name, F.lit(0).cast("long"))
+        return out
     outdeg = (
         e.groupBy("src")
         .agg(F.count("*").alias("outdeg"))
@@ -137,55 +184,93 @@ def pagerank(
     # the node-sized rank table moves per round
     eo = e.join(outdeg, "src").repartition("src").localCheckpoint(eager=True)
 
-    if seed_list is None:
-        n_t = n
-        on_teleport = F.lit(True)
-    else:
-        n_t = len(seed_list)
-        on_teleport = F.col("node").isin(seed_list)
-        found = nodes.filter(on_teleport).count()
-        if found != n_t:
-            raise ValueError(
-                f"{n_t - found} seed(s) are not nodes of the graph"
-            )
-    base_lit = ((DAMPING_DEN - DAMPING_NUM) * scale) // (DAMPING_DEN * n_t)
+    n_ts: dict[str, int] = {}
+    conds: dict[str, object] = {}
+    for name in names:
+        sl = seed_lists[name]
+        if sl is None:
+            n_ts[name] = n
+            conds[name] = F.lit(True)
+        else:
+            n_ts[name] = len(sl)
+            conds[name] = F.col("node").isin(sl)
+    missing_checks = [
+        (name, seed_lists[name])
+        for name in names
+        if seed_lists[name] is not None
+    ]
+    if missing_checks:
+        found = nodes.agg(
+            *[
+                F.count(F.when(conds[name], 1)).alias(name)
+                for name, _ in missing_checks
+            ]
+        ).collect()[0]
+        for name, sl in missing_checks:
+            if found[name] != len(sl):
+                raise ValueError(
+                    f"{len(sl) - found[name]} seed(s) for {name!r} are "
+                    "not nodes of the graph"
+                )
 
-    ranks = nodes.withColumn(
-        "rank_fp",
-        F.when(on_teleport, F.lit(int(scale // n_t)))
-        .otherwise(F.lit(0))
-        .cast("long"),
+    ranks = nodes.select(
+        "node",
+        *[
+            F.when(conds[name], F.lit(int(scale // n_ts[name])))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(name)
+            for name in names
+        ],
     )
     for _ in range(int(iterations)):
         inflow = (
             eo.join(ranks, eo["src"] == ranks["node"])
             .select(
                 "dst",
-                F.expr(
-                    f"({DAMPING_NUM} * rank_fp) div ({DAMPING_DEN} * outdeg)"
-                ).alias("contrib"),
+                *[
+                    F.expr(
+                        f"({DAMPING_NUM} * {name}) div ({DAMPING_DEN} * outdeg)"
+                    ).alias(name)
+                    for name in names
+                ],
             )
             .groupBy("dst")
-            .agg(F.sum("contrib").alias("inflow"))
+            .agg(*[F.sum(name).alias(name) for name in names])
         )
         dangling = (
             ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("dm"))
-        )
-        teleport = F.when(
-            on_teleport,
-            F.lit(base_lit)
-            + F.expr(f"({DAMPING_NUM} * dm) div ({DAMPING_DEN} * {n_t})"),
-        ).otherwise(F.lit(0))
-        ranks = (
-            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (teleport + F.coalesce(F.col("inflow"), F.lit(0)))
-                .cast("long")
-                .alias("rank_fp"),
+            .agg(
+                *[
+                    F.coalesce(F.sum(name), F.lit(0)).alias(f"_dm_{name}")
+                    for name in names
+                ]
             )
+        )
+        joined = nodes.join(
+            inflow, nodes["node"] == inflow["dst"], "left"
+        ).crossJoin(F.broadcast(dangling))
+        ranks = joined.select(
+            "node",
+            *[
+                (
+                    F.when(
+                        conds[name],
+                        F.lit(
+                            ((DAMPING_DEN - DAMPING_NUM) * scale)
+                            // (DAMPING_DEN * n_ts[name])
+                        )
+                        + F.expr(
+                            f"({DAMPING_NUM} * _dm_{name}) "
+                            f"div ({DAMPING_DEN} * {n_ts[name]})"
+                        ),
+                    ).otherwise(F.lit(0))
+                    + F.coalesce(inflow[name], F.lit(0))
+                )
+                .cast("long")
+                .alias(name)
+                for name in names
+            ],
         )
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)

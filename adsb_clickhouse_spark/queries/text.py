@@ -233,6 +233,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_EDGE_SALT = 97
 _PR_DST_MOD = 20
 _PR_ITERS = 5
+_PR_N_SEEDS = 2
 
 
 def _duck_pagerank_ctes(iters: int = _PR_ITERS) -> str:
@@ -279,6 +280,39 @@ def _duck_pagerank_ctes(iters: int = _PR_ITERS) -> str:
             f"+ coalesce(inflow, 0) AS BIGINT) AS rank_fp "
             f"FROM pn CROSS JOIN pnn CROSS JOIN dm{i} "
             f"LEFT JOIN inf{i} ON pn.node = inf{i}.node)"
+        )
+    # TrustRank chain: same edge table, teleport mass lands only on the
+    # seed set — the TWO lexicographically-smallest nodes, derived from
+    # the data identically in both engines (the Spark wrapper collects
+    # the same bounded 2-row list). n_t = 2 folds into the literals.
+    n_t = _PR_N_SEEDS
+    base_t = ((dd - dn) * sc) // (dd * n_t)
+    seed_cond = "node IN (SELECT node FROM tsd)"
+    parts.append(f"tsd AS (SELECT node FROM pn ORDER BY node LIMIT {n_t})")
+    parts.append(
+        f"tr0 AS (SELECT node, CAST(CASE WHEN {seed_cond} "
+        f"THEN {sc // n_t} ELSE 0 END AS BIGINT) AS rank_fp FROM pn)"
+    )
+    for i in range(1, iters + 1):
+        p = f"tr{i - 1}"
+        parts.append(
+            f"tinf{i} AS (SELECT pe.dst AS node, "
+            f"CAST(sum(({dn} * r.rank_fp) // ({dd} * pod.outdeg)) AS BIGINT) AS inflow "
+            f"FROM pe JOIN {p} r ON pe.src = r.node "
+            f"JOIN pod ON pe.src = pod.src GROUP BY 1)"
+        )
+        parts.append(
+            f"tdm{i} AS (SELECT CAST(coalesce(sum(r.rank_fp), 0) AS BIGINT) AS dm "
+            f"FROM {p} r LEFT JOIN pod ON r.node = pod.src "
+            f"WHERE pod.src IS NULL)"
+        )
+        parts.append(
+            f"tr{i} AS (SELECT pn.node, "
+            f"CAST(CASE WHEN pn.node IN (SELECT node FROM tsd) "
+            f"THEN {base_t} + ({dn} * dm) // ({dd} * {n_t}) ELSE 0 END "
+            f"+ coalesce(inflow, 0) AS BIGINT) AS rank_fp "
+            f"FROM pn CROSS JOIN tdm{i} "
+            f"LEFT JOIN tinf{i} ON pn.node = tinf{i}.node)"
         )
     return ",\n    ".join(parts)
 
@@ -327,6 +361,10 @@ def _duck_quality_sql() -> str:
     SELECT 'pagerank', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
            NULL, NULL, NULL, NULL, node, rank_fp
     FROM pr{_PR_ITERS}
+    UNION ALL
+    SELECT 'trustrank', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, node, rank_fp
+    FROM tr{_PR_ITERS}
     ORDER BY branch, doc_id, node
     """
 
@@ -369,7 +407,7 @@ def _duck_quality_sql() -> str:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.texttools import salted_md5_long
     from ..operators.curation import dedup_aware_split, quality_signals
-    from ..operators.graph import pagerank
+    from ..operators.graph import pagerank_multi
 
     d = load_table(spark, sf_dir, "documents")
     nul_s = F.lit(None).cast("string")
@@ -395,31 +433,63 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
     )
-    # default per-round checkpointing: with the loop invariants pinned
-    # inside the operator, 5 eager rank checkpoints (2.2 s) beat the
-    # lazy 2^5-chain plan (8.5 s of tiny-task storms) at local[32]/32.
-    pr = pagerank(edges, iterations=_PR_ITERS).select(
-        F.lit("pagerank").alias("branch"),
-        nul_l.alias("doc_id"),
-        *[
-            nul_d.alias(c)
-            for c in (
-                "stopword_ratio",
-                "unique_ratio",
-                "mean_token_len",
-                "top_bigram_frac",
-                "dup_bigram_frac",
-                "quality_score",
-            )
-        ],
-        nul_s.alias("bag_fingerprint"),
-        nul_s.alias("exact_fingerprint"),
-        F.lit(None).cast("int").alias("split_bucket"),
-        nul_s.alias("split"),
-        "node",
-        "rank_fp",
+    def _rank_branch(tag: str, ranks: DataFrame) -> DataFrame:
+        return ranks.select(
+            F.lit(tag).alias("branch"),
+            nul_l.alias("doc_id"),
+            *[
+                nul_d.alias(c)
+                for c in (
+                    "stopword_ratio",
+                    "unique_ratio",
+                    "mean_token_len",
+                    "top_bigram_frac",
+                    "dup_bigram_frac",
+                    "quality_score",
+                )
+            ],
+            nul_s.alias("bag_fingerprint"),
+            nul_s.alias("exact_fingerprint"),
+            F.lit(None).cast("int").alias("split_bucket"),
+            nul_s.alias("split"),
+            "node",
+            "rank_fp",
+        )
+
+    # trustrank seeds = the two lexicographically-smallest nodes, derived
+    # from the data so the oracle's `ORDER BY node LIMIT 2` subquery and
+    # this bounded 2-row collect always agree on any corpus
+    seeds = [
+        r["node"]
+        for r in (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .orderBy("node")
+            .limit(_PR_N_SEEDS)
+            .collect()
+        )
+    ]
+    # ONE joint propagation carries both teleport distributions as two
+    # rank columns (pagerank_multi): every per-round join/aggregate runs
+    # once, not per mode. Default per-round checkpointing: with the loop
+    # invariants pinned inside the operator, eager rank checkpoints beat
+    # the lazy 2^T-chain plan (tiny-task storms) at local[32]/32.
+    both = pagerank_multi(
+        edges,
+        teleports={"rank_fp": None, "_trust_fp": seeds},
+        iterations=_PR_ITERS,
+    ).localCheckpoint(eager=True)
+    pr = _rank_branch("pagerank", both.select("node", "rank_fp"))
+    tr = _rank_branch(
+        "trustrank",
+        both.select("node", F.col("_trust_fp").alias("rank_fp")),
     )
-    return doc.unionByName(pr).orderBy("branch", "doc_id", "node")
+    return (
+        doc.unionByName(pr)
+        .unionByName(tr)
+        .orderBy("branch", "doc_id", "node")
+    )
 
 
 _CHUNK_TOKENS = 32

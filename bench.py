@@ -125,7 +125,7 @@ def main() -> None:
         # iterative joins at plan-build time (eager rank checkpoints),
         # so the 'doc' branch timing includes them — compare branches
         # across rounds, not against a standalone doc-signals run
-        "text_quality": ("branch", ["doc", "pagerank"]),
+        "text_quality": ("branch", ["doc", "pagerank", "trustrank"]),
         "mm_decode_metadata": ("branch", ["decode", "phash", "phash_valve"]),
     }
     branch_timings: dict[str, float] = {}

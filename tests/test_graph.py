@@ -129,3 +129,36 @@ def test_trustrank_seed_validation(spark):
 
     with pytest.raises(ValueError, match="MAX_SEEDS"):
         pagerank(df, seeds=[f"s{i}" for i in range(MAX_SEEDS + 1)])
+
+
+def test_pagerank_multi_matches_single_runs_bit_exactly(spark):
+    """The batched propagation (k rank columns through one set of
+    joins) must equal k independent single runs — per column, bit
+    exact."""
+    from adsb_clickhouse_spark.operators.graph import pagerank_multi
+
+    edges = [
+        ("seed", "a"), ("a", "b"), ("b", "seed"), ("a", "sink"),
+        ("x", "y"), ("y", "x"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    both = {
+        r["node"]: (r["pr"], r["tr"])
+        for r in pagerank_multi(
+            df, teleports={"pr": None, "tr": ["seed"]}, iterations=4
+        ).collect()
+    }
+    pr = pagerank_py(edges, iterations=4)
+    tr = pagerank_py(edges, iterations=4, seeds=["seed"])
+    assert {k: v[0] for k, v in both.items()} == pr
+    assert {k: v[1] for k, v in both.items()} == tr
+
+
+def test_pagerank_multi_validates_each_teleport(spark):
+    from adsb_clickhouse_spark.operators.graph import pagerank_multi
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank_multi(df, teleports={})
+    with pytest.raises(ValueError, match="'bad'"):
+        pagerank_multi(df, teleports={"ok": None, "bad": ["zz"]})
