@@ -269,6 +269,10 @@ def adsb_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
            lat0 + (lat1 - lat0) * (CAST(g - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)),
            lon0 + (lon1 - lon0) * (CAST(g - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
     FROM rgrid
+    UNION ALL
+    SELECT 'resample_locf', user_id, NULL, NULL,
+           make_timestamp(g), lat0, lon0
+    FROM rgrid
     ORDER BY branch, user_id, grid_ts
     """,
     doc=(
@@ -286,7 +290,11 @@ def adsb_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact integer-micros arithmetic in both engines; the "
         "interpolation v0 + (v1 - v0) * ((g - t0)/(t1 - t0)) is the same "
         "IEEE association on both sides, so values hash bit-identically "
-        "with no rounding."
+        "with no rounding. branch='resample_locf' (r9): the same grid "
+        "with method='locf' — last observation carried forward (step "
+        "fill, the ClickHouse WITH FILL semantics for latched columns); "
+        "values are raw pass-throughs of the bracketing report, so the "
+        "hash pins the segment/grid logic under the second fill law."
     ),
 )
 def adsb_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,23 +327,32 @@ def adsb_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (v % 90).alias("lat"),
         ((v * 7) % 180).alias("lon"),
     )
-    res = resample_track(
-        rpts,
-        interval_s=7200,
-        id_col="user_id",
-        value_cols=("lat", "lon"),
-        order_tiebreak=("event_id",),
-        max_gap_s=86400,
-    ).select(
-        F.lit("resample").alias("branch"),
-        "user_id",
-        F.lit(None).cast("long").alias("n_events"),
-        F.lit(None).cast("long").alias("n_sessions"),
-        "grid_ts",
-        "lat",
-        "lon",
+    def _res_branch(tag: str, method: str) -> DataFrame:
+        return resample_track(
+            rpts,
+            interval_s=7200,
+            id_col="user_id",
+            value_cols=("lat", "lon"),
+            order_tiebreak=("event_id",),
+            max_gap_s=86400,
+            method=method,
+        ).select(
+            F.lit(tag).alias("branch"),
+            "user_id",
+            F.lit(None).cast("long").alias("n_events"),
+            F.lit(None).cast("long").alias("n_sessions"),
+            "grid_ts",
+            "lat",
+            "lon",
+        )
+
+    res = _res_branch("resample", "linear")
+    locf = _res_branch("resample_locf", "locf")
+    return (
+        sess.unionByName(res)
+        .unionByName(locf)
+        .orderBy("branch", "user_id", "grid_ts")
     )
-    return sess.unionByName(res).orderBy("branch", "user_id", "grid_ts")
 
 
 @register(

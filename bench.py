@@ -114,7 +114,7 @@ def main() -> None:
         "dedup_ngram_jaccard": ("branch", ["pair", "cc", "decon"]),
         "adsb_rollups": ("branch", ["tumbling", "sliding"]),
         "adsb_track_distance": ("branch", ["track", "proximity", "radius", "geofence"]),
-        "adsb_sessionize": ("branch", ["sessions", "resample"]),
+        "adsb_sessionize": ("branch", ["sessions", "resample", "resample_locf"]),
         # caveat: text_lm_bpe's BPE merge LEARNING runs driver-side at
         # plan-build time, so the 'lm' branch timing includes it even
         # though the filter prunes the bpe leg's execution — compare the
