@@ -162,3 +162,37 @@ def test_pagerank_multi_validates_each_teleport(spark):
         pagerank_multi(df, teleports={})
     with pytest.raises(ValueError, match="'bad'"):
         pagerank_multi(df, teleports={"ok": None, "bad": ["zz"]})
+
+
+def test_pagerank_randomized_graphs_match_twin(spark):
+    """10 seeded random digraphs (with dangling nodes, cycles, self-ish
+    structure, multi-edges) through BOTH modes — every rank bit-equal
+    to the pure-Python integer twin. Broad-net law check in the spirit
+    of test_property_textops."""
+    import random
+
+    from adsb_clickhouse_spark.operators.graph import pagerank_multi
+
+    rng = random.Random(20260815)
+    for trial in range(10):
+        n = rng.randint(2, 12)
+        m = rng.randint(1, 24)
+        edges = [
+            (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}")
+            for _ in range(m)
+        ]
+        edges = [(u, v) for u, v in edges if u != v] or [("n0", "n1")]
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        seeds = [nodes[0]]
+        iters = rng.randint(1, 4)
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["node"]: (r["pr"], r["tr"])
+            for r in pagerank_multi(
+                df, teleports={"pr": None, "tr": seeds}, iterations=iters
+            ).collect()
+        }
+        pr = pagerank_py(edges, iterations=iters)
+        tr = pagerank_py(edges, iterations=iters, seeds=seeds)
+        assert {k: v[0] for k, v in got.items()} == pr, (trial, edges)
+        assert {k: v[1] for k, v in got.items()} == tr, (trial, edges)
