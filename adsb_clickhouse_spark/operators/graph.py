@@ -49,6 +49,9 @@ DAMPING_DEN = 20
 
 
 MAX_SEEDS = 10_000
+# weighted mode: dn * scale * w must stay inside int64 —
+# 17 * 10^12 * 10^5 = 1.7e18 < 2^63 ≈ 9.2e18
+MAX_EDGE_WEIGHT = 100_000
 
 
 def pagerank(
@@ -60,6 +63,7 @@ def pagerank(
     scale: int = PAGERANK_SCALE,
     checkpoint: bool = True,
     seeds: list | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over ``edges``: returns (``node``,
     ``rank_fp``) where ``rank_fp`` is the rank in integer
@@ -110,6 +114,7 @@ def pagerank(
         dst_col=dst_col,
         scale=scale,
         checkpoint=checkpoint,
+        weight_col=weight_col,
     )
 
 
@@ -122,6 +127,7 @@ def pagerank_multi(
     dst_col: str = "dst",
     scale: int = PAGERANK_SCALE,
     checkpoint: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Run SEVERAL teleport distributions through ONE rank propagation:
     ``teleports`` maps an output column name to its seed list (None =
@@ -135,6 +141,13 @@ def pagerank_multi(
     TrustRank (or k per-topic teleports) costs one propagation, not k.
     All arithmetic is the fixed-point integer law of :func:`pagerank`,
     per column.
+
+    ``weight_col`` names an INTEGER edge-weight column (link
+    multiplicity in a host graph): edge (u→v, w) contributes
+    (17 · r(u) · w) div (20 · W(u)) where W(u) = Σ weights out of u.
+    Weights must lie in [1, ``MAX_EDGE_WEIGHT``] — validated with one
+    bounded aggregate — because 17 · scale · w must stay inside int64
+    for the exact integer law to hold.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -157,7 +170,24 @@ def pagerank_multi(
             )
         seed_lists[name] = sl
 
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    wcols = (
+        [F.col(weight_col).cast("long").alias("_w")] if weight_col else []
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), *wcols
+    )
+    if weight_col:
+        lim = e.agg(
+            F.min("_w").alias("lo"), F.max("_w").alias("hi")
+        ).collect()[0]
+        if lim["lo"] is not None and (
+            lim["lo"] < 1 or lim["hi"] > MAX_EDGE_WEIGHT
+        ):
+            raise ValueError(
+                f"edge weights must lie in [1, {MAX_EDGE_WEIGHT}], got "
+                f"[{lim['lo']}, {lim['hi']}] — the int64 overflow bound "
+                "of the exact integer law"
+            )
     # loop-invariant tables are pinned ONCE regardless of `checkpoint`
     # (which governs only the per-round rank lineage): without this, the
     # dangling-mass branch re-derives outdeg — and through it the
@@ -174,9 +204,13 @@ def pagerank_multi(
         for name in names:
             out = out.withColumn(name, F.lit(0).cast("long"))
         return out
+    # "outdeg" holds the out-MASS denominator: Σ weights when weighted,
+    # the out-edge count otherwise
     outdeg = (
         e.groupBy("src")
-        .agg(F.count("*").alias("outdeg"))
+        .agg(
+            (F.sum("_w") if weight_col else F.count("*")).alias("outdeg")
+        )
         .localCheckpoint(eager=True)
     )
     # the edge-sized table, partitioned once on src and pinned; every
@@ -230,7 +264,8 @@ def pagerank_multi(
                 "dst",
                 *[
                     F.expr(
-                        f"({DAMPING_NUM} * {name}) div ({DAMPING_DEN} * outdeg)"
+                        f"({DAMPING_NUM} * {name}{' * _w' if weight_col else ''})"
+                        f" div ({DAMPING_DEN} * outdeg)"
                     ).alias(name)
                     for name in names
                 ],
@@ -278,7 +313,7 @@ def pagerank_multi(
 
 
 def pagerank_py(
-    edges: list[tuple[object, object]],
+    edges: list[tuple],
     *,
     iterations: int = 5,
     scale: int = PAGERANK_SCALE,
@@ -286,24 +321,24 @@ def pagerank_py(
 ) -> dict[object, int]:
     """Pure-Python reference twin of :func:`pagerank` for tests —
     identical integer arithmetic (incl. the TrustRank seeded-teleport
-    mode), no Spark."""
-    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    mode and weighted (u, v, w) edges), no Spark."""
+    tri = [(e[0], e[1], e[2] if len(e) > 2 else None) for e in edges]
+    nodes = sorted({u for u, _, _ in tri} | {v for _, v, _ in tri})
     n = len(nodes)
     if n == 0:
         return {}
     tele = set(nodes) if seeds is None else set(seeds)
     n_t = len(tele)
     outdeg: dict[object, int] = {}
-    for u, _ in edges:
-        outdeg[u] = outdeg.get(u, 0) + 1
+    for u, _, w in tri:
+        outdeg[u] = outdeg.get(u, 0) + (1 if w is None else w)
     ranks = {v: (scale // n_t if v in tele else 0) for v in nodes}
     base = ((DAMPING_DEN - DAMPING_NUM) * scale) // (DAMPING_DEN * n_t)
     for _ in range(iterations):
         inflow: dict[object, int] = {}
-        for u, v in edges:
-            inflow[v] = inflow.get(v, 0) + (DAMPING_NUM * ranks[u]) // (
-                DAMPING_DEN * outdeg[u]
-            )
+        for u, v, w in tri:
+            num = DAMPING_NUM * ranks[u] * (1 if w is None else w)
+            inflow[v] = inflow.get(v, 0) + num // (DAMPING_DEN * outdeg[u])
         dm = sum(r for v, r in ranks.items() if v not in outdeg)
         share = (DAMPING_NUM * dm) // (DAMPING_DEN * n_t)
         ranks = {

@@ -196,3 +196,62 @@ def test_pagerank_randomized_graphs_match_twin(spark):
         tr = pagerank_py(edges, iterations=iters, seeds=seeds)
         assert {k: v[0] for k, v in got.items()} == pr, (trial, edges)
         assert {k: v[1] for k, v in got.items()} == tr, (trial, edges)
+
+
+# ------------------------------------------------------------------ weighted
+
+
+def test_weighted_pagerank_matches_twin_exactly(spark):
+    edges = [
+        ("a", "b", 3), ("a", "c", 1), ("b", "a", 2),
+        ("c", "hub", 5), ("b", "hub", 1), ("hub", "a", 1),
+        ("a", "sink", 1),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, iterations=4, weight_col="w").collect()
+    }
+    assert got == pagerank_py(edges, iterations=4)
+
+
+def test_weighted_unit_weights_equal_unweighted(spark):
+    """w=1 everywhere must reproduce the unweighted law bit-exactly
+    (the denominator becomes the out-edge count)."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    unw = spark.createDataFrame(pairs, "src string, dst string")
+    wdf = spark.createDataFrame(
+        [(u, v, 1) for u, v in pairs], "src string, dst string, w long"
+    )
+    got_u = {r["node"]: r["rank_fp"] for r in pagerank(unw, iterations=3).collect()}
+    got_w = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(wdf, iterations=3, weight_col="w").collect()
+    }
+    assert got_u == got_w
+
+
+def test_weighted_heavier_edge_gets_more_mass(spark):
+    edges = [("s", "x", 9), ("s", "y", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, iterations=2, weight_col="w").collect()
+    }
+    assert got["x"] > got["y"]
+    assert got == pagerank_py(edges, iterations=2)
+
+
+def test_weighted_rejects_out_of_range_weights(spark):
+    from adsb_clickhouse_spark.operators.graph import MAX_EDGE_WEIGHT
+
+    bad = spark.createDataFrame(
+        [("a", "b", 0)], "src string, dst string, w long"
+    )
+    with pytest.raises(ValueError, match="weights must lie"):
+        pagerank(bad, weight_col="w")
+    big = spark.createDataFrame(
+        [("a", "b", MAX_EDGE_WEIGHT + 1)], "src string, dst string, w long"
+    )
+    with pytest.raises(ValueError, match="weights must lie"):
+        pagerank(big, weight_col="w")
