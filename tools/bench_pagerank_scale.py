@@ -24,7 +24,11 @@ planted truth: every spam node holds rank EXACTLY 0 after 5 rounds
 (integer teleport leaks no epsilon into unreachable components), while
 the legitimate component carries all the mass.
 
-Usage: python tools/bench_pagerank_scale.py [--trust] [n_edges] [n_nodes]
+``--weighted`` attaches integer link multiplicities (1 + id mod 100) to
+the same graph and runs the weighted law — same joins, one extra long
+column through the propagation; wall should match unweighted.
+
+Usage: python tools/bench_pagerank_scale.py [--trust|--weighted] [n_edges] [n_nodes]
 Prints one JSON line; headline numbers live in README's measured scale
 behavior table.
 """
@@ -39,8 +43,9 @@ sys.path.insert(0, ".")
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--trust"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     trust = "--trust" in sys.argv[1:]
+    weighted = "--weighted" in sys.argv[1:]
     n_edges = int(args[0]) if len(args) > 0 else 5_000_000
     n_nodes = int(args[1]) if len(args) > 1 else 500_000
     iters = 5
@@ -64,6 +69,10 @@ def main() -> int:
         (F.col("id") * F.lit(40503) % F.lit(n_nodes)).alias("src"),
         F.floor(F.lit(float(n_nodes)) * F.pow(u, F.lit(4.0))).cast("long").alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
+    if weighted:
+        edges = edges.withColumn(
+            "w", (F.pmod(F.col("src") + F.col("dst"), F.lit(100)) + 1).cast("long")
+        )
     seeds = None
     if trust:
         # disconnected spam ring: ids >= n_nodes, unreachable from seeds
@@ -79,7 +88,12 @@ def main() -> int:
     n_e = edges.count()
 
     t0 = time.time()
-    ranks = pagerank(edges, iterations=iters, seeds=seeds)
+    ranks = pagerank(
+        edges,
+        iterations=iters,
+        seeds=seeds,
+        weight_col="w" if weighted else None,
+    )
     build_s = time.time() - t0
 
     t0 = time.time()
@@ -98,7 +112,9 @@ def main() -> int:
     drift = PAGERANK_SCALE - total
 
     out = {
-        "mode": "trustrank" if trust else "pagerank",
+        "mode": "trustrank" if trust else (
+            "pagerank_weighted" if weighted else "pagerank"
+        ),
         "n_edges": n_e,
         "n_nodes": n_nodes + (100_000 if trust else 0),
         "iterations": iters,
