@@ -36,6 +36,7 @@ class AdsbEngine:
         *,
         now: datetime | None = None,
         conflict_radius_nm: float | None = None,
+        conflict_max_cell_freq: int | None = None,
         geofences: dict | None = None,
     ):
         self.spark = spark
@@ -47,6 +48,7 @@ class AdsbEngine:
                 base_dir,
                 now=now,
                 conflict_radius_nm=conflict_radius_nm,
+                conflict_max_cell_freq=conflict_max_cell_freq,
                 geofences=geofences,
             )
             for name, cfg in SOURCES.items()

@@ -448,8 +448,10 @@ def points_in_polygons(
     restricted-airspace / zone-alert query. ``polygons`` maps a polygon
     id to its vertex ring as (lat, lon) tuples (closing edge implied;
     rings must not cross the antimeridian — split such zones into two).
-    Returns the point rows (minus none) with a ``poly_id`` column, one
-    output row per (point, containing polygon).
+    Returns one output row per (point, containing polygon) with a
+    ``poly_id`` column; points contained in NO polygon are omitted
+    (the zones board wants only alerts — use your own ``explode_outer``
+    over the compacted match array if keep-all semantics are needed).
 
     Spark-first shape: geofence sets are DIMENSION data (an airspace DB
     is thousands of zones, not billions), so containment compiles into

@@ -178,8 +178,20 @@ def pagerank_multi(
     )
     if weight_col:
         lim = e.agg(
-            F.min("_w").alias("lo"), F.max("_w").alias("hi")
+            F.min("_w").alias("lo"),
+            F.max("_w").alias("hi"),
+            F.count(F.when(F.col("_w").isNull(), F.lit(1))).alias("nulls"),
         ).collect()[0]
+        if lim["nulls"]:
+            # min/max skip NULLs, so a NULL weight would otherwise slip
+            # through: its source node gets an outdeg row (NULL Σ) yet
+            # contributes no inflow — rank mass silently vanishing,
+            # diverging from the integer law and the pure-Python twin.
+            raise ValueError(
+                f"{lim['nulls']} NULL edge weight(s) in {weight_col!r}; "
+                "weights must be non-NULL integers in "
+                f"[1, {MAX_EDGE_WEIGHT}]"
+            )
         if lim["lo"] is not None and (
             lim["lo"] < 1 or lim["hi"] > MAX_EDGE_WEIGHT
         ):

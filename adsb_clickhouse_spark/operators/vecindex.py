@@ -116,6 +116,27 @@ def _assign(vectors: DataFrame, cent, *, id_col: str, vec_col: str) -> DataFrame
     return src.mapInPandas(gen, VEC_SCHEMA)
 
 
+_SEGMENT_GEN_MARKER = "_GEN_AT_APPEND"
+
+
+def _write_segment_gen(seg_dir: str, gen: str) -> None:
+    """Record which generation's centroids assigned this segment's
+    list_ids — atomic replace so readers see the old value or the new,
+    never a torn write."""
+    tmp = os.path.join(seg_dir, f".{_SEGMENT_GEN_MARKER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(gen)
+    os.replace(tmp, os.path.join(seg_dir, _SEGMENT_GEN_MARKER))
+
+
+def _segment_gen(seg_dir: str) -> str | None:
+    try:
+        with open(os.path.join(seg_dir, _SEGMENT_GEN_MARKER)) as fh:
+            return fh.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
 def _has_vectors(part: str) -> bool:
     root = os.path.join(part, "vectors")
     if not os.path.isdir(root):
@@ -168,7 +189,16 @@ def append_vector_index(
     the index prunes on the same ``list_id`` keys. Name-keyed overwrite:
     a replayed batch converges. The appended-ids-are-new contract
     belongs to the caller (the curation ingest's batch markers /
-    fingerprint store), same as the text index."""
+    fingerprint store), same as the text index.
+
+    The generation the batch was assigned under is recorded in the
+    segment (``_GEN_AT_APPEND``, written atomically AFTER the vectors so
+    a crash leaves no marker). A segment whose recorded generation
+    differs from the probe-time generation — an append that raced a
+    compaction's snapshot — is scanned WITHOUT the list_id partition
+    filter by :func:`knn_probe_stored` (segments are batch-sized, so an
+    unpruned scan of one is cheap) and folded by the next compaction,
+    so no vector is ever un-probeable; appends need no quiesce."""
     gen = _gen_name(path)
     if gen is None:
         raise RuntimeError(
@@ -177,9 +207,19 @@ def append_vector_index(
         )
     spark = vectors.sparkSession
     cent = _read_centroids(spark, path, gen)
-    out = os.path.join(path, "segments", segment, "vectors")
+    seg_dir = os.path.join(path, "segments", segment)
+    out = os.path.join(seg_dir, "vectors")
     assigned = _assign(vectors, cent, id_col=id_col, vec_col=vec_col)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(out)
+    # An all-filtered batch (every vector a cross-batch duplicate, NULL,
+    # or zero-norm) writes ZERO parquet files — only _SUCCESS — and
+    # spark.read.parquet on that dir throws UNABLE_TO_INFER_SCHEMA.
+    # Guard like the text index's _has_postings (search.py) so an empty
+    # batch is a 0-vector no-op, not a deterministic replay poison pill
+    # that fires before the caller's commit marker.
+    if not _has_vectors(seg_dir):
+        return {"segment": segment, "n_vectors": 0, "generation": gen}
+    _write_segment_gen(seg_dir, gen)
     n = spark.read.option("basePath", out).parquet(out).count()
     return {"segment": segment, "n_vectors": int(n), "generation": gen}
 
@@ -225,28 +265,52 @@ def knn_probe_stored(
         probe_rows, "query_id long, qv array<double>, list_id int"
     )
     needed = sorted({r[2] for r in probe_rows})
-    parts = [os.path.join(path, gen)] + [
-        os.path.join(path, "segments", s) for s in _live_segments(path)
-    ]
-    cand = None
-    for p in parts:
-        if not _has_vectors(p):
-            continue
-        root = os.path.join(p, "vectors")
-        nxt = (
-            spark.read.option("basePath", root)
-            .parquet(root)
-            .filter(F.col("list_id").isin(needed))
-        )
-        cand = nxt if cand is None else cand.unionByName(nxt)
-    if cand is None:
+    # Segments assigned under the CURRENT generation prune on list_id;
+    # a segment whose recorded generation differs (an append that raced
+    # a compaction — its list_ids were assigned under the old centroids,
+    # so pruning them against the new quantizer would make its vectors
+    # permanently un-probeable) or has no marker (crash before the
+    # marker landed) is scanned in full against every query. Segments
+    # are batch-sized by contract, so the unpruned scan is cheap, and
+    # the next compaction folds/re-assigns them.
+    pruned_parts, stale_parts = [os.path.join(path, gen)], []
+    for s in _live_segments(path):
+        seg_dir = os.path.join(path, "segments", s)
+        (pruned_parts if _segment_gen(seg_dir) == gen else stale_parts).append(seg_dir)
+
+    def _union_reads(dirs):
+        out = None
+        for p in dirs:
+            if not _has_vectors(p):
+                continue
+            root = os.path.join(p, "vectors")
+            nxt = spark.read.option("basePath", root).parquet(root)
+            out = nxt if out is None else out.unionByName(nxt)
+        return out
+
+    cand = _union_reads(pruned_parts)
+    stale = _union_reads(stale_parts)
+    if cand is None and stale is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, cos_sim double"
         )
+    pairs = None
+    if cand is not None:
+        pairs = (
+            cand.filter(F.col("list_id").isin(needed))
+            .join(F.broadcast(probes), "list_id")
+            .select("id", "v", "query_id", "qv")
+        )
+    if stale is not None:
+        q_df = spark.createDataFrame(
+            list({r[0]: (r[0], r[1]) for r in probe_rows}.values()),
+            "query_id long, qv array<double>",
+        )
+        stale_pairs = stale.select("id", "v").crossJoin(F.broadcast(q_df))
+        pairs = stale_pairs if pairs is None else pairs.unionByName(stale_pairs)
     dim = int(cent.shape[1])
     scored = (
-        cand.join(F.broadcast(probes), "list_id")
-        .filter(F.col("id") != F.col("query_id"))
+        pairs.filter(F.col("id") != F.col("query_id"))
         .withColumn("cos_sim", cosine(F.col("qv"), F.col("v"), dim))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("id"))

@@ -255,3 +255,19 @@ def test_weighted_rejects_out_of_range_weights(spark):
     )
     with pytest.raises(ValueError, match="weights must lie"):
         pagerank(big, weight_col="w")
+
+def test_weighted_rejects_null_weights(spark):
+    """min/max skip NULLs, so without an explicit NULL count a NULL (or
+    all-NULL) weight column would pass validation while its source
+    node's rank mass silently vanished (NULL outdeg joins, no inflow) —
+    diverging from the integer law and from pagerank_py."""
+    some_null = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", None)], "src string, dst string, w long"
+    )
+    with pytest.raises(ValueError, match="NULL edge weight"):
+        pagerank(some_null, weight_col="w")
+    all_null = spark.createDataFrame(
+        [("a", "b", None), ("b", "a", None)], "src string, dst string, w long"
+    )
+    with pytest.raises(ValueError, match="NULL edge weight"):
+        pagerank(all_null, weight_col="w")

@@ -497,3 +497,27 @@ def test_retrieval_eval_rejects_empty_inputs(spark):
         retrieval_eval(d, {})
     with _pytest.raises(ValueError, match="no tokens"):
         retrieval_eval(d, {"q": "!!!"})
+
+def test_retrieval_eval_two_stage_topk_plan(spark):
+    """The per-query rankings must execute as two-stage top-k: Spark's
+    InferWindowGroupLimit gives Partial -> Exchange -> Final
+    WindowGroupLimit, pruning every upstream partition to k rows
+    MAP-SIDE before the per-query exchange, so no task ever holds a
+    corpus-sized candidate set for a saturating query. Pin it so an
+    expression change that defeats the rule fails loudly."""
+    from adsb_clickhouse_spark.operators.search import retrieval_eval
+
+    d = spark.createDataFrame(
+        [(i, "cat dog fish") for i in range(20)], "doc_id long, text string"
+    )
+    df = retrieval_eval(d, {"q1": "cat dog"}, k=3, rel_threshold=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    partials = [ln for ln in plan.splitlines()
+                if "WindowGroupLimit" in ln and "Partial" in ln]
+    assert partials, "map-side (Partial) WindowGroupLimit missing"
+    # and the saturating-query result itself: every doc matches both
+    # terms (rel = 2 >= threshold), so n_rel = corpus and recall@3 = 3/20
+    row = df.collect()[0]
+    assert row["n_rel"] == 20 and row["recall_at_k"] == 0.15
+    assert 0.0 < row["ndcg"] <= 1.0 and row["mrr"] == 1.0

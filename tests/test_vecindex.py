@@ -18,9 +18,9 @@ def _vec(seed, dim=8):
     return [r.uniform(-1.0, 1.0) for _ in range(dim)]
 
 
-def _batch(spark, ids, seed_of):
+def _batch(spark, ids, seed_of, dim=8):
     return spark.createDataFrame(
-        [(i, _vec(seed_of(i))) for i in ids],
+        [(i, _vec(seed_of(i), dim=dim)) for i in ids],
         "vec_id long, embedding array<double>",
     )
 
@@ -177,3 +177,54 @@ def test_curation_ingest_vector_index(spark, tmp_path):
     assert len(ids) == len(set(ids)) == 2
     assert ing.compact_vector_index(spark)["folded_segments"] == 1
     assert [r["neighbor_id"] for r in ing.knn(spark, q, k=5, nprobe=2).collect()] == ids
+
+def test_empty_batch_append_is_noop_not_poison_pill(spark, tmp_path):
+    """A batch whose vectors are all filtered out (NULL/zero-norm/empty)
+    writes zero parquet files; the append must return n_vectors=0 rather
+    than crash on the schema-less read-back — otherwise the exception
+    fires before the streaming caller's commit marker and the batch is a
+    deterministic replay poison pill."""
+    path = str(tmp_path / "vidx")
+    V.init_vector_index(spark, path, dim=4, n_lists=2)
+    zero = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = V.append_vector_index(zero, path, "b0")
+    assert out["n_vectors"] == 0
+    # replay of the same empty segment converges too
+    assert V.append_vector_index(zero, path, "b0")["n_vectors"] == 0
+    empty = zero.filter("vec_id < 0")
+    assert V.append_vector_index(empty, path, "b1")["n_vectors"] == 0
+    # index stays probeable, real appends still work, compaction folds
+    V.append_vector_index(_batch(spark, range(5), lambda i: i, dim=4), path, "b2")
+    q = spark.createDataFrame([(9, _vec(2, dim=4))], "vec_id long, embedding array<double>")
+    assert V.knn_probe_stored(spark, path, q, k=5, nprobe=2).count() == 5
+    V.compact_vector_index(spark, path)
+    assert V.knn_probe_stored(spark, path, q, k=5, nprobe=2).count() == 5
+
+
+def test_stale_generation_segment_fully_probeable(spark, tmp_path):
+    """A segment whose recorded generation differs from the probe-time
+    generation (an append that raced a compaction snapshot) was assigned
+    list_ids under the OLD centroids — pruning it would make its vectors
+    permanently un-probeable. The probe must scan it in full: with
+    nprobe=1 every indexed vector must still be reachable."""
+    path = str(tmp_path / "vidx")
+    V.init_vector_index(spark, path, dim=8, n_lists=8)
+    V.append_vector_index(_batch(spark, range(40), lambda i: i), path, "b0")
+    seg_dir = os.path.join(path, "segments", "b0")
+    assert V._segment_gen(seg_dir) is not None
+    # simulate the race: the pointer moved to a generation other than
+    # the one that assigned this segment
+    V._write_segment_gen(seg_dir, "gen-before-compaction")
+    q = spark.createDataFrame([(999, _vec(3))], "vec_id long, embedding array<double>")
+    rows = V.knn_probe_stored(spark, path, q, k=40, nprobe=1).collect()
+    assert len(rows) == 40  # all 40, despite nprobe=1: no pruning on stale list_ids
+    # a missing marker (crash between vectors write and marker) is
+    # treated the same way
+    os.remove(os.path.join(seg_dir, V._SEGMENT_GEN_MARKER))
+    assert V.knn_probe_stored(spark, path, q, k=40, nprobe=1).count() == 40
+    # the next compaction re-assigns under the new quantizer and the
+    # narrow probe stays exact-complete via fresh list_ids
+    V.compact_vector_index(spark, path)
+    assert V.knn_probe_stored(spark, path, q, k=40, nprobe=8).count() == 40
