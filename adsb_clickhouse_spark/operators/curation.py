@@ -483,6 +483,12 @@ def curate_documents(
     media_max_hamming: int = 3,
     media_bands: int = 4,
     media_max_band_freq: int | None = None,
+    host_col: str | None = None,
+    host_links_col: str | None = None,
+    host_trust_seeds: list | None = None,
+    host_rank_iterations: int = 5,
+    host_min_rank_pct: float | None = None,
+    host_ranks: DataFrame | None = None,
 ) -> CurationResult:
     """Run the full curation funnel over a document corpus.
 
@@ -542,6 +548,24 @@ def curate_documents(
       banded equi-join with its ``media_max_band_freq`` valve — no new
       corpus-sized exchange beyond those keys; payload bytes never enter
       a shuffle.
+    - ``host_col`` (r10): the domain-reputation gate — the missing
+      RefinedWeb-lineage stage. The host link graph (derived from
+      ``host_links_col`` via :func:`~.graph.host_edges`, or supplied
+      precomputed through ``host_ranks`` with a ``host`` column — the
+      streaming path reads a stored generation) is ranked by ONE
+      :func:`~.graph.pagerank_multi` propagation computing PageRank and
+      (when ``host_trust_seeds`` is given) TrustRank together; the
+      node-sized rank table broadcast-joins onto the corpus as
+      ``host_pagerank_fp`` / ``host_trustrank_fp`` columns of every
+      ``scored`` row. Gates compose into the policy filter like the
+      langid/LM/classifier gates: TrustRank-zero hosts (unreachable
+      from every vetted seed — the spam prior) are dropped whenever
+      trust is computed, and ``host_min_rank_pct`` drops docs whose
+      host sits below that PageRank percentile (cutoff = one bounded
+      aggregate over the node table). Docs with NULL/unknown hosts fail
+      enabled gates. Scale shape: edge derivation is one distinct
+      shuffle, rank iterations exchange node-sized tables only, and the
+      corpus-side cost is a broadcast join — no corpus shuffle.
     - ``retention``: which member of each near-dup cluster survives —
       ``'min_id'`` (deterministic canonical id, the default) or
       ``'max_quality'`` (keep the member with the highest
@@ -621,6 +645,54 @@ def curate_documents(
             )
         scored = scored.join(clf, "doc_id")
         cond = cond & F.col("clf_keep")
+    if host_col is not None:
+        from .graph import host_edges, pagerank_multi
+
+        ranks = host_ranks
+        if ranks is None:
+            if host_links_col is None:
+                raise ValueError(
+                    "host_col given but neither host_links_col (to derive "
+                    "the host graph) nor host_ranks (a precomputed rank "
+                    "table) — nothing to rank hosts with"
+                )
+            teleports: dict[str, list | None] = {"host_pagerank_fp": None}
+            if host_trust_seeds is not None:
+                teleports["host_trustrank_fp"] = list(host_trust_seeds)
+            ranks = pagerank_multi(
+                host_edges(docs, host_col=host_col, links_col=host_links_col),
+                teleports=teleports,
+                iterations=host_rank_iterations,
+            ).withColumnRenamed("node", "__host")
+        else:
+            ranks = ranks.withColumnRenamed("host", "__host")
+        doc_hosts = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(host_col).alias("__host")
+        )
+        # the rank table is NODE-sized (hosts, not documents): broadcast
+        # it so the corpus never shuffles for this dimension join. Docs
+        # whose host is NULL or absent from the graph get NULL ranks —
+        # and FAIL any enabled host gate (no reputation signal does not
+        # pass a reputation gate; disable the gates to keep them).
+        scored = (
+            scored.join(doc_hosts, "doc_id")
+            .join(F.broadcast(ranks), "__host", "left")
+            .drop("__host")
+        )
+        if "host_trustrank_fp" in ranks.columns:
+            # TrustRank-zero = unreachable from every vetted seed — the
+            # spam-demotion prior: those hosts' documents are dropped
+            cond = cond & (F.coalesce(F.col("host_trustrank_fp"), F.lit(0)) > 0)
+        if host_min_rank_pct is not None:
+            # one bounded driver action over the node-sized rank table;
+            # percentile_approx(10k) keeps the agg buffer bounded at web
+            # host counts while being exact for dimension-sized tables
+            cutoff = ranks.agg(
+                F.percentile_approx(
+                    "host_pagerank_fp", float(host_min_rank_pct), 10_000
+                ).alias("c")
+            ).collect()[0]["c"]
+            cond = cond & (F.col("host_pagerank_fp") >= F.lit(cutoff))
     filtered = scored.filter(cond)
     if persist_filtered:
         filtered = filtered.persist()

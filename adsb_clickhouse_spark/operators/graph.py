@@ -358,3 +358,36 @@ def pagerank_py(
             for v in nodes
         }
     return ranks
+
+def host_edges(
+    docs: DataFrame,
+    *,
+    host_col: str = "source",
+    links_col: str = "out_links",
+) -> DataFrame:
+    """Derive the simple host link graph from a document corpus:
+    one (``src``, ``dst``) row per DISTINCT (document host → linked
+    host) pair, NULLs and self-links dropped. This is the edge table
+    the curation funnel's domain-reputation stage (RefinedWeb §3.1
+    lineage: score hosts, then gate documents by their host's rank)
+    feeds to :func:`pagerank_multi`.
+
+    Scale shape: one explode projection + one distinct — a single
+    shuffle on the (src, dst) key pair, output bounded by the number of
+    unique host links (~10^10 for the full web graph), after which every
+    PageRank iteration exchanges only node-sized rank tables. Distinct
+    (simple-graph) semantics deliberately: multiplicity weighting is the
+    caller's choice via ``weight_col`` on a pre-aggregated edge table.
+    """
+    return (
+        docs.select(
+            F.col(host_col).alias("src"),
+            F.explode(F.col(links_col)).alias("dst"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )

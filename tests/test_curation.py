@@ -641,3 +641,104 @@ def test_curation_media_dedup_max_quality_retention(spark):
     )
     kept = {r["doc_id"] for r in res.kept.select("doc_id").collect()}
     assert kept == {1, 2}
+
+# --------------------------------------------------------- host-graph gate
+
+
+def _mk_host_docs(spark):
+    """10 docs over a 6-host web: a vetted seed host links into a 'good'
+    cluster (seed -> good1 -> good2 -> good1), while spamA <-> spamB
+    link only each other — unreachable from the seed, so TrustRank
+    converges to exactly 0 there. 'lonely' has no links at all (absent
+    from the graph entirely)."""
+    links = {
+        "seed": ["good1"],
+        "good1": ["good2"],
+        "good2": ["good1"],
+        "spamA": ["spamB"],
+        "spamB": ["spamA"],
+        "lonely": [],
+    }
+    texts = [
+        "maps of rivers and stone bridges drawn by hand over many winters",
+        "register allocation in optimizing compilers and loop unrolling notes",
+        "a field guide to alpine wildflowers and the bees that visit them",
+        "harbor tide tables and the schedule of the evening ferry crossings",
+        "buy cheap pills now amazing deal click the link for instant offers",
+        "winners claim your prize today limited time free money guaranteed",
+        "casino bonus spins deposit match jackpot withdraw instantly today",
+        "a quiet essay on letter writing and the slowness of paper mail",
+    ]
+    rows = []
+    for i, host in enumerate(
+        ["seed", "good1", "good1", "good2", "spamA", "spamA", "spamB", "lonely"]
+    ):
+        rows.append((i, texts[i], host, links[host]))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, out_links array<string>"
+    )
+
+
+def test_curation_host_trust_gate_drops_spam_component(spark):
+    docs = _mk_host_docs(spark)
+    res = C.curate_documents(
+        docs,
+        lang_col=None,
+        host_col="source",
+        host_links_col="out_links",
+        host_trust_seeds=["seed"],
+        dedup_threshold=0.9,
+    )
+    kept = {r["doc_id"] for r in res.kept.collect()}
+    # spam component (docs 4,5,6) unreachable from the seed -> dropped;
+    # 'lonely' has no edges -> absent from the graph -> NULL trust -> dropped
+    assert kept == {0, 1, 2, 3}
+    # every scored row carries both rank columns; spam hosts have rank>0
+    # under plain PageRank but exactly 0 under TrustRank
+    sc = {r["doc_id"]: r for r in res.scored.collect()}
+    assert sc[4]["host_pagerank_fp"] > 0
+    assert sc[4]["host_trustrank_fp"] == 0
+    assert sc[0]["host_trustrank_fp"] > 0
+    assert sc[7]["host_pagerank_fp"] is None  # lonely: not a graph node
+
+
+def test_curation_host_rank_percentile_gate(spark):
+    docs = _mk_host_docs(spark)
+    # good1 has two in-links (seed, good2); rank-gate at a percentile
+    # that keeps only the top host(s)
+    res = C.curate_documents(
+        docs,
+        lang_col=None,
+        host_col="source",
+        host_links_col="out_links",
+        host_min_rank_pct=0.8,
+        dedup_threshold=0.9,
+    )
+    kept_hosts = {r["source"] for r in res.kept.join(
+        docs.select("doc_id", "source"), "doc_id").collect()}
+    assert "good1" in kept_hosts
+    assert "lonely" not in kept_hosts  # NULL rank fails the gate
+
+
+def test_curation_precomputed_host_ranks(spark):
+    """The streaming path: a stored (host, rank) generation passed in —
+    no propagation runs inside the funnel; the trust gate still
+    composes off the supplied columns."""
+    docs = _mk_host_docs(spark)
+    ranks = spark.createDataFrame(
+        [("seed", 100, 50), ("good1", 200, 80), ("good2", 150, 40),
+         ("spamA", 300, 0), ("spamB", 250, 0)],
+        "host string, host_pagerank_fp long, host_trustrank_fp long",
+    )
+    res = C.curate_documents(
+        docs, lang_col=None, host_col="source", host_ranks=ranks,
+        dedup_threshold=0.9,
+    )
+    kept = {r["doc_id"] for r in res.kept.collect()}
+    assert kept == {0, 1, 2, 3}
+
+
+def test_curation_host_col_without_graph_raises(spark):
+    docs = _mk_host_docs(spark)
+    with pytest.raises(ValueError, match="host_col given but neither"):
+        C.curate_documents(docs, lang_col=None, host_col="source")
