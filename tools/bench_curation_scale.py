@@ -30,7 +30,16 @@ reports how many planted media copies the component graph collapsed
 (expected: all of them) and the end-to-end wall time with the media
 stage on.
 
-Usage: python tools/bench_curation_scale.py [n_docs] [--full|--gates|--media]
+With ``--graph`` (round 10) every doc gets a host (10k hosts, power-law
+doc counts) and an out-link list over the host universe; 2% of hosts
+form a spam ring linking only each other, unreachable from the 50
+vetted trust seeds. The funnel runs with the domain-reputation stage on
+the clock — host-edge derivation, one pagerank_multi propagation
+(PageRank + TrustRank, 5 iterations), broadcast rank join, trust gate —
+and the probe reports how many spam-host docs survive (expected 0) and
+the end-to-end wall with the graph stage on.
+
+Usage: python tools/bench_curation_scale.py [n_docs] [--full|--gates|--media|--graph]
 Prints one JSON line; headline numbers live in README's measured scale
 behavior table.
 """
@@ -45,10 +54,12 @@ sys.path.insert(0, ".")
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a not in ("--full", "--gates", "--media")]
+    flags = ("--full", "--gates", "--media", "--graph")
+    args = [a for a in sys.argv[1:] if a not in flags]
     full = "--full" in sys.argv[1:]
     gates = "--gates" in sys.argv[1:]
     media = "--media" in sys.argv[1:]
+    graph = "--graph" in sys.argv[1:]
     n = int(args[0]) if args else 1_000_000
 
     from pyspark.sql import functions as F
@@ -110,6 +121,47 @@ def main() -> int:
             ),
         )
         corpus = corpus.join(pay, "doc_id")
+    if graph:
+        # 10k hosts; doc->host is power-law-ish (quadratic fold of a
+        # multiplicative hash so low host ids get many docs); hosts h
+        # with h%50==7 form the spam ring (each links only its ring
+        # successor), everyone else links "forward" to 3 smaller-id
+        # hosts, and host 0..49 are the vetted seeds
+        n_hosts = 10_000
+        h = (F.col("doc_id") * 2654435761) % (n_hosts * n_hosts)
+        host_id = F.floor(F.sqrt(h.cast("double"))).cast("long") % n_hosts
+        corpus = corpus.withColumn("host_id", host_id).withColumn(
+            "host",
+            F.when(
+                F.col("host_id") % 50 == 7,
+                F.concat(F.lit("spam"), F.col("host_id").cast("string")),
+            ).otherwise(F.concat(F.lit("h"), F.col("host_id").cast("string"))),
+        )
+        spam_next = (F.col("host_id") + 50) % n_hosts  # ring successor (also %50==7)
+        corpus = corpus.withColumn(
+            "out_links",
+            F.when(
+                F.col("host_id") % 50 == 7,
+                F.array(F.concat(F.lit("spam"), spam_next.cast("string"))),
+            ).otherwise(
+                # pseudo-random 3-out-degree digraph: trust percolates
+                # from the 50 seeds to (nearly) the whole non-spam web
+                # within 5 iterations; spam names never appear here, so
+                # the ring stays unreachable
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit("h"),
+                            (
+                                (F.col("host_id") * 2654435761 + F.lit(k))
+                                % n_hosts
+                            ).cast("string"),
+                        )
+                        for k in (1, 2, 3)
+                    ]
+                )
+            ),
+        ).drop("host_id")
     corpus = corpus.persist()
     corpus.count()  # materialize: probe timing excludes generation
 
@@ -132,6 +184,22 @@ def main() -> int:
     if media:
         extra["media_col"] = "payload"
         extra["media_max_band_freq"] = 10_000
+    if graph:
+        extra["host_col"] = "host"
+        extra["host_links_col"] = "out_links"
+        # 50 vetted seeds drawn from hosts that provably have out-links
+        # (pagerank_multi enforces every seed is a graph node)
+        extra["host_trust_seeds"] = [
+            r["host"]
+            for r in corpus.filter(
+                ~F.col("host").startswith("spam") & (F.col("host") != "h0")
+            )
+            .select("host")
+            .distinct()
+            .orderBy("host")
+            .limit(50)
+            .collect()
+        ]
     t0 = time.time()
     res = curate_documents(
         corpus,
@@ -144,7 +212,8 @@ def main() -> int:
     # force the packed stage fully (funnel's max(pack_id) already ran the
     # prefix-sum job; count the rows too so the full output materializes)
     funnel["packed_rows"] = res.packed.count()
-    out = {"n_docs": n, "full": full, "gates": gates, "media": media, **funnel}
+    out = {"n_docs": n, "full": full, "gates": gates, "media": media,
+           "graph": graph, **funnel}
     if media:
         # planted media copies are the HIGHER id of each (i-1, i) pair;
         # min_id retention must have condemned exactly those still in
@@ -160,6 +229,15 @@ def main() -> int:
         out["media_planted_dropped"] = planted.join(
             dropped_df, "doc_id", "left_semi"
         ).count()
+    if graph:
+        spam_docs = corpus.filter(F.col("host").startswith("spam"))
+        out["spam_host_docs"] = spam_docs.count()
+        out["spam_docs_surviving_trust_gate"] = res.filtered.join(
+            spam_docs.select("doc_id"), "doc_id", "left_semi"
+        ).count()
+        out["hosts_ranked"] = res.scored.filter(
+            F.col("host_pagerank_fp").isNotNull()
+        ).select("doc_id").count()
     if gates:
         kept_junk = res.filtered.filter(F.col("doc_id") % 50 == 3).count()
         n_junk = corpus.filter(F.col("doc_id") % 50 == 3).count()
