@@ -76,7 +76,16 @@ def cmd_curate_maintain(args) -> int:
     from .streaming.curation import CurationIngest
 
     spark = get_spark("curation-maintain")
-    ing = CurationIngest(args.base_dir)
+    seeds = (
+        [s for s in args.host_trust_seeds.split(",") if s]
+        if args.host_trust_seeds
+        else None
+    )
+    ing = CurationIngest(
+        args.base_dir,
+        host_trust_seeds=seeds,
+        host_rank_iterations=args.host_rank_iterations,
+    )
     fps = ing.compact_fingerprints(
         spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced
     )
@@ -98,6 +107,8 @@ def cmd_curate_maintain(args) -> int:
             print(f"vector_index: {ing.compact_vector_index(spark)}")
         else:
             print("vector_index: none at this base dir")
+    if args.recompute_host_ranks:
+        print(f"host_ranks: {ing.recompute_host_ranks(spark)}")
     return 0
 
 
@@ -151,6 +162,18 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="also fold the searchable vector index's accumulated segments",
     )
+    p_c.add_argument(
+        "--recompute-host-ranks",
+        action="store_true",
+        help="recompute the domain-reputation rank generation over the "
+        "accumulated host edge store (PageRank + TrustRank when seeds given)",
+    )
+    p_c.add_argument(
+        "--host-trust-seeds",
+        default=None,
+        help="comma-separated vetted host list for the TrustRank teleport",
+    )
+    p_c.add_argument("--host-rank-iterations", type=int, default=5)
     p_c.add_argument(
         "--assume-quiesced",
         action="store_true",

@@ -60,6 +60,17 @@ docs are kNN-searchable as they land, with the same generational
 append/compact/GC lifecycle as the text index (compaction re-learns
 the coarse quantizer from the accumulated corpus).
 
+With ``host_col``/``host_links_col`` (r10) the domain-reputation prior
+becomes a streaming dimension: each batch's host link edges accrete
+into ``base_dir/host_edges`` (batch-keyed, replay-overwritten), the
+periodic ``recompute_host_ranks`` maintain job folds them into a
+generational (host, PageRank[, TrustRank]) table behind the usual
+pointer-swap discipline, and every subsequent batch broadcast-joins
+the CURRENT generation to drop spam-component / low-rank hosts —
+rank-as-dimension refreshed periodically, never per-batch propagation
+(PageRank is a corpus-sized job; it lives on the batch side of the
+lambda split with near-dedup compaction).
+
 With ``text_index=True`` each batch's survivors also become a
 name-keyed segment of a stored BM25 inverted index
 (operators/search.py) under ``base_dir/text_index`` — the curated
@@ -117,6 +128,19 @@ def _seg_name(entry: str) -> str:
     return entry.split("=", 1)[1]
 
 
+def _has_parquet(path: str) -> bool:
+    """True iff the directory tree holds at least one parquet file —
+    guards every read of a possibly-empty segment write (a zero-row
+    partitionBy write leaves only _SUCCESS, and reading that throws
+    UNABLE_TO_INFER_SCHEMA)."""
+    if not os.path.isdir(path):
+        return False
+    for _sub, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 class CurationIngest:
     """Micro-batch curation funnel with a persistent dedup memory."""
 
@@ -140,6 +164,11 @@ class CurationIngest:
         vector_index: bool = False,
         vec_col: str = "embedding",
         vector_n_lists: int = 16,
+        host_col: str | None = None,
+        host_links_col: str | None = None,
+        host_trust_seeds: list | None = None,
+        host_rank_iterations: int = 5,
+        host_min_rank_pct: float | None = None,
     ):
         self.curated_path = os.path.join(base_dir, "curated")
         self.fps_path = os.path.join(base_dir, "fingerprints")
@@ -162,6 +191,13 @@ class CurationIngest:
         self.vec_col = vec_col
         self.vector_n_lists = vector_n_lists
         self.vector_index_path = os.path.join(base_dir, "vector_index")
+        self.host_col = host_col
+        self.host_links_col = host_links_col
+        self.host_trust_seeds = host_trust_seeds
+        self.host_rank_iterations = host_rank_iterations
+        self.host_min_rank_pct = host_min_rank_pct
+        self.host_edges_path = os.path.join(base_dir, "host_edges")
+        self.host_ranks_path = os.path.join(base_dir, "host_ranks")
 
     def _seg(self, batch_id: int | None) -> str:
         if batch_id is None:
@@ -199,6 +235,7 @@ class CurationIngest:
         # suppress this replay's own rows at the anti-join below
         _clear_segment(self.curated_path, seg)
         _clear_segment(self.fps_path, seg)
+        _clear_segment(self.host_edges_path, seg)
 
         scrubbed = pii_scrub(docs).withColumnRenamed("id", "doc_id")
         scored = (
@@ -213,6 +250,44 @@ class CurationIngest:
         filtered = scored.filter(cond).withColumn(
             "fingerprint", F.md5(F.coalesce(F.col("clean_text"), F.lit("")))
         )
+        host_on = self.host_col is not None and self.host_col in docs.columns
+        if host_on:
+            # domain-reputation gate (the RefinedWeb-lineage prior) as a
+            # DIMENSION lookup: the stored rank generation — recomputed
+            # periodically by recompute_host_ranks over the ACCUMULATED
+            # edge table, NOT propagated per batch — broadcast-joins
+            # onto the batch. Until the first recompute there is no
+            # generation and no gate (the lambda split: per-batch work
+            # is batch-sized, the corpus-sized rank job is amortized
+            # maintenance, exactly like near-dedup compaction).
+            ranks = self.read_host_ranks(spark)
+            if ranks is not None:
+                gate = F.coalesce(F.col("host_trustrank_fp"), F.lit(0)) > 0 \
+                    if "host_trustrank_fp" in ranks.columns else F.lit(True)
+                if self.host_min_rank_pct is not None:
+                    cutoff = ranks.agg(
+                        F.percentile_approx(
+                            "host_pagerank_fp",
+                            float(self.host_min_rank_pct),
+                            10_000,
+                        ).alias("c")
+                    ).collect()[0]["c"]
+                    gate = gate & (F.col("host_pagerank_fp") >= F.lit(cutoff))
+                filtered = (
+                    filtered.join(
+                        docs.select(
+                            "doc_id", F.col(self.host_col).alias("__host")
+                        ),
+                        "doc_id",
+                    )
+                    .join(
+                        F.broadcast(ranks.withColumnRenamed("host", "__host")),
+                        "__host",
+                        "left",
+                    )
+                    .filter(gate)
+                    .drop("__host", *[c for c in ranks.columns if c != "host"])
+                )
         media_on = self.media_dedup and self.media_col in docs.columns
         if media_on:
             # media as a curation citizen (r9): the payload rides along
@@ -352,6 +427,27 @@ class CurationIngest:
                         id_col="doc_id",
                         vec_col=self.vec_col,
                     )
+            if host_on and self.host_links_col in docs.columns:
+                # the batch's host links accrete into the edge store the
+                # periodic rank recompute reads. Derived from the RAW
+                # batch (spam hosts' links inform the graph — that is
+                # how TrustRank isolates them), batch-keyed like every
+                # other append so a replay overwrites its own segment;
+                # duplicate edges across batches are harmless because
+                # the recompute reads the store as a SET (distinct).
+                from ..operators.graph import host_edges
+
+                (
+                    host_edges(
+                        docs,
+                        host_col=self.host_col,
+                        links_col=self.host_links_col,
+                    )
+                    .withColumn("batch_id", F.lit(seg))
+                    .write.mode("append")
+                    .partitionBy("batch_id")
+                    .parquet(self.host_edges_path)
+                )
             fps_out = fresh.select("fingerprint")
             if media_on:
                 fps_out = fps_out.unionByName(
@@ -665,3 +761,121 @@ class CurationIngest:
         from ..operators.vecindex import compact_vector_index
 
         return compact_vector_index(spark, self.vector_index_path, **kw)
+    # -- host-rank maintenance (the streaming domain-reputation store) ------
+
+    def read_host_ranks(self, spark: SparkSession) -> DataFrame | None:
+        """The CURRENT rank generation (host, host_pagerank_fp
+        [, host_trustrank_fp]) or None before the first recompute."""
+        from ..operators.search import _gen_name
+
+        gen = _gen_name(self.host_ranks_path)
+        if gen is None:
+            return None
+        return spark.read.parquet(
+            os.path.join(self.host_ranks_path, gen, "ranks")
+        )
+
+    def recompute_host_ranks(self, spark: SparkSession) -> dict:
+        """The periodic rank job (run from curate-maintain, like every
+        other store compaction): fold the accumulated per-batch edge
+        segments into a new generation holding the DISTINCT edge set
+        plus the ranks pagerank_multi computes over it, then swap the
+        pointer atomically and GC.
+
+        Rank-as-dimension, refreshed periodically — deliberately NOT
+        per-batch propagation: PageRank is a corpus-sized job (its
+        iterations exchange node-sized tables over the whole edge set),
+        so it sits on the batch side of the lambda split with near-dedup
+        compaction, while each micro-batch only broadcast-joins the
+        stored generation. Crash-safe by the store discipline: the new
+        generation is fully written before the ``os.replace`` pointer
+        swap; a crash before the swap leaves an orphan gen-* dir (GC'd
+        at the next run), a crash after it leaves folded segments whose
+        re-read is harmless because the edge store is a SET — a replayed
+        or unfolded segment's duplicate edges vanish in the distinct.
+
+        Trust seeds: the vetted list may legitimately contain hosts the
+        crawl has not seen yet — the job runs with the INTERSECTION of
+        seeds and graph nodes (pagerank_multi would raise on absent
+        seeds) and reports both counts; it raises only if NO seed is in
+        the graph (a vetted-list/corpus mismatch worth failing loudly).
+        """
+        from ..operators.graph import pagerank_multi
+        from ..operators.search import _gen_name, _swap_pointer
+
+        old_gen = _gen_name(self.host_ranks_path)
+        # GC generations orphaned by a crashed previous run
+        if os.path.isdir(self.host_ranks_path):
+            for e in os.listdir(self.host_ranks_path):
+                if e.startswith("gen-") and e != old_gen:
+                    shutil.rmtree(
+                        os.path.join(self.host_ranks_path, e), ignore_errors=True
+                    )
+        segs = _seg_dirs(self.host_edges_path)
+        parts = []
+        if old_gen is not None:
+            gdir = os.path.join(self.host_ranks_path, old_gen, "edges")
+            if _has_parquet(gdir):
+                parts.append(spark.read.parquet(gdir))
+        for e in segs:
+            sdir = os.path.join(self.host_edges_path, e)
+            if _has_parquet(sdir):
+                parts.append(
+                    spark.read.parquet(sdir).select("src", "dst")
+                )
+        if not parts:
+            return {"edges": 0, "hosts": 0, "generation": old_gen,
+                    "folded_segments": 0}
+        edges = parts[0]
+        for p in parts[1:]:
+            edges = edges.unionByName(p)
+        edges = edges.distinct().persist()
+        teleports: dict[str, list | None] = {"host_pagerank_fp": None}
+        seeds_present = None
+        if self.host_trust_seeds:
+            want = list(dict.fromkeys(self.host_trust_seeds))
+            nodes = edges.select(F.col("src").alias("n")).union(
+                edges.select(F.col("dst").alias("n"))
+            )
+            seeds_present = [
+                r["n"]
+                for r in nodes.filter(F.col("n").isin(want)).distinct().collect()
+            ]
+            if not seeds_present:
+                raise ValueError(
+                    "none of the configured host_trust_seeds are nodes of "
+                    "the accumulated host graph — vetted list and corpus "
+                    "do not overlap"
+                )
+            teleports["host_trustrank_fp"] = seeds_present
+        ranks = pagerank_multi(
+            edges, teleports=teleports, iterations=self.host_rank_iterations
+        ).withColumnRenamed("node", "host")
+        new_gen = f"gen-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.host_ranks_path, new_gen)
+        edges.write.mode("overwrite").parquet(os.path.join(out, "edges"))
+        ranks.write.mode("overwrite").parquet(os.path.join(out, "ranks"))
+        n_hosts = spark.read.parquet(os.path.join(out, "ranks")).count()
+        n_edges = edges.count()
+        edges.unpersist()
+        _swap_pointer(self.host_ranks_path, new_gen)
+        for e in segs:
+            shutil.rmtree(
+                os.path.join(self.host_edges_path, e), ignore_errors=True
+            )
+        if old_gen is not None:
+            shutil.rmtree(
+                os.path.join(self.host_ranks_path, old_gen), ignore_errors=True
+            )
+        return {
+            "edges": int(n_edges),
+            "hosts": int(n_hosts),
+            "generation": new_gen,
+            "folded_segments": len(segs),
+            "trust_seeds_configured": (
+                len(self.host_trust_seeds) if self.host_trust_seeds else 0
+            ),
+            "trust_seeds_in_graph": (
+                len(seeds_present) if seeds_present is not None else 0
+            ),
+        }

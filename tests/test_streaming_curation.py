@@ -462,3 +462,134 @@ def test_media_near_dup_collapses_at_compaction(spark, tmp_path):
     assert stats["dropped_docs"] == 1
     kept2 = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
     assert kept2 == {0, 2}
+
+# -------------------------------------------------- host-rank dimension store
+
+
+def _host_docs(spark, rows):
+    """rows: (doc_id, text, host, [linked hosts])."""
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, host string, out_links array<string>"
+    )
+
+
+_HOST_TEXTS = [
+    "maps of rivers and stone bridges drawn by hand over many long winters",
+    "register allocation in optimizing compilers and careful loop unrolling",
+    "a field guide to alpine wildflowers and the wild bees that visit them",
+    "harbor tide tables and the schedule of the evening ferry crossings",
+    "buy cheap pills now amazing deal click this link for instant offers",
+    "casino bonus spins deposit match jackpot withdraw your winnings today",
+]
+
+
+def test_host_rank_store_lifecycle_and_gate(spark, tmp_path):
+    """Before the first recompute there is no rank generation and no
+    gate; the maintain job folds the accumulated edge segments into a
+    generation; later batches broadcast-join it and drop spam-component
+    docs — rank-as-dimension, refreshed periodically."""
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1",
+        host_col="host", host_links_col="out_links",
+        host_trust_seeds=["seed"],
+    )
+    b0 = _host_docs(spark, [
+        (0, _HOST_TEXTS[0], "seed", ["good1"]),
+        (1, _HOST_TEXTS[1], "good1", ["good2"]),
+        (2, _HOST_TEXTS[4], "spamA", ["spamB"]),
+    ])
+    ing.process_batch(b0, batch_id=0)
+    # no generation yet: everything (including the spam-host doc) passes
+    assert {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()} \
+        == {0, 1, 2}
+    assert ing.read_host_ranks(spark) is None
+    stats = ing.recompute_host_ranks(spark)
+    assert stats["hosts"] == 5 and stats["folded_segments"] == 1
+    assert stats["trust_seeds_in_graph"] == 1
+    ranks = {r["host"]: r for r in ing.read_host_ranks(spark).collect()}
+    assert ranks["spamA"]["host_trustrank_fp"] == 0
+    assert ranks["good1"]["host_trustrank_fp"] > 0
+    # batch 1 is gated by the stored generation: the spam-host doc and
+    # the unknown-host doc are dropped, the trusted-host doc survives
+    b1 = _host_docs(spark, [
+        (10, _HOST_TEXTS[2], "good2", []),
+        (11, _HOST_TEXTS[5], "spamB", ["spamA"]),
+        (12, _HOST_TEXTS[3], "nobody-knows-me", []),
+    ])
+    ing.process_batch(b1, batch_id=1)
+    kept = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+    assert kept == {0, 1, 2, 10}
+    # the gate's rank columns do not leak into the curated schema
+    assert "host_pagerank_fp" not in ing.curated(spark).columns
+
+
+def test_host_rank_recompute_accretes_and_replay_converges(spark, tmp_path):
+    """Edges accumulate across recomputes (old generation's edge set +
+    new segments); a replayed batch overwrites its own segment so the
+    distinct edge set converges; a crashed recompute's orphan
+    generation is GC'd by the next run and the pointer stays valid."""
+    import os
+
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1",
+        host_col="host", host_links_col="out_links",
+    )
+    b0 = _host_docs(spark, [(0, _HOST_TEXTS[0], "a", ["b"])])
+    ing.process_batch(b0, batch_id=0)
+    ing.process_batch(b0, batch_id=0)  # redelivery: segment overwritten
+    s0 = ing.recompute_host_ranks(spark)
+    assert s0["edges"] == 1 and s0["hosts"] == 2
+    # orphan generation from a "crashed" later run
+    orphan = os.path.join(str(tmp_path), "host_ranks", "gen-deadbeef")
+    os.makedirs(orphan, exist_ok=True)
+    ing.process_batch(
+        _host_docs(spark, [(1, _HOST_TEXTS[1], "b", ["c", "a"])]), batch_id=1
+    )
+    s1 = ing.recompute_host_ranks(spark)
+    assert s1["edges"] == 3 and s1["hosts"] == 3  # old gen edges + new segment
+    assert not os.path.isdir(orphan)
+    # idempotent when nothing new arrived: the edge SET is unchanged
+    s2 = ing.recompute_host_ranks(spark)
+    assert s2["edges"] == 3 and s2["folded_segments"] == 0
+    # integer fixed-point law: ranks identical across the no-op recompute
+    r1 = sorted(map(tuple, ing.read_host_ranks(spark).collect()))
+    assert [t[0] for t in r1] == ["a", "b", "c"]
+
+
+def test_host_rank_recompute_no_seed_overlap_raises(spark, tmp_path):
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1",
+        host_col="host", host_links_col="out_links",
+        host_trust_seeds=["not-in-any-crawl"],
+    )
+    ing.process_batch(
+        _host_docs(spark, [(0, _HOST_TEXTS[0], "a", ["b"])]), batch_id=0
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="none of the configured"):
+        ing.recompute_host_ranks(spark)
+
+
+def test_host_rank_maintain_cli(spark, tmp_path):
+    from adsb_clickhouse_spark.__main__ import main
+
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1",
+        host_col="host", host_links_col="out_links",
+    )
+    ing.process_batch(
+        _host_docs(spark, [
+            (0, _HOST_TEXTS[0], "seed", ["good1"]),
+            (1, _HOST_TEXTS[4], "spamA", ["spamB"]),
+        ]),
+        batch_id=0,
+    )
+    rc = main([
+        "curate-maintain", str(tmp_path),
+        "--recompute-host-ranks", "--host-trust-seeds", "seed",
+    ])
+    assert rc == 0
+    ranks = {r["host"]: r for r in ing.read_host_ranks(spark).collect()}
+    assert ranks["spamA"]["host_trustrank_fp"] == 0
+    assert ranks["good1"]["host_trustrank_fp"] > 0
