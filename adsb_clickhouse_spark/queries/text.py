@@ -597,6 +597,26 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_BUCKETS = 10_000
 _DSIR_TARGET_SOURCE = "src0"  # target slice: one of the 20 synthetic sources
 
+# frozen classifier for the 'clf' branch: md5-derived weights over B
+# buckets (both engines derive w(bucket) from the bucket id by the same
+# hash law, so no weight table ships in the SQL text) + a fixed bias.
+# Verifying the trained-model SCORING pass + the Pareto keep rule is the
+# point — training is iterative driver-looped (pytest-verified in
+# tests/test_classifier.py) and deliberately outside the oracle.
+_CLF_BUCKETS = 4096
+_CLF_BIAS = 0.5
+_CLF_W_MOD = 2001
+_CLF_W_SCALE = 250.0
+
+
+def _clf_weight_py(bucket: int) -> float:
+    """Python twin of the SQL weight law in _duck_dsir_sql: uniform-ish
+    in [-4, 4], md5-derived from the bucket id."""
+    import hashlib
+
+    v = int(hashlib.md5(f"w|{bucket}".encode()).hexdigest()[:15], 16)
+    return (v % _CLF_W_MOD - (_CLF_W_MOD - 1) // 2) / _CLF_W_SCALE
+
 
 def _duck_dsir_sql() -> str:
     from ..functions.texttools import duck_md5_long, duck_salted_md5_long
@@ -604,13 +624,16 @@ def _duck_dsir_sql() -> str:
 
     gh = duck_md5_long("array_to_string(toks[pos : pos + 1], ' ')")
     uh = duck_salted_md5_long("CAST(doc_id AS VARCHAR)", DSIR_GUMBEL_SALT)
+    pu = duck_salted_md5_long("CAST(doc_id AS VARCHAR)", 83)  # pareto_keep salt
+    wb = duck_md5_long("'w|' || CAST(bucket AS VARCHAR)")
     B = _DSIR_BUCKETS
     M = DSIR_GUMBEL_MOD
+    CB, CM, CS = _CLF_BUCKETS, _CLF_W_MOD, _CLF_W_SCALE
     return f"""
     WITH tk AS (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents),
-    gr AS (SELECT doc_id, ({gh}) % {B} AS bucket
-           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS pos
-                 FROM tk WHERE len(toks) >= 2)),
+    pos AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS pos
+            FROM tk WHERE len(toks) >= 2),
+    gr AS (SELECT doc_id, ({gh}) % {B} AS bucket FROM pos),
     gt AS (SELECT bucket FROM gr JOIN documents d USING (doc_id)
            WHERE d.source = '{_DSIR_TARGET_SOURCE}'),
     cr AS (SELECT bucket, count(*) AS cr FROM gr GROUP BY 1),
@@ -627,12 +650,38 @@ def _duck_dsir_sql() -> str:
           FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
     sel AS (SELECT doc_id, n_feats, log_w,
                    round(-ln(-ln((({uh}) % {M} + 0.5) / {M})), 4) AS gumbel
-            FROM w)
-    SELECT doc_id, n_feats, log_w, gumbel, log_w + gumbel AS sel_key
-    FROM sel
-    QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id)
-            <= greatest(count(*) OVER () // 4, 1)
-    ORDER BY sel_key DESC, doc_id
+            FROM w),
+    dsir AS (SELECT doc_id, n_feats, log_w, gumbel, log_w + gumbel AS sel_key
+             FROM sel
+             QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id)
+                     <= greatest(count(*) OVER () // 4, 1)),
+    -- classifier scoring law: L1-normalized hashed-bigram features x,
+    -- logit = sum(w(bucket) * x) + bias, prob = sigmoid(logit), and the
+    -- GPT-3 stochastic Pareto keep (prob > 1 - X, X hash-derived)
+    cgr AS (SELECT doc_id, ({gh}) % {CB} AS bucket FROM pos),
+    ccnt AS (SELECT doc_id, bucket, count(*) AS c FROM cgr GROUP BY 1, 2),
+    ctot AS (SELECT doc_id, sum(c) AS tot FROM ccnt GROUP BY 1),
+    cm AS (SELECT ccnt.doc_id AS doc_id,
+                  sum((({wb}) % {CM} - {(CM - 1) // 2}) / {CS}
+                      * ccnt.c / ctot.tot) AS m
+           FROM ccnt JOIN ctot ON ccnt.doc_id = ctot.doc_id GROUP BY 1),
+    clog AS (SELECT d.doc_id AS doc_id,
+                    coalesce(cm.m, 0.0) + {_CLF_BIAS} AS logit
+             FROM documents d LEFT JOIN cm ON d.doc_id = cm.doc_id),
+    clf AS (SELECT doc_id,
+                   1.0 / (1.0 + exp(-logit)) AS prob,
+                   pow((({pu}) % 1000000 + 0.5) / 1000000.0, -1.0 / 9.0) - 1.0
+                       AS px
+            FROM clog)
+    SELECT 'dsir' AS branch, doc_id, n_feats, log_w, gumbel, sel_key,
+           CAST(NULL AS DOUBLE) AS clf_prob, CAST(NULL AS DOUBLE) AS pareto_x,
+           CAST(NULL AS BOOLEAN) AS clf_keep
+    FROM dsir
+    UNION ALL
+    SELECT 'clf', doc_id, NULL, NULL, NULL, NULL,
+           round(prob, 4), round(px, 4), prob > 1.0 - px
+    FROM clf
+    ORDER BY branch, doc_id
     """
 
 
@@ -650,7 +699,19 @@ def _duck_dsir_sql() -> str:
         "quality (what to trust) and mixture (how much of each domain). "
         "operators/selection.py carries the scale story: B-bounded "
         "count shuffles, broadcast log-ratio table, distributed "
-        "orderBy().limit() top-k — no global window, no Python."
+        "orderBy().limit() top-k — no global window, no Python. "
+        "Round 10 packs the learned-quality-classifier SCORING pass in "
+        "as the 'clf' branch (operators/classifier.py::score_quality + "
+        "pareto_keep): a frozen md5-derived weight vector over 4096 "
+        "hashed-bigram buckets — both engines derive w(bucket) from the "
+        "bucket id by the same hash law — scores every doc "
+        "(logit = Σ w·x + bias over L1-normalized features, "
+        "prob = sigmoid), and GPT-3's stochastic Pareto rule "
+        "(Brown et al. 2020 §A: keep iff prob > 1 − X, X deterministic "
+        "hash-Pareto(9)) decides clf_keep. Training stays iterative/"
+        "pytest-verified (tests/test_classifier.py); the oracle verifies "
+        "the score law and the keep threshold, closing the last "
+        "pytest-only operator family."
     ),
 )
 def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,18 +719,48 @@ def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed top-k), never a single-partition rank window — the
     oracle's QUALIFY window is DuckDB-side only. ``k`` comes from one
     corpus count action (bounded driver work, same contract as the
-    packing offsets)."""
+    packing offsets). The clf branch is one gram projection + broadcast
+    weight join + doc-keyed sum — no Python, no corpus shuffle beyond
+    the (doc, bucket) count."""
+    from ..operators.classifier import pareto_keep, score_quality
     from ..operators.selection import dsir_select
 
     d = load_table(spark, sf_dir, "documents")
     k = max(1, d.count() // 4)
-    return dsir_select(
+    nul_d = F.lit(None).cast("double")
+    dsir = dsir_select(
         d,
         d.filter(F.col("source") == _DSIR_TARGET_SOURCE),
         k=k,
         n=2,
         n_buckets=_DSIR_BUCKETS,
+    ).select(
+        F.lit("dsir").alias("branch"),
+        "doc_id",
+        "n_feats",
+        "log_w",
+        "gumbel",
+        "sel_key",
+        nul_d.alias("clf_prob"),
+        nul_d.alias("pareto_x"),
+        F.lit(None).cast("boolean").alias("clf_keep"),
     )
+    model = {
+        "weights": {b: _clf_weight_py(b) for b in range(_CLF_BUCKETS)},
+        "bias": _CLF_BIAS,
+    }
+    clf = pareto_keep(score_quality(d, model, n_buckets=_CLF_BUCKETS)).select(
+        F.lit("clf").alias("branch"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_feats"),
+        nul_d.alias("log_w"),
+        nul_d.alias("gumbel"),
+        nul_d.alias("sel_key"),
+        F.round("prob", 4).alias("clf_prob"),
+        F.round("pareto_x", 4).alias("pareto_x"),
+        F.col("keep").alias("clf_keep"),
+    )
+    return dsir.unionByName(clf).orderBy("branch", "doc_id")
 
 
 _BPE_MERGES = 10  # learned deterministically; list below pinned at sf0.01

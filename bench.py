@@ -121,6 +121,7 @@ def main() -> None:
         # 'lm' branch across rounds, not against a standalone LM run
         "text_lm_bpe": ("branch", ["bpe", "lm"]),
         "search_retrieval": ("branch", ["bm25", "hybrid", "phrase", "eval"]),
+        "text_dsir_select": ("branch", ["dsir", "clf"]),
         # same caveat: text_quality's pagerank branch executes its
         # iterative joins at plan-build time (eager rank checkpoints),
         # so the 'doc' branch timing includes them — compare branches
