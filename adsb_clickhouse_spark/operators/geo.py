@@ -403,31 +403,52 @@ def points_in_radius(
 MAX_POLYGON_VERTICES = 10_000
 
 
-def _crossing_parity_expr(lat, lon, vertices):
+def _as_rings(verts) -> list[list[tuple[float, float]]]:
+    """Normalize a polygon value: a flat [(lat, lon), ...] list is one
+    ring; a list of rings — outer first, holes after — passes through.
+    The format is detected from the first element (a 2-number pair =
+    flat ring), so existing single-ring callers are unchanged."""
+    if not verts:
+        return []
+    first = verts[0]
+    if len(first) == 2 and all(isinstance(c, (int, float)) for c in first):
+        return [list(verts)]
+    return [list(r) for r in verts]
+
+
+def _crossing_parity_expr(lat, lon, rings):
     """Even-odd ray-casting containment as ONE boolean column: for each
     polygon edge (y1,x1)->(y2,x2), the eastward ray from the point
     crosses it iff the edge straddles the point's latitude and the
     edge's longitude at that latitude lies east of the point. Parity of
-    the crossing count decides containment. All literals fold at plan
-    build; the arithmetic is the IEEE +,-,*,/ chain
+    the crossing count decides containment. ``rings`` is a list of
+    vertex rings (each closing edge implied PER RING); the parity law
+    generalizes to holes for free — a point inside a hole crosses the
+    outer ring an odd number of times AND the hole ring an odd number,
+    so its total is even and it is (correctly) outside. All literals
+    fold at plan build; the arithmetic is the IEEE +,-,*,/ chain
     ``(x2-x1)*(lat-y1)/(y2-y1)+x1`` written with the SAME association as
     the DuckDB oracle twin, so both engines produce bit-identical
     doubles and strict comparisons cannot ULP-flip membership."""
-    n = len(vertices)
     crossings = None
-    for i in range(n):
-        y1, x1 = vertices[i]
-        y2, x2 = vertices[(i + 1) % n]
-        straddles = (F.lit(y1) > lat) != (F.lit(y2) > lat)
-        xs = (F.lit(x2) - F.lit(x1)) * (lat - F.lit(y1)) / (
-            F.lit(y2) - F.lit(y1)
-        ) + F.lit(x1)
-        c = F.when(straddles & (lon < xs), F.lit(1)).otherwise(F.lit(0))
-        crossings = c if crossings is None else crossings + c
-    ymin = min(v[0] for v in vertices)
-    ymax = max(v[0] for v in vertices)
-    xmin = min(v[1] for v in vertices)
-    xmax = max(v[1] for v in vertices)
+    for vertices in rings:
+        n = len(vertices)
+        for i in range(n):
+            y1, x1 = vertices[i]
+            y2, x2 = vertices[(i + 1) % n]
+            straddles = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+            xs = (F.lit(x2) - F.lit(x1)) * (lat - F.lit(y1)) / (
+                F.lit(y2) - F.lit(y1)
+            ) + F.lit(x1)
+            c = F.when(straddles & (lon < xs), F.lit(1)).otherwise(F.lit(0))
+            crossings = c if crossings is None else crossings + c
+    # bbox guard from the OUTER ring only: holes lie inside it by
+    # definition, so they cannot widen the box
+    outer = rings[0]
+    ymin = min(v[0] for v in outer)
+    ymax = max(v[0] for v in outer)
+    xmin = min(v[1] for v in outer)
+    xmax = max(v[1] for v in outer)
     bbox = (
         (lat >= F.lit(ymin)) & (lat <= F.lit(ymax))
         & (lon >= F.lit(xmin)) & (lon <= F.lit(xmax))
@@ -446,8 +467,13 @@ def points_in_polygons(
 ) -> DataFrame:
     """Tag each point with every polygon (geofence) containing it — the
     restricted-airspace / zone-alert query. ``polygons`` maps a polygon
-    id to its vertex ring as (lat, lon) tuples (closing edge implied;
-    rings must not cross the antimeridian — split such zones into two).
+    id to either a vertex ring as (lat, lon) tuples, or — for zones with
+    exclusions (r10) — a LIST OF RINGS, outer ring first and hole rings
+    after it (each ring's closing edge implied; rings must not cross the
+    antimeridian — split such zones in two). Containment is the even-odd
+    parity over ALL the polygon's rings, so a point inside a hole is
+    outside the zone; disjoint outer rings under one id also compose
+    (parity is odd in either).
     Returns one output row per (point, containing polygon) with a
     ``poly_id`` column; points contained in NO polygon are omitted
     (the zones board wants only alerts — use your own ``explode_outer``
@@ -471,24 +497,27 @@ def points_in_polygons(
     arithmetic puts them, deterministically and identically in the
     DuckDB oracle (same literal association; see the 'geofence' branch
     of adsb_track_distance)."""
-    total = sum(len(v) for v in polygons.values())
+    ringed = {pid: _as_rings(verts) for pid, verts in polygons.items()}
+    total = sum(len(r) for rings in ringed.values() for r in rings)
     if total > max_vertices:
         raise ValueError(
             f"polygons carry {total} vertices > max_vertices={max_vertices}; "
             "not dimension data — use a broadcast edge-table join instead"
         )
-    for pid, verts in polygons.items():
-        if len(verts) < 3:
-            raise ValueError(f"polygon {pid!r} has fewer than 3 vertices")
+    for pid, rings in ringed.items():
+        if not rings or any(len(r) < 3 for r in rings):
+            raise ValueError(
+                f"polygon {pid!r} has a ring with fewer than 3 vertices"
+            )
     lat, lon = F.col(lat_col), F.col(lon_col)
     matched = F.array_compact(
         F.array(
             *[
                 F.when(
-                    _crossing_parity_expr(lat, lon, verts),
+                    _crossing_parity_expr(lat, lon, rings),
                     F.lit(pid).cast(poly_id_type),
                 )
-                for pid, verts in polygons.items()
+                for pid, rings in ringed.items()
             ]
         )
     )

@@ -484,6 +484,10 @@ def _haversine_nm_col(lat1, lon1, lat2, lon2):
         (1, 41.29, 33.91, 38.57, 58.23),
         (1, 38.57, 58.23, 17.11, 54.77),
         (1, 17.11, 54.77, 19.73, 31.17),
+        (1, 25.0, 40.0, 33.0, 41.5),
+        (1, 33.0, 41.5, 31.0, 49.0),
+        (1, 31.0, 49.0, 24.0, 47.0),
+        (1, 24.0, 47.0, 25.0, 40.0),
         (2, -49.31, -119.43, -21.87, -117.29),
         (2, -21.87, -117.29, -35.53, -99.71),
         (2, -35.53, -99.71, -22.63, -82.17),
@@ -650,8 +654,15 @@ def adsb_track_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist_nm",
         )
     )
+    # polygon 1 is a multi-ring zone (r10): outer ring + an exclusion
+    # hole — the even-odd parity law handles both in one expression, and
+    # the oracle's edge table simply lists the hole ring's edges under
+    # the same poly id (parity over all edges is ring-structure-blind)
     gf_polys = {
-        1: [(19.73, 31.17), (41.29, 33.91), (38.57, 58.23), (17.11, 54.77)],
+        1: [
+            [(19.73, 31.17), (41.29, 33.91), (38.57, 58.23), (17.11, 54.77)],
+            [(25.0, 40.0), (33.0, 41.5), (31.0, 49.0), (24.0, 47.0)],
+        ],
         2: [(-49.31, -119.43), (-21.87, -117.29), (-35.53, -99.71),
             (-22.63, -82.17), (-48.19, -84.33)],
     }

@@ -332,3 +332,90 @@ def test_points_in_polygons_contracts(spark):
         )
     with pytest.raises(ValueError, match="fewer than 3"):
         G.points_in_polygons(pdf, {"line": [(0.0, 0.0), (1.0, 1.0)]})
+
+def _pip_brute_rings(lat, lon, rings):
+    """Even-odd parity over all rings (outer + holes)."""
+    crossings = 0
+    for verts in rings:
+        n = len(verts)
+        for i in range(n):
+            y1, x1 = verts[i]
+            y2, x2 = verts[(i + 1) % n]
+            if (y1 > lat) != (y2 > lat) and lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1:
+                crossings += 1
+    return crossings % 2 == 1
+
+
+HOLED = {
+    # square zone with a square exclusion hole in the middle
+    "donut": [
+        [(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0)],
+        [(7.0, 7.0), (13.0, 7.0), (13.0, 13.0), (7.0, 13.0)],
+    ],
+    # plain ring alongside, exercising the mixed flat/ringed dict
+    "plain": [(40.0, 40.0), (50.0, 42.0), (48.0, 55.0), (38.0, 52.0)],
+}
+
+
+def test_points_in_polygons_hole_excludes_interior(spark):
+    """A point inside a hole ring is OUTSIDE the zone (even-odd parity:
+    odd outer crossings + odd hole crossings = even); points between the
+    rings are inside; the flat-list format still works in the same call."""
+    rows = [
+        (0, 10.0, 10.0),   # dead centre of the hole -> excluded
+        (1, 3.0, 3.0),     # between outer and hole -> included
+        (2, 7.5, 10.0),    # just inside the hole edge -> excluded
+        (3, 6.5, 10.0),    # just outside the hole edge -> included
+        (4, 25.0, 10.0),   # outside the outer ring entirely
+        (5, 45.0, 47.0),   # inside the plain single-ring polygon
+    ]
+    pdf = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = {
+        (r["id"], r["poly_id"])
+        for r in G.points_in_polygons(pdf, HOLED).collect()
+    }
+    assert got == {(1, "donut"), (3, "donut"), (5, "plain")}
+
+
+def test_points_in_polygons_multi_ring_matches_bruteforce(spark):
+    rng = random.Random(31)
+    rows = [
+        (i, rng.uniform(-5.0, 25.0), rng.uniform(-5.0, 25.0))
+        for i in range(400)
+    ]
+    pdf = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = {
+        (r["id"], r["poly_id"])
+        for r in G.points_in_polygons(pdf, HOLED).collect()
+        if r["poly_id"] == "donut"
+    }
+    want = {
+        (i, "donut")
+        for (i, lat, lon) in rows
+        if _pip_brute_rings(lat, lon, HOLED["donut"])
+    }
+    assert got == want and want
+    # non-vacuous: some bbox-interior points actually fell in the hole
+    in_hole = [
+        (i, lat, lon) for (i, lat, lon) in rows
+        if 7 < lat < 13 and 7 < lon < 13
+    ]
+    assert in_hole and all((i, "donut") not in got for i, *_ in in_hole)
+
+
+def test_points_in_polygons_multi_ring_plan_still_scan_only(spark):
+    pdf = spark.createDataFrame([(0, 10.0, 10.0)], "id long, lat double, lon double")
+    plan = (
+        G.points_in_polygons(pdf, HOLED)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Join", "Exchange", "EvalPython"):
+        assert bad not in plan
+
+
+def test_points_in_polygons_bad_ring_raises(spark):
+    pdf = spark.createDataFrame([(0, 0.0, 0.0)], "id long, lat double, lon double")
+    with pytest.raises(ValueError, match="fewer than 3"):
+        G.points_in_polygons(
+            pdf, {"z": [[(0.0, 0.0), (5.0, 0.0), (5.0, 5.0)], [(1.0, 1.0), (2.0, 2.0)]]}
+        )
