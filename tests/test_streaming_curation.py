@@ -593,3 +593,13 @@ def test_host_rank_maintain_cli(spark, tmp_path):
     ranks = {r["host"]: r for r in ing.read_host_ranks(spark).collect()}
     assert ranks["spamA"]["host_trustrank_fp"] == 0
     assert ranks["good1"]["host_trustrank_fp"] > 0
+
+def test_mm_demo_cli_end_to_end(spark, tmp_path):
+    """The flagship multimodal demo: media -> embedding -> ingest with
+    media dedup + vector index -> compaction -> stored-index probe, one
+    CLI invocation. Exit code 0 certifies the probe found the planted
+    exact media at cosine 1.0."""
+    from adsb_clickhouse_spark.__main__ import main
+
+    rc = main(["mm-demo", "--n", "60", "--data-dir", str(tmp_path / "mm")])
+    assert rc == 0
