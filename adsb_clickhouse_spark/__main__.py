@@ -107,6 +107,11 @@ def cmd_curate_maintain(args) -> int:
             print(f"vector_index: {ing.compact_vector_index(spark)}")
         else:
             print("vector_index: none at this base dir")
+    if args.compact_bands:
+        print(
+            "phash_bands: "
+            f"{ing.compact_phash_bands(spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced)}"
+        )
     if args.recompute_host_ranks:
         print(f"host_ranks: {ing.recompute_host_ranks(spark)}")
     return 0
@@ -253,6 +258,12 @@ def main(argv: list[str] | None = None) -> int:
         "--compact-vectors",
         action="store_true",
         help="also fold the searchable vector index's accumulated segments",
+    )
+    p_c.add_argument(
+        "--compact-bands",
+        action="store_true",
+        help="also fold the streaming media near-dedup phash band store "
+        "into its bkey-bucketed table (applies the hot-band valve)",
     )
     p_c.add_argument(
         "--recompute-host-ranks",

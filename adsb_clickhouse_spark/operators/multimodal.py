@@ -335,6 +335,44 @@ def media_dedup_edges(
     return exact_edges.unionByName(near_edges)
 
 
+def phash_band_keys(
+    hashes: DataFrame,
+    *,
+    bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """(id, phash, bkey): one row per (hash, band) with the band index
+    and 16-bit band value combined into ONE equi-join key
+    ``bkey = band · 2^width + band_value`` — the probe/store key of the
+    streaming phash band index (streaming/curation.py). A single long
+    key (instead of the (band, bv) pair) lets the stored side be
+    bucketed on exactly the join key, so per-batch probes co-locate
+    without re-shuffling the store — the same physics as the
+    fingerprint store's 16-byte key. Same pigeonhole contract as
+    :func:`phash_near_dup`: two hashes within ``max_hamming < bands``
+    bits must share at least one whole band, i.e. at least one bkey."""
+    if not 0 < bands <= PHASH_BITS or PHASH_BITS % bands:
+        raise ValueError(f"bands must divide {PHASH_BITS}")
+    width = PHASH_BITS // bands
+    mask = (1 << width) - 1
+    bvals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("phash"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .cast("long")
+            + F.lit(b * (mask + 1)).cast("long")
+            for b in range(bands)
+        ]
+    )
+    return (
+        hashes.select(
+            F.col(id_col).alias("id"), F.col(hash_col).alias("phash")
+        )
+        .select("id", "phash", F.explode(bvals).alias("bkey"))
+    )
+
+
 def phash_near_dup(
     hashes: DataFrame,
     *,

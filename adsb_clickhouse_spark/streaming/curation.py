@@ -60,6 +60,22 @@ docs are kNN-searchable as they land, with the same generational
 append/compact/GC lifecycle as the text index (compaction re-learns
 the coarse quantizer from the accumulated corpus).
 
+With ``media_near_dedup=True`` (r10) perceptual near-copies fall AT
+INGEST instead of waiting for compaction: each batch's kept media
+contribute (bkey = band·2^width + band-value, phash) rows to a stored
+band index (``phash_bands/``, batch-keyed, replay-overwritten); a later
+batch's hashes probe it with one equi-join on the single bkey long +
+codegen ``bit_count(XOR) <= max_hamming`` verify — the fingerprint
+store's scale shape applied to the banded-LSH key. Within a batch,
+pairs from the banded self-join drop every larger id. The probe side
+stays batch-sized; ``compact_phash_bands`` (CLI ``--compact-bands``)
+folds segments into a bkey-BUCKETED table (probe co-locates without
+re-shuffling the store) and applies the ``media_max_band_freq``
+hot-band valve as one bounded aggregate at fold time. The periodic
+``compact_curated`` near-dedup remains the principled
+connected-components pass over the accumulated corpus; the band index
+is the bounded fast path for "new copy of already-kept media".
+
 With ``host_col``/``host_links_col`` (r10) the domain-reputation prior
 becomes a streaming dimension: each batch's host link edges accrete
 into ``base_dir/host_edges`` (batch-keyed, replay-overwritten), the
@@ -156,6 +172,7 @@ class CurationIngest:
         text_index: bool = False,
         text_index_buckets: int = 64,
         media_dedup: bool = False,
+        media_near_dedup: bool = False,
         media_col: str = "payload",
         media_backend=None,
         media_max_hamming: int = 3,
@@ -182,6 +199,8 @@ class CurationIngest:
         self.text_index = text_index
         self.text_index_buckets = text_index_buckets
         self.media_dedup = media_dedup
+        self.media_near_dedup = media_near_dedup
+        self.phash_bands_path = os.path.join(base_dir, "phash_bands")
         self.media_col = media_col
         self.media_backend = media_backend
         self.media_max_hamming = media_max_hamming
@@ -236,6 +255,7 @@ class CurationIngest:
         _clear_segment(self.curated_path, seg)
         _clear_segment(self.fps_path, seg)
         _clear_segment(self.host_edges_path, seg)
+        _clear_segment(self.phash_bands_path, seg)
 
         scrubbed = pii_scrub(docs).withColumnRenamed("id", "doc_id")
         scored = (
@@ -345,6 +365,70 @@ class CurationIngest:
                     "media_fp",
                     "left_anti",
                 )
+        batch_bands = None
+        if media_on and self.media_near_dedup:
+            # per-batch perceptual NEAR-dedup against the stored phash
+            # band index (r10): until now a perturbed copy of already-
+            # kept media survived every batch and only fell at the
+            # periodic compaction. The band store gives suppression at
+            # ingest with the fingerprint store's scale shape — the
+            # probe is an equi-join on the single bkey long, verified by
+            # codegen bit_count(XOR) <= max_hamming; the store grows
+            # with unique media, and compaction buckets it on bkey so
+            # the probe co-locates without re-shuffling the store.
+            from ..operators.multimodal import (
+                perceptual_hash,
+                phash_band_keys,
+                phash_near_dup,
+            )
+
+            hashes = perceptual_hash(
+                fresh.filter(F.col(self.media_col).isNotNull()).select(
+                    F.col("doc_id").alias("media_id"), self.media_col
+                ),
+                backend=self.media_backend,
+            )
+            # within-batch: drop any media with a SMALLER-id near-dup in
+            # the batch (pairs come id_a < id_b, so dropping every id_b
+            # collapses chains to their smallest member — slightly more
+            # aggressive than the compaction's connected-components
+            # retention on transitive chains, deterministically so)
+            in_batch_losers = phash_near_dup(
+                hashes,
+                max_hamming=self.media_max_hamming,
+                bands=self.media_bands,
+                max_band_freq=self.media_max_band_freq,
+            ).select(F.col("id_b").alias("doc_id")).distinct()
+            fresh = fresh.join(in_batch_losers, "doc_id", "left_anti")
+            batch_bands = phash_band_keys(
+                hashes.join(
+                    fresh.select(F.col("doc_id").alias("media_id")),
+                    "media_id",
+                    "left_semi",
+                ),
+                bands=self.media_bands,
+            )
+            # cross-batch: a batch hash matching ANY stored band whose
+            # full hash verifies within max_hamming is a near-copy of
+            # already-kept media
+            for part in self.phash_band_store_parts(spark):
+                near = (
+                    batch_bands.join(
+                        part.withColumnRenamed("phash", "_sph"), "bkey"
+                    )
+                    .filter(
+                        F.bit_count(
+                            F.col("phash").bitwiseXOR(F.col("_sph"))
+                        )
+                        <= int(self.media_max_hamming)
+                    )
+                    .select(F.col("id").alias("doc_id"))
+                    .distinct()
+                )
+                fresh = fresh.join(near, "doc_id", "left_anti")
+                batch_bands = batch_bands.join(
+                    near.withColumnRenamed("doc_id", "id"), "id", "left_anti"
+                )
         if self.assign_splits:
             # split = salted hash of the exact fingerprint — a pure
             # per-row function, so the assignment is identical to the
@@ -447,6 +531,18 @@ class CurationIngest:
                     .write.mode("append")
                     .partitionBy("batch_id")
                     .parquet(self.host_edges_path)
+                )
+            if batch_bands is not None:
+                # survivors' band keys accrete into the phash band store
+                # (BEFORE the fingerprint append — the lazy band plan
+                # reads the fingerprint store, which must not yet hold
+                # this batch's own fingerprints)
+                (
+                    batch_bands.select("bkey", "phash")
+                    .withColumn("batch_id", F.lit(seg))
+                    .write.mode("append")
+                    .partitionBy("batch_id")
+                    .parquet(self.phash_bands_path)
                 )
             fps_out = fresh.select("fingerprint")
             if media_on:
@@ -561,6 +657,117 @@ class CurationIngest:
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
+
+    # -- phash band store (streaming media near-dedup, r10) ----------------
+
+    def _band_table_name(self) -> str | None:
+        ptr = os.path.join(self.phash_bands_path, _STORE_POINTER)
+        try:
+            with open(ptr) as fh:
+                name = fh.read().strip()
+            return name or None
+        except OSError:
+            return None
+
+    def phash_band_store_parts(self, spark: SparkSession) -> list[DataFrame]:
+        """The phash band index as its physical parts (compacted
+        bkey-bucketed table first, then uncompacted segments) — the same
+        contract as fingerprint_store_parts: bootstrap yields [], a
+        dangling pointer raises (silently skipping the compacted store
+        would re-admit every near-dup it remembers)."""
+        parts: list[DataFrame] = []
+        tbl = self._band_table_name()
+        if tbl is not None:
+            if not spark.catalog.tableExists(tbl):
+                raise RuntimeError(
+                    f"phash band store pointer names missing table {tbl!r} "
+                    f"({os.path.join(self.phash_bands_path, _STORE_POINTER)}); "
+                    "refusing to run with media near-dedup silently disabled"
+                )
+            parts.append(spark.table(tbl).select("bkey", "phash"))
+        if _seg_dirs(self.phash_bands_path):
+            parts.append(
+                spark.read.parquet(self.phash_bands_path).select("bkey", "phash")
+            )
+        return parts
+
+    def compact_phash_bands(
+        self,
+        spark: SparkSession,
+        *,
+        buckets: int = 32,
+        assume_quiesced: bool = False,
+    ) -> dict:
+        """Fold committed phash band segments into a bkey-bucketed store
+        table — same crash discipline as compact_fingerprints (new
+        generation → atomic pointer swap → GC; every crash window leaves
+        a readable SUPERSET, harmless to the probe join). When
+        ``media_max_band_freq`` is configured, band keys carried by more
+        rows than the valve are dropped from the FOLDED store (one
+        bounded aggregate here, instead of a store-sized frequency scan
+        per batch): a near-dup pair loses its pigeonhole guarantee only
+        if every shared band is hot — the mega-cluster regime the exact
+        media-md5 family already collapses."""
+        seg_entries = _seg_dirs(self.phash_bands_path)
+        foldable = [
+            e
+            for e in seg_entries
+            if assume_quiesced or self._is_committed(_seg_name(e))
+        ]
+        old_table = self._band_table_name()
+        if not foldable:
+            return {
+                "folded_segments": 0,
+                "table": old_table,
+                "skipped_uncommitted": len(seg_entries),
+            }
+        from ..plans.bucketing import write_bucketed
+
+        parts = []
+        if old_table is not None:
+            if not spark.catalog.tableExists(old_table):
+                raise RuntimeError(
+                    f"phash band store pointer names missing table {old_table!r}"
+                )
+            parts.append(spark.table(old_table).select("bkey", "phash"))
+        parts.append(
+            spark.read.parquet(
+                *(os.path.join(self.phash_bands_path, e) for e in foldable)
+            ).select("bkey", "phash")
+        )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df = df.distinct()
+        if self.media_max_band_freq is not None:
+            hot = (
+                df.groupBy("bkey")
+                .agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") > int(self.media_max_band_freq))
+                .select("bkey")
+            )
+            df = df.join(hot, "bkey", "left_anti")
+        digest = hashlib.md5(
+            os.path.abspath(self.phash_bands_path).encode()
+        ).hexdigest()
+        new_table = f"curation_bands_{digest[:10]}_g{uuid.uuid4().hex[:8]}"
+        write_bucketed(df, new_table, key="bkey", buckets=buckets)
+        ptr = os.path.join(self.phash_bands_path, _STORE_POINTER)
+        tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(new_table)
+        os.replace(tmp, ptr)
+        for e in foldable:
+            shutil.rmtree(
+                os.path.join(self.phash_bands_path, e), ignore_errors=True
+            )
+        if old_table is not None and old_table != new_table:
+            spark.sql(f"DROP TABLE IF EXISTS {old_table}")
+        return {
+            "folded_segments": len(foldable),
+            "table": new_table,
+            "skipped_uncommitted": len(seg_entries) - len(foldable),
+        }
 
     # -- store lifecycle (maintenance jobs) -------------------------------
 

@@ -603,3 +603,84 @@ def test_mm_demo_cli_end_to_end(spark, tmp_path):
 
     rc = main(["mm-demo", "--n", "60", "--data-dir", str(tmp_path / "mm")])
     assert rc == 0
+
+# ---------------------------------------------- phash band store (r10)
+
+
+def test_media_near_dedup_suppresses_at_ingest(spark, tmp_path):
+    """With media_near_dedup=True a perceptual near-copy is dropped AT
+    INGEST — within the batch (smaller-id wins) and across batches (the
+    stored band index remembers kept media) — instead of surviving until
+    compaction. Distinct media and NULL payloads pass untouched."""
+    A, B, Bp, C = _media_payloads()
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1", media_dedup=True, media_near_dedup=True
+    )
+    rows0 = [
+        (0, "base document carrying the original image payload", B),
+        (1, "perturbed copy document with slightly damaged pixels", Bp),
+        (2, "genuinely different document with unrelated artwork", C),
+    ]
+    ing.process_batch(
+        spark.createDataFrame(rows0, "doc_id long, text string, payload binary"),
+        batch_id=0,
+    )
+    kept0 = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+    assert kept0 == {0, 2}  # the near-copy fell within its own batch
+    rows1 = [
+        (10, "later document resending a perturbed original", Bp),
+        (11, "fresh document with a brand new payload", A),
+        (12, "document with no media at all", None),
+    ]
+    ing.process_batch(
+        spark.createDataFrame(rows1, "doc_id long, text string, payload binary"),
+        batch_id=1,
+    )
+    kept1 = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+    # 10's payload is within hamming of batch-0's KEPT media -> dropped
+    # by the stored band probe; 11 new; 12 NULL-exempt
+    assert kept1 == {0, 2, 11, 12}
+
+
+def test_media_near_dedup_replay_and_compaction(spark, tmp_path):
+    """A replayed batch converges (its band segment is overwritten, its
+    own bands can't suppress its own rows); compact_phash_bands folds
+    segments into the bucketed table and the probe keeps suppressing."""
+    import os
+
+    A, B, Bp, C = _media_payloads()
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1", media_dedup=True, media_near_dedup=True
+    )
+    b0 = spark.createDataFrame(
+        [(0, "document zero with the original artwork payload", B)],
+        "doc_id long, text string, payload binary",
+    )
+    ing.process_batch(b0, batch_id=0)
+    ing.process_batch(b0, batch_id=0)  # redelivery
+    assert {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()} == {0}
+    stats = ing.compact_phash_bands(spark, assume_quiesced=True)
+    assert stats["folded_segments"] == 1
+    assert not [e for e in os.listdir(ing.phash_bands_path) if e.startswith("batch_id=")]
+    # post-compaction probe: a near-copy in a later batch still falls
+    ing.process_batch(
+        spark.createDataFrame(
+            [(5, "post compaction perturbed resend of the artwork", Bp),
+             (6, "post compaction genuinely new artwork", C)],
+            "doc_id long, text string, payload binary",
+        ),
+        batch_id=1,
+    )
+    kept = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+    assert kept == {0, 6}
+    # dangling pointer fails loudly
+    with open(os.path.join(ing.phash_bands_path, "_STORE"), "w") as fh:
+        fh.write("no_such_band_table")
+    with pytest.raises(RuntimeError, match="missing table"):
+        ing.process_batch(
+            spark.createDataFrame(
+                [(9, "another doc that now cannot be band-checked", A)],
+                "doc_id long, text string, payload binary",
+            ),
+            batch_id=2,
+        )
