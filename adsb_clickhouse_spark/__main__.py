@@ -119,9 +119,10 @@ def cmd_curate_maintain(args) -> int:
 
 def cmd_mm_demo(args) -> int:
     """The flagship multimodal pipeline, end to end in ONE invocation:
-    synthetic binary media (with planted byte-exact copies) → Arrow
-    feature extraction (media → embedding) → streaming curation ingest
-    with media dedup + stored IVF vector index → index compaction
+    synthetic binary media (with planted byte-exact copies AND
+    perceptual near-copies) → Arrow feature extraction
+    (media → embedding) → streaming curation ingest with exact media
+    dedup + band-index near-dedup + stored IVF vector index → index compaction
     (quantizer re-learned from the curated corpus) → a kNN probe of the
     stored index with a fresh query payload → curated output counts.
     Every stage is the real operator the oracle/pytest suites gate; the
@@ -148,11 +149,16 @@ def cmd_mm_demo(args) -> int:
         for pdf in it:
             payloads, texts = [], []
             for did in pdf["id"]:
-                # every doc_id % 10 == 1 carries a byte-exact COPY of its
-                # neighbor's media — the media-dedup stage must drop it
-                src = did - 1 if did % 10 == 1 else did
+                # doc_id % 10 == 1: byte-exact COPY of the neighbor's
+                # media (falls at the exact md5 gate); % 10 == 6: a
+                # perceptual NEAR-copy (5 leading bytes forced, blockhash
+                # hamming <= 3 — falls at the stored band index)
+                src = did - 1 if did % 10 in (1, 6) else did
                 rs = np.random.RandomState(int(src) % (2**31))
-                payloads.append(rs.randint(0, 256, 512).astype(np.uint8).tobytes())
+                px = rs.randint(0, 256, 512).astype(np.uint8)
+                if did % 10 == 6:
+                    px[:5] = 255
+                payloads.append(px.tobytes())
                 texts.append(
                     f"caption for frame {did} "
                     + " ".join(f"tok{(did * 7 + j) % 97}" for j in range(12))
@@ -174,7 +180,12 @@ def cmd_mm_demo(args) -> int:
         "doc_id",
     )
     ing = CurationIngest(
-        base, run_id="demo", media_dedup=True, vector_index=True, vector_n_lists=8
+        base,
+        run_id="demo",
+        media_dedup=True,
+        media_near_dedup=True,
+        vector_index=True,
+        vector_n_lists=8,
     )
     half = n // 2
     ing.process_batch(batch.filter(F.col("doc_id") < half), batch_id=0)

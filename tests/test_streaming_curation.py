@@ -684,3 +684,90 @@ def test_media_near_dedup_replay_and_compaction(spark, tmp_path):
             ),
             batch_id=2,
         )
+
+def test_phash_band_store_bucketed_join_colocates(spark, tmp_path):
+    """After compact_phash_bands the probe's equi-join on the single
+    bkey long co-locates against the bucketed store: exactly ONE
+    Exchange (the batch side) in the join plan, store scan bucketed —
+    the fingerprint-store plan shape applied to the banded-LSH key."""
+    import os
+
+    A, B, Bp, C = _media_payloads()
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1", media_dedup=True, media_near_dedup=True
+    )
+    ing.process_batch(
+        spark.createDataFrame(
+            [(0, "document with artwork one for the band store", B),
+             (1, "document with artwork two for the band store", C)],
+            "doc_id long, text string, payload binary",
+        ),
+        batch_id=0,
+    )
+    stats = ing.compact_phash_bands(spark, buckets=8)
+    try:
+        assert stats["folded_segments"] == 1
+        assert not [
+            e for e in os.listdir(ing.phash_bands_path)
+            if e.startswith("batch_id=")
+        ]
+        parts = ing.phash_band_store_parts(spark)
+        assert len(parts) == 1 and parts[0].count() == 8  # 2 hashes × 4 bands
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = spark.createDataFrame(
+                [(9, 0, 123)], "id long, bkey long, phash long"
+            )
+            j = probe.join(parts[0].withColumnRenamed("phash", "_sph"), "bkey")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert plan.count("Exchange") == 1
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        # suppression still works across the compaction boundary and the
+        # next compaction folds the new tail into the next generation
+        ing.process_batch(
+            spark.createDataFrame(
+                [(5, "perturbed resend after band compaction", Bp),
+                 (6, "fresh artwork after band compaction", A)],
+                "doc_id long, text string, payload binary",
+            ),
+            batch_id=1,
+        )
+        kept = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+        assert kept == {0, 1, 6}
+        stats2 = ing.compact_phash_bands(spark, buckets=8)
+        assert stats2["folded_segments"] == 1
+    finally:
+        tbl = ing._band_table_name()
+        if tbl:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_host_rank_percentile_gate_streaming(spark, tmp_path):
+    """host_min_rank_pct gates each batch against the stored PageRank
+    generation: below-percentile and unknown hosts are dropped."""
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1",
+        host_col="host", host_links_col="out_links",
+        host_min_rank_pct=0.9,
+    )
+    # hub gets 3 in-links; spokes get none (pct 0.9 of the 4-node rank
+    # distribution lands on the hub rank; >= keeps only the hub)
+    b0 = _host_docs(spark, [
+        (0, _HOST_TEXTS[0], "s1", ["hub"]),
+        (1, _HOST_TEXTS[1], "s2", ["hub"]),
+        (2, _HOST_TEXTS[2], "s3", ["hub"]),
+    ])
+    ing.process_batch(b0, batch_id=0)
+    ing.recompute_host_ranks(spark)
+    b1 = _host_docs(spark, [
+        (10, _HOST_TEXTS[3], "hub", []),       # top-ranked -> kept
+        (11, _HOST_TEXTS[4], "s1", []),        # below percentile -> dropped
+        (12, _HOST_TEXTS[5], "never-seen", []),  # unknown -> dropped
+    ])
+    ing.process_batch(b1, batch_id=1)
+    kept = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+    assert kept == {0, 1, 2, 10}
