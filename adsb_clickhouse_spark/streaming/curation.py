@@ -1041,6 +1041,15 @@ class CurationIngest:
         seeds_present = None
         if self.host_trust_seeds:
             want = list(dict.fromkeys(self.host_trust_seeds))
+            from ..operators.graph import MAX_SEEDS
+
+            if len(want) > MAX_SEEDS:
+                # enforce the dimension contract BEFORE the isin plan and
+                # the bounded collect below, not just inside pagerank_multi
+                raise ValueError(
+                    f"{len(want)} trust seeds > MAX_SEEDS={MAX_SEEDS}; a "
+                    "seed set that big is not a vetted dimension list"
+                )
             nodes = edges.select(F.col("src").alias("n")).union(
                 edges.select(F.col("dst").alias("n"))
             )
