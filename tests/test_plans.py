@@ -92,3 +92,36 @@ def test_history_scan_prunes_partitions(spark, tmp_base):
     assert "PartitionFilters: [isnotnull(scrape_date" in plan
     # pruned scan reads exactly one of the five day-partitions
     assert scan.count() == 1
+
+def test_dsir_clf_branch_plan_codegen_no_python(spark):
+    """The classifier scoring branch of text_dsir_select: gram hashing,
+    the weight join, and the sigmoid all stay JVM-side — no EvalPython —
+    and the node-sized weight table joins as a broadcast."""
+    plan = _plan(spark, "text_dsir_select")
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_curation_host_rank_join_is_broadcast(spark):
+    """The funnel's domain-reputation stage joins the node-sized rank
+    table as a BROADCAST onto the corpus — the corpus must not shuffle
+    for the dimension lookup."""
+    from pyspark.sql import functions as F
+
+    from adsb_clickhouse_spark.operators.curation import curate_documents
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with plenty of words to pass gates",
+          f"h{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    ranks = spark.createDataFrame(
+        [(f"h{i}", 100 + i, 10 + i) for i in range(3)],
+        "host string, host_pagerank_fp long, host_trustrank_fp long",
+    )
+    res = curate_documents(
+        docs, lang_col=None, host_col="source", host_ranks=ranks,
+        dedup_threshold=0.9,
+    )
+    plan = res.scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "EvalPython" not in plan
