@@ -771,3 +771,70 @@ def test_host_rank_percentile_gate_streaming(spark, tmp_path):
     ing.process_batch(b1, batch_id=1)
     kept = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
     assert kept == {0, 1, 2, 10}
+
+def test_curate_maintain_cli_full_cycle(spark, tmp_path):
+    """ONE curate-maintain invocation drives every store lifecycle job:
+    fingerprint compaction, curated near-dedup, text-index fold,
+    vector-index fold, phash-band fold, and the host-rank recompute —
+    and the ingest keeps working (and suppressing) afterwards."""
+    from adsb_clickhouse_spark.__main__ import main
+
+    A, B, Bp, C = _media_payloads()
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1",
+        media_dedup=True, media_near_dedup=True,
+        text_index=True, vector_index=True, vector_n_lists=2,
+        host_col="host", host_links_col="out_links",
+        host_trust_seeds=["seed"],
+    )
+    emb = [0.1, 0.2, 0.3, 0.4]
+    rows = [
+        (0, "rivers and stone bridges drawn over many winters", B,
+         "seed", ["good1"], emb),
+        (1, "register allocation and careful loop unrolling notes", C,
+         "good1", [], [x * 2 for x in emb]),
+        (2, "buy cheap pills now amazing deal click here", A,
+         "spamA", ["spamB"], None),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, payload binary, host string, "
+        "out_links array<string>, embedding array<double>",
+    )
+    ing.process_batch(batch, batch_id=0)
+    rc = main([
+        "curate-maintain", str(tmp_path),
+        "--near-dedup", "--compact-index", "--compact-vectors",
+        "--compact-bands", "--recompute-host-ranks",
+        "--host-trust-seeds", "seed", "--assume-quiesced",
+    ])
+    assert rc == 0
+    try:
+        # every store answered: text search, vector knn, band suppression,
+        # host gate — all from COMPACTED generations
+        assert ing.search(spark, "rivers bridges", k=3).count() >= 1
+        q = spark.createDataFrame(
+            [(9, [x * 1.01 for x in emb])], "vec_id long, embedding array<double>"
+        )
+        assert ing.knn(spark, q, k=2, nprobe=2).count() >= 1
+        ing.process_batch(
+            spark.createDataFrame(
+                [(10, "perturbed resend of the winter artwork", Bp,
+                  "good1", [], None),
+                 (11, "post maintenance doc from the spam ring", C[:0] or C,
+                  "spamB", ["spamA"], None)],
+                "doc_id long, text string, payload binary, host string, "
+                "out_links array<string>, embedding array<double>",
+            ),
+            batch_id=1,
+        )
+        kept = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+        # 10: near-copy of kept media -> band store drops it
+        # 11: spam-ring host (trustrank 0 in the stored generation) dropped
+        # (its media C would also collide with doc 1's)
+        assert 10 not in kept and 11 not in kept
+        assert {0, 1, 2} <= kept
+    finally:
+        for tbl in (ing._store_table_name(), ing._band_table_name()):
+            if tbl:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
