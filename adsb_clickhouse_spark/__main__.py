@@ -112,6 +112,10 @@ def cmd_curate_maintain(args) -> int:
             "phash_bands: "
             f"{ing.compact_phash_bands(spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced)}"
         )
+        print(
+            "text_bands: "
+            f"{ing.compact_text_bands(spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced)}"
+        )
     if args.recompute_host_ranks:
         print(f"host_ranks: {ing.recompute_host_ranks(spark)}")
     return 0

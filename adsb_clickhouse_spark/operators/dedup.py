@@ -324,6 +324,55 @@ def minhash_lsh_pairs(
     return out
 
 
+def minhash_band_rows(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    w: int = 3,
+) -> DataFrame:
+    """(id, sig, bkey): one row per (document, LSH band) with the full
+    k-value minhash signature and the band compressed into ONE long
+    equi-join key ``bkey = md5_long(band ‖ '_' ‖ band_key)`` — the
+    probe/store rows of the streaming text band index
+    (streaming/curation.py, ``text_near_dedup=True``), mirroring the
+    phash band key (operators/multimodal.py::phash_band_keys): a single
+    long key lets the stored side be bucketed on exactly the join key.
+
+    Documents with no w-shingles (short/NULL text) produce no rows —
+    they can never be near-dups under the LSH law, only exact dups
+    (which the fingerprint store owns). Same banding law as
+    :func:`minhash_lsh_pairs`; the signature rides along so a probe can
+    VERIFY by signature agreement (#equal positions / k estimates
+    Jaccard) without touching any corpus text."""
+    r = k // bands
+    sh = _hashed_shingle_index(docs, text_col, id_col, w)
+    hashed = sh.withColumn("h", F.col("h") % MINHASH_PRIME)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
+    sig = hashed.groupBy("id").agg(*aggs)
+    bands_arr = F.array(
+        *[
+            md5_long(
+                F.concat_ws(
+                    "_",
+                    F.lit(str(b)),
+                    *[F.col(f"mh_{b * r + j}") for j in range(r)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(k)])
+    return sig.select(
+        "id", sig_arr.alias("sig"), F.explode(bands_arr).alias("bkey")
+    )
+
+
 def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """(id, simhash): sign-aggregated token-hash fingerprint.
 

@@ -76,6 +76,18 @@ hot-band valve as one bounded aggregate at fold time. The periodic
 connected-components pass over the accumulated corpus; the band index
 is the bounded fast path for "new copy of already-kept media".
 
+With ``text_near_dedup=True`` (r10) the same band-store pattern covers
+TEXT: within a batch, exact-Jaccard-verified MinHash-LSH pairs collapse
+to the smallest id; across batches, kept docs' (bkey = md5_long(band ‖
+band_key), signature) rows accrete into ``text_bands/`` and later
+batches probe with one bkey equi-join verified by SIGNATURE AGREEMENT
+(#equal minhash positions / k ≥ threshold — the MinHash Jaccard
+estimate), so the probe never touches corpus text and stays
+batch-bounded. The periodic ``compact_curated`` pass remains the
+exact-Jaccard authority over the accumulated corpus;
+``compact_text_bands`` folds the band segments into a bkey-bucketed
+table (also under CLI ``--compact-bands``).
+
 With ``host_col``/``host_links_col`` (r10) the domain-reputation prior
 becomes a streaming dimension: each batch's host link edges accrete
 into ``base_dir/host_edges`` (batch-keyed, replay-overwritten), the
@@ -173,6 +185,8 @@ class CurationIngest:
         text_index_buckets: int = 64,
         media_dedup: bool = False,
         media_near_dedup: bool = False,
+        text_near_dedup: bool = False,
+        text_dedup_threshold: float = 0.5,
         media_col: str = "payload",
         media_backend=None,
         media_max_hamming: int = 3,
@@ -201,6 +215,9 @@ class CurationIngest:
         self.media_dedup = media_dedup
         self.media_near_dedup = media_near_dedup
         self.phash_bands_path = os.path.join(base_dir, "phash_bands")
+        self.text_near_dedup = text_near_dedup
+        self.text_dedup_threshold = text_dedup_threshold
+        self.text_bands_path = os.path.join(base_dir, "text_bands")
         self.media_col = media_col
         self.media_backend = media_backend
         self.media_max_hamming = media_max_hamming
@@ -256,6 +273,7 @@ class CurationIngest:
         _clear_segment(self.fps_path, seg)
         _clear_segment(self.host_edges_path, seg)
         _clear_segment(self.phash_bands_path, seg)
+        _clear_segment(self.text_bands_path, seg)
 
         scrubbed = pii_scrub(docs).withColumnRenamed("id", "doc_id")
         scored = (
@@ -364,6 +382,59 @@ class CurationIngest:
                     part.withColumnRenamed("fingerprint", "media_fp"),
                     "media_fp",
                     "left_anti",
+                )
+        text_band_rows = None
+        if self.text_near_dedup:
+            # per-batch TEXT near-dedup against the stored MinHash band
+            # index (r10): the text twin of the phash band store below.
+            # Within the batch, exact-Jaccard-verified LSH pairs collapse
+            # to the smallest id; across batches, the probe is one
+            # equi-join on the single bkey long and the verify is
+            # SIGNATURE AGREEMENT (#equal minhash positions / k >=
+            # threshold — the MinHash Jaccard estimate), so it never
+            # touches corpus text and stays batch-bounded. The periodic
+            # compact_curated pass remains the exact-Jaccard authority;
+            # this is the bounded fast path for "near-copy of
+            # already-kept text". Band law constants (k=16, bands=4,
+            # w=3) are the store's schema — changing them invalidates
+            # the accumulated index.
+            from ..operators.dedup import minhash_band_rows, minhash_lsh_pairs
+
+            batch_texts = fresh.select(
+                "doc_id", F.col("clean_text").alias("text")
+            )
+            in_batch = (
+                minhash_lsh_pairs(
+                    batch_texts, threshold=self.text_dedup_threshold
+                )
+                .select(F.col("id_b").alias("doc_id"))
+                .distinct()
+            )
+            fresh = fresh.join(in_batch, "doc_id", "left_anti")
+            text_band_rows = minhash_band_rows(
+                fresh.select("doc_id", F.col("clean_text").alias("text")),
+                id_col="doc_id",
+            )
+            k = 16  # the band-law constant above
+            agree = F.aggregate(
+                F.zip_with(
+                    "sig", "_ssig", lambda a, b: (a == b).cast("int")
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            for part in self.text_band_store_parts(spark):
+                near = (
+                    text_band_rows.join(
+                        part.withColumnRenamed("sig", "_ssig"), "bkey"
+                    )
+                    .filter(agree / F.lit(float(k)) >= self.text_dedup_threshold)
+                    .select(F.col("id").alias("doc_id"))
+                    .distinct()
+                )
+                fresh = fresh.join(near, "doc_id", "left_anti")
+                text_band_rows = text_band_rows.join(
+                    near.withColumnRenamed("doc_id", "id"), "id", "left_anti"
                 )
         batch_bands = None
         if media_on and self.media_near_dedup:
@@ -544,6 +615,15 @@ class CurationIngest:
                     .partitionBy("batch_id")
                     .parquet(self.phash_bands_path)
                 )
+            if text_band_rows is not None:
+                # same ordering contract for the text band store
+                (
+                    text_band_rows.select("bkey", "sig")
+                    .withColumn("batch_id", F.lit(seg))
+                    .write.mode("append")
+                    .partitionBy("batch_id")
+                    .parquet(self.text_bands_path)
+                )
             fps_out = fresh.select("fingerprint")
             if media_on:
                 fps_out = fps_out.unionByName(
@@ -658,10 +738,12 @@ class CurationIngest:
             df = df.unionByName(p)
         return df
 
-    # -- phash band store (streaming media near-dedup, r10) ----------------
+    # -- band stores (streaming near-dedup, r10): phash (media) + minhash
+    # (text) share one keyed-store discipline ------------------------------
 
-    def _band_table_name(self) -> str | None:
-        ptr = os.path.join(self.phash_bands_path, _STORE_POINTER)
+    @staticmethod
+    def _keyed_table_name(path: str) -> str | None:
+        ptr = os.path.join(path, _STORE_POINTER)
         try:
             with open(ptr) as fh:
                 name = fh.read().strip()
@@ -669,52 +751,57 @@ class CurationIngest:
         except OSError:
             return None
 
-    def phash_band_store_parts(self, spark: SparkSession) -> list[DataFrame]:
-        """The phash band index as its physical parts (compacted
-        bkey-bucketed table first, then uncompacted segments) — the same
-        contract as fingerprint_store_parts: bootstrap yields [], a
+    def _keyed_store_parts(
+        self, spark: SparkSession, path: str, cols: list[str], what: str
+    ) -> list[DataFrame]:
+        """A bkey-keyed store as its physical parts (compacted bucketed
+        table first, then uncompacted segments) — the
+        fingerprint_store_parts contract: bootstrap yields [], a
         dangling pointer raises (silently skipping the compacted store
         would re-admit every near-dup it remembers)."""
         parts: list[DataFrame] = []
-        tbl = self._band_table_name()
+        tbl = self._keyed_table_name(path)
         if tbl is not None:
             if not spark.catalog.tableExists(tbl):
                 raise RuntimeError(
-                    f"phash band store pointer names missing table {tbl!r} "
-                    f"({os.path.join(self.phash_bands_path, _STORE_POINTER)}); "
-                    "refusing to run with media near-dedup silently disabled"
+                    f"{what} store pointer names missing table {tbl!r} "
+                    f"({os.path.join(path, _STORE_POINTER)}); refusing to "
+                    f"run with {what} near-dedup silently disabled"
                 )
-            parts.append(spark.table(tbl).select("bkey", "phash"))
-        if _seg_dirs(self.phash_bands_path):
-            parts.append(
-                spark.read.parquet(self.phash_bands_path).select("bkey", "phash")
-            )
+            parts.append(spark.table(tbl).select(*cols))
+        if _seg_dirs(path):
+            parts.append(spark.read.parquet(path).select(*cols))
         return parts
 
-    def compact_phash_bands(
+    def _compact_keyed_store(
         self,
         spark: SparkSession,
+        path: str,
+        cols: list[str],
+        prefix: str,
         *,
-        buckets: int = 32,
-        assume_quiesced: bool = False,
+        buckets: int,
+        assume_quiesced: bool,
+        max_key_freq: int | None,
+        what: str,
     ) -> dict:
-        """Fold committed phash band segments into a bkey-bucketed store
-        table — same crash discipline as compact_fingerprints (new
-        generation → atomic pointer swap → GC; every crash window leaves
-        a readable SUPERSET, harmless to the probe join). When
-        ``media_max_band_freq`` is configured, band keys carried by more
-        rows than the valve are dropped from the FOLDED store (one
-        bounded aggregate here, instead of a store-sized frequency scan
-        per batch): a near-dup pair loses its pigeonhole guarantee only
-        if every shared band is hot — the mega-cluster regime the exact
-        media-md5 family already collapses."""
-        seg_entries = _seg_dirs(self.phash_bands_path)
+        """Fold committed segments of a bkey-keyed store into a
+        bkey-bucketed table — the compact_fingerprints crash discipline
+        (new generation → atomic pointer swap → GC; every crash window
+        leaves a readable SUPERSET, harmless to the probe join). When
+        ``max_key_freq`` is given, band keys carried by more rows than
+        the valve are dropped from the FOLDED store (one bounded
+        aggregate here instead of a store-sized frequency scan per
+        batch): a near-dup pair loses its pigeonhole guarantee only if
+        EVERY shared band is hot — the mega-cluster regime the exact
+        fingerprint family already collapses."""
+        seg_entries = _seg_dirs(path)
         foldable = [
             e
             for e in seg_entries
             if assume_quiesced or self._is_committed(_seg_name(e))
         ]
-        old_table = self._band_table_name()
+        old_table = self._keyed_table_name(path)
         if not foldable:
             return {
                 "folded_segments": 0,
@@ -727,40 +814,36 @@ class CurationIngest:
         if old_table is not None:
             if not spark.catalog.tableExists(old_table):
                 raise RuntimeError(
-                    f"phash band store pointer names missing table {old_table!r}"
+                    f"{what} store pointer names missing table {old_table!r}"
                 )
-            parts.append(spark.table(old_table).select("bkey", "phash"))
+            parts.append(spark.table(old_table).select(*cols))
         parts.append(
             spark.read.parquet(
-                *(os.path.join(self.phash_bands_path, e) for e in foldable)
-            ).select("bkey", "phash")
+                *(os.path.join(path, e) for e in foldable)
+            ).select(*cols)
         )
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         df = df.distinct()
-        if self.media_max_band_freq is not None:
+        if max_key_freq is not None:
             hot = (
                 df.groupBy("bkey")
                 .agg(F.count("*").alias("_n"))
-                .filter(F.col("_n") > int(self.media_max_band_freq))
+                .filter(F.col("_n") > int(max_key_freq))
                 .select("bkey")
             )
             df = df.join(hot, "bkey", "left_anti")
-        digest = hashlib.md5(
-            os.path.abspath(self.phash_bands_path).encode()
-        ).hexdigest()
-        new_table = f"curation_bands_{digest[:10]}_g{uuid.uuid4().hex[:8]}"
+        digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()
+        new_table = f"{prefix}_{digest[:10]}_g{uuid.uuid4().hex[:8]}"
         write_bucketed(df, new_table, key="bkey", buckets=buckets)
-        ptr = os.path.join(self.phash_bands_path, _STORE_POINTER)
+        ptr = os.path.join(path, _STORE_POINTER)
         tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             fh.write(new_table)
         os.replace(tmp, ptr)
         for e in foldable:
-            shutil.rmtree(
-                os.path.join(self.phash_bands_path, e), ignore_errors=True
-            )
+            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
         if old_table is not None and old_table != new_table:
             spark.sql(f"DROP TABLE IF EXISTS {old_table}")
         return {
@@ -768,6 +851,59 @@ class CurationIngest:
             "table": new_table,
             "skipped_uncommitted": len(seg_entries) - len(foldable),
         }
+
+    def _band_table_name(self) -> str | None:
+        return self._keyed_table_name(self.phash_bands_path)
+
+    def _text_band_table_name(self) -> str | None:
+        return self._keyed_table_name(self.text_bands_path)
+
+    def phash_band_store_parts(self, spark: SparkSession) -> list[DataFrame]:
+        return self._keyed_store_parts(
+            spark, self.phash_bands_path, ["bkey", "phash"], "phash band"
+        )
+
+    def text_band_store_parts(self, spark: SparkSession) -> list[DataFrame]:
+        return self._keyed_store_parts(
+            spark, self.text_bands_path, ["bkey", "sig"], "text band"
+        )
+
+    def compact_phash_bands(
+        self,
+        spark: SparkSession,
+        *,
+        buckets: int = 32,
+        assume_quiesced: bool = False,
+    ) -> dict:
+        return self._compact_keyed_store(
+            spark,
+            self.phash_bands_path,
+            ["bkey", "phash"],
+            "curation_bands",
+            buckets=buckets,
+            assume_quiesced=assume_quiesced,
+            max_key_freq=self.media_max_band_freq,
+            what="phash band",
+        )
+
+    def compact_text_bands(
+        self,
+        spark: SparkSession,
+        *,
+        buckets: int = 32,
+        assume_quiesced: bool = False,
+        max_band_freq: int | None = None,
+    ) -> dict:
+        return self._compact_keyed_store(
+            spark,
+            self.text_bands_path,
+            ["bkey", "sig"],
+            "curation_tbands",
+            buckets=buckets,
+            assume_quiesced=assume_quiesced,
+            max_key_freq=max_band_freq,
+            what="text band",
+        )
 
     # -- store lifecycle (maintenance jobs) -------------------------------
 

@@ -838,3 +838,63 @@ def test_curate_maintain_cli_full_cycle(spark, tmp_path):
         for tbl in (ing._store_table_name(), ing._band_table_name()):
             if tbl:
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+# ------------------------------------------------ text band store (r10)
+
+
+_NEAR_A = ("the river flows past the old stone bridge where fishermen "
+           "gather every morning before the market opens and the town "
+           "slowly wakes to the sound of carts on cobblestones")
+# one word changed: high shingle overlap -> near-dup under threshold 0.5
+_NEAR_A2 = _NEAR_A.replace("fishermen", "merchants")
+_OTHER = ("register allocation in optimizing compilers interacts with "
+          "instruction scheduling and loop unrolling in ways that make "
+          "phase ordering a genuinely hard planning problem")
+
+
+def test_text_near_dedup_suppresses_at_ingest(spark, tmp_path):
+    """With text_near_dedup=True a near-copy of already-kept text falls
+    AT INGEST: within the batch via exact-verified LSH pairs, across
+    batches via the stored MinHash band index (signature-agreement
+    verify — never touches corpus text). Distinct texts pass."""
+    ing = CurationIngest(str(tmp_path), run_id="r1", text_near_dedup=True)
+    ing.process_batch(
+        _docs(spark, [(0, _NEAR_A), (1, _NEAR_A2), (2, _OTHER)]), batch_id=0
+    )
+    kept0 = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+    assert kept0 == {0, 2}  # in-batch near-copy collapsed to the smaller id
+    ing.process_batch(
+        _docs(spark, [(10, _NEAR_A2), (11, "a completely fresh body of "
+                      "text about alpine wildflowers and visiting bees")]),
+        batch_id=1,
+    )
+    kept1 = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+    assert kept1 == {0, 2, 11}  # 10 suppressed by the stored band index
+
+
+def test_text_band_store_replay_compaction_and_pointer(spark, tmp_path):
+    import os
+
+    ing = CurationIngest(str(tmp_path), run_id="r1", text_near_dedup=True)
+    b0 = _docs(spark, [(0, _NEAR_A)])
+    ing.process_batch(b0, batch_id=0)
+    ing.process_batch(b0, batch_id=0)  # redelivery converges
+    stats = ing.compact_text_bands(spark, assume_quiesced=True)
+    try:
+        assert stats["folded_segments"] == 1
+        assert not [
+            e for e in os.listdir(ing.text_bands_path)
+            if e.startswith("batch_id=")
+        ]
+        # suppression still works off the compacted bucketed table
+        ing.process_batch(_docs(spark, [(5, _NEAR_A2), (6, _OTHER)]), batch_id=1)
+        kept = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+        assert kept == {0, 6}
+        with open(os.path.join(ing.text_bands_path, "_STORE"), "w") as fh:
+            fh.write("no_such_tband_table")
+        with pytest.raises(RuntimeError, match="missing table"):
+            ing.process_batch(_docs(spark, [(9, _OTHER + " again")]), batch_id=2)
+    finally:
+        tbl = ing._text_band_table_name()
+        if tbl and "no_such" not in tbl:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
