@@ -112,11 +112,16 @@ Scale shape: the anti-join shuffles on the 16-byte fingerprint — the
 store side is the accumulated KEPT set (post-dedup, so it grows with
 unique content, not ingest volume) and after compaction is bucketed on
 fingerprint, so the join co-locates without re-shuffling the store.
-The whole body is projections + one groupBy + one anti-join; no Python
-on the hot path. Near-dedup stays the periodic BATCH compaction above —
-banding against an unbounded historical corpus per micro-batch would
-couple batch latency to corpus size, which is the wrong half of the
-lambda split.
+The BASE body is projections + one groupBy + one anti-join with no
+Python on the hot path; the optional near-dedup stages (below) each add
+one bounded piece — an Arrow hashing pass over the BATCH's payloads
+(media) or a JVM-side minhash over the batch's texts, plus one
+bkey-keyed equi-join per store part — and the optional host gate adds
+one broadcast dimension join. GENERAL banding against the unbounded
+historical corpus (all-pairs within history) stays the periodic BATCH
+compaction — the band stores only answer the bounded question "is this
+batch row a near-copy of something already kept", which is an equi-join
+probe, not a corpus self-join.
 """
 
 from __future__ import annotations
@@ -400,6 +405,7 @@ class CurationIngest:
             # the accumulated index.
             from ..operators.dedup import minhash_band_rows, minhash_lsh_pairs
 
+            self._enforce_band_law(self.text_bands_path, self._TEXT_BAND_LAW)
             batch_texts = fresh.select(
                 "doc_id", F.col("clean_text").alias("text")
             )
@@ -453,6 +459,7 @@ class CurationIngest:
                 phash_near_dup,
             )
 
+            self._enforce_band_law(self.phash_bands_path, self._phash_band_law())
             hashes = perceptual_hash(
                 fresh.filter(F.col(self.media_col).isNotNull()).select(
                     F.col("doc_id").alias("media_id"), self.media_col
@@ -740,6 +747,39 @@ class CurationIngest:
 
     # -- band stores (streaming near-dedup, r10): phash (media) + minhash
     # (text) share one keyed-store discipline ------------------------------
+
+    _BAND_LAW_MARKER = "_BAND_LAW"
+
+    def _enforce_band_law(self, path: str, law: str) -> None:
+        """The band law (bands count, hash family, shingle width) IS the
+        store's key schema: a store written under bands=4 probed under
+        bands=8 produces disjoint bkey spaces, so every probe silently
+        misses and near-dups are re-admitted. Record the law at first
+        use and fail LOUDLY on any mismatch — silent re-admission is the
+        one failure mode a dedup memory must not have."""
+        marker = os.path.join(path, self._BAND_LAW_MARKER)
+        try:
+            with open(marker) as fh:
+                existing = fh.read().strip()
+        except OSError:
+            os.makedirs(path, exist_ok=True)
+            tmp = marker + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                fh.write(law)
+            os.replace(tmp, marker)
+            return
+        if existing != law:
+            raise RuntimeError(
+                f"band store at {path} was written under law {existing!r} "
+                f"but this ingest is configured with {law!r}; probing a "
+                "mismatched key space would silently re-admit near-dups — "
+                "rebuild the store or restore the original configuration"
+            )
+
+    def _phash_band_law(self) -> str:
+        return f"phash|bands={int(self.media_bands)}"
+
+    _TEXT_BAND_LAW = "minhash|k=16|bands=4|w=3"
 
     @staticmethod
     def _keyed_table_name(path: str) -> str | None:

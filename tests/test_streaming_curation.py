@@ -898,3 +898,43 @@ def test_text_band_store_replay_compaction_and_pointer(spark, tmp_path):
         tbl = ing._text_band_table_name()
         if tbl and "no_such" not in tbl:
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+def test_band_law_mismatch_fails_loudly(spark, tmp_path):
+    """The band law (bands count / hash family) IS the store's key
+    schema: probing a store written under bands=4 with bands=8 would
+    produce a disjoint bkey space and silently re-admit near-dups. The
+    _BAND_LAW marker makes that a loud failure instead."""
+    A, B, Bp, C = _media_payloads()
+    ing4 = CurationIngest(
+        str(tmp_path), run_id="r1",
+        media_dedup=True, media_near_dedup=True, media_bands=4,
+    )
+    batch = spark.createDataFrame(
+        [(0, "document with the original artwork payload", B)],
+        "doc_id long, text string, payload binary",
+    )
+    ing4.process_batch(batch, batch_id=0)
+    # same config across a restart: fine
+    CurationIngest(
+        str(tmp_path), run_id="r2",
+        media_dedup=True, media_near_dedup=True, media_bands=4,
+    ).process_batch(
+        spark.createDataFrame(
+            [(1, "a second distinct document body", C)],
+            "doc_id long, text string, payload binary",
+        ),
+        batch_id=0,
+    )
+    # different band count against the same store: loud failure
+    ing8 = CurationIngest(
+        str(tmp_path), run_id="r3",
+        media_dedup=True, media_near_dedup=True, media_bands=8,
+    )
+    with pytest.raises(RuntimeError, match="band store .* written under law"):
+        ing8.process_batch(
+            spark.createDataFrame(
+                [(2, "a third document body for the mismatch", A)],
+                "doc_id long, text string, payload binary",
+            ),
+            batch_id=0,
+        )
