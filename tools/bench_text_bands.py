@@ -42,6 +42,8 @@ VOCAB = ["river", "bridge", "stone", "market", "compiler", "register",
 
 def _texts_df(spark, lo: int, n: int, *, copy_of=None):
     def gen(it):
+        import hashlib
+
         import pandas as pd
 
         for pdf in it:
@@ -54,8 +56,6 @@ def _texts_df(spark, lo: int, n: int, *, copy_of=None):
                 # arithmetic mix measured 5.7% of random pairs at
                 # J >= 0.5 — doubled tokens collapse the shingle space),
                 # so the ONLY near-dups in play are the planted ones
-                import hashlib
-
                 toks = [
                     VOCAB[
                         int(
