@@ -782,7 +782,7 @@ def test_curate_maintain_cli_full_cycle(spark, tmp_path):
     A, B, Bp, C = _media_payloads()
     ing = CurationIngest(
         str(tmp_path), run_id="r1",
-        media_dedup=True, media_near_dedup=True,
+        media_dedup=True, media_near_dedup=True, text_near_dedup=True,
         text_index=True, vector_index=True, vector_n_lists=2,
         host_col="host", host_links_col="out_links",
         host_trust_seeds=["seed"],
@@ -834,8 +834,11 @@ def test_curate_maintain_cli_full_cycle(spark, tmp_path):
         # (its media C would also collide with doc 1's)
         assert 10 not in kept and 11 not in kept
         assert {0, 1, 2} <= kept
+        # the text band store was folded by --compact-bands too
+        assert ing._text_band_table_name() is not None
     finally:
-        for tbl in (ing._store_table_name(), ing._band_table_name()):
+        for tbl in (ing._store_table_name(), ing._band_table_name(),
+                    ing._text_band_table_name()):
             if tbl:
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
