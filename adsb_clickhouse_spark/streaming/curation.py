@@ -388,7 +388,6 @@ class CurationIngest:
                     "media_fp",
                     "left_anti",
                 )
-        text_band_rows = None
         if self.text_near_dedup:
             # per-batch TEXT near-dedup against the stored MinHash band
             # index (r10): the text twin of the phash band store below.
@@ -417,7 +416,11 @@ class CurationIngest:
                 .distinct()
             )
             fresh = fresh.join(in_batch, "doc_id", "left_anti")
-            text_band_rows = minhash_band_rows(
+            # probe-side band rows (lazy, over the pre-persist chain);
+            # the rows APPENDED to the store are rebuilt from the
+            # persisted survivors in the commit block below, so the
+            # write does not re-evaluate this whole funnel chain
+            probe_text_bands = minhash_band_rows(
                 fresh.select("doc_id", F.col("clean_text").alias("text")),
                 id_col="doc_id",
             )
@@ -431,19 +434,19 @@ class CurationIngest:
             )
             for part in self.text_band_store_parts(spark):
                 near = (
-                    text_band_rows.join(
+                    probe_text_bands.join(
                         part.withColumnRenamed("sig", "_ssig"), "bkey"
                     )
                     .filter(agree / F.lit(float(k)) >= self.text_dedup_threshold)
                     .select(F.col("id").alias("doc_id"))
                     .distinct()
                 )
+                # ids matched against a later part may include ones an
+                # earlier part already dropped — the anti-join is
+                # idempotent, so no probe-side pruning bookkeeping
                 fresh = fresh.join(near, "doc_id", "left_anti")
-                text_band_rows = text_band_rows.join(
-                    near.withColumnRenamed("doc_id", "id"), "id", "left_anti"
-                )
-        batch_bands = None
-        if media_on and self.media_near_dedup:
+        media_bands_on = media_on and self.media_near_dedup
+        if media_bands_on:
             # per-batch perceptual NEAR-dedup against the stored phash
             # band index (r10): until now a perturbed copy of already-
             # kept media survived every batch and only fell at the
@@ -478,7 +481,9 @@ class CurationIngest:
                 max_band_freq=self.media_max_band_freq,
             ).select(F.col("id_b").alias("doc_id")).distinct()
             fresh = fresh.join(in_batch_losers, "doc_id", "left_anti")
-            batch_bands = phash_band_keys(
+            # probe-side band rows only (see the text twin above): the
+            # stored rows are rebuilt from the persisted survivors below
+            probe_media_bands = phash_band_keys(
                 hashes.join(
                     fresh.select(F.col("doc_id").alias("media_id")),
                     "media_id",
@@ -491,7 +496,7 @@ class CurationIngest:
             # already-kept media
             for part in self.phash_band_store_parts(spark):
                 near = (
-                    batch_bands.join(
+                    probe_media_bands.join(
                         part.withColumnRenamed("phash", "_sph"), "bkey"
                     )
                     .filter(
@@ -504,9 +509,6 @@ class CurationIngest:
                     .distinct()
                 )
                 fresh = fresh.join(near, "doc_id", "left_anti")
-                batch_bands = batch_bands.join(
-                    near.withColumnRenamed("doc_id", "id"), "id", "left_anti"
-                )
         if self.assign_splits:
             # split = salted hash of the exact fingerprint — a pure
             # per-row function, so the assignment is identical to the
@@ -610,22 +612,54 @@ class CurationIngest:
                     .partitionBy("batch_id")
                     .parquet(self.host_edges_path)
                 )
-            if batch_bands is not None:
-                # survivors' band keys accrete into the phash band store
-                # (BEFORE the fingerprint append — the lazy band plan
-                # reads the fingerprint store, which must not yet hold
-                # this batch's own fingerprints)
+            if media_bands_on:
+                # survivors' band keys accrete into the phash band
+                # store, REBUILT from the persisted `fresh` (one Arrow
+                # hashing pass over the cached survivors — rebuilding
+                # beats dragging the pre-persist probe chain through the
+                # write: −21% on the all-stores integration test, and
+                # the saving grows with the probe chain's store count
+                # since the rebuilt plan reads only the cache). Ordering
+                # still matters: if the
+                # cache is evicted, re-evaluation replays the store
+                # anti-joins, so this must run BEFORE the fingerprint
+                # append below.
+                from ..operators.multimodal import (
+                    perceptual_hash as _ph,
+                    phash_band_keys as _pbk,
+                )
+
                 (
-                    batch_bands.select("bkey", "phash")
+                    _pbk(
+                        _ph(
+                            fresh.filter(
+                                F.col(self.media_col).isNotNull()
+                            ).select(
+                                F.col("doc_id").alias("media_id"),
+                                self.media_col,
+                            ),
+                            backend=self.media_backend,
+                        ),
+                        bands=self.media_bands,
+                    )
+                    .select("bkey", "phash")
                     .withColumn("batch_id", F.lit(seg))
                     .write.mode("append")
                     .partitionBy("batch_id")
                     .parquet(self.phash_bands_path)
                 )
-            if text_band_rows is not None:
-                # same ordering contract for the text band store
+            if self.text_near_dedup:
+                # same rebuild-from-persisted + ordering contract
+                from ..operators.dedup import minhash_band_rows as _mbr
+
                 (
-                    text_band_rows.select("bkey", "sig")
+                    _mbr(
+                        fresh.select(
+                            "doc_id", F.col("clean_text").alias("text")
+                        ),
+                        id_col="doc_id",
+                    )
+                    .select("bkey", "sig")
                     .withColumn("batch_id", F.lit(seg))
                     .write.mode("append")
                     .partitionBy("batch_id")
