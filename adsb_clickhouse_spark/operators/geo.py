@@ -442,13 +442,15 @@ def _crossing_parity_expr(lat, lon, rings):
             ) + F.lit(x1)
             c = F.when(straddles & (lon < xs), F.lit(1)).otherwise(F.lit(0))
             crossings = c if crossings is None else crossings + c
-    # bbox guard from the OUTER ring only: holes lie inside it by
-    # definition, so they cannot widen the box
-    outer = rings[0]
-    ymin = min(v[0] for v in outer)
-    ymax = max(v[0] for v in outer)
-    xmin = min(v[1] for v in outer)
-    xmax = max(v[1] for v in outer)
+    # bbox guard over ALL rings: holes lie inside the outer ring by
+    # definition so they never widen the box, but DISJOINT outer rings
+    # under one id (documented capability) each contribute area — a
+    # rings[0]-only box would silently exclude points in the others
+    verts_all = [v for ring in rings for v in ring]
+    ymin = min(v[0] for v in verts_all)
+    ymax = max(v[0] for v in verts_all)
+    xmin = min(v[1] for v in verts_all)
+    xmax = max(v[1] for v in verts_all)
     bbox = (
         (lat >= F.lit(ymin)) & (lat <= F.lit(ymax))
         & (lon >= F.lit(xmin)) & (lon <= F.lit(xmax))

@@ -413,6 +413,36 @@ def test_points_in_polygons_multi_ring_plan_still_scan_only(spark):
         assert bad not in plan
 
 
+def test_points_in_polygons_disjoint_outer_rings(spark):
+    """TWO DISJOINT outer rings under one id: parity is odd inside
+    either, and the bbox prune must span BOTH rings — a rings[0]-only
+    box would silently drop points in the second ring (r10 advice)."""
+    archipelago = {
+        "arch": [
+            [(0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (0.0, 5.0)],
+            # second outer ring entirely OUTSIDE the first ring's bbox
+            [(20.0, 20.0), (25.0, 20.0), (25.0, 25.0), (20.0, 25.0)],
+        ],
+    }
+    rows = [
+        (0, 2.5, 2.5),    # inside ring 1
+        (1, 22.5, 22.5),  # inside ring 2 (outside ring 1's bbox)
+        (2, 12.0, 12.0),  # between the rings -> outside
+        (3, 22.5, 2.5),   # ring 2's lats, ring 1's lons -> outside
+    ]
+    pdf = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = {
+        (r["id"], r["poly_id"])
+        for r in G.points_in_polygons(pdf, archipelago).collect()
+    }
+    assert got == {(0, "arch"), (1, "arch")}
+    # brute-force parity agrees on every probe
+    for i, lat, lon in rows:
+        assert _pip_brute_rings(lat, lon, archipelago["arch"]) == (
+            (i, "arch") in got
+        )
+
+
 def test_points_in_polygons_bad_ring_raises(spark):
     pdf = spark.createDataFrame([(0, 0.0, 0.0)], "id long, lat double, lon double")
     with pytest.raises(ValueError, match="fewer than 3"):
