@@ -85,6 +85,8 @@ def cmd_curate_maintain(args) -> int:
         args.base_dir,
         host_trust_seeds=seeds,
         host_rank_iterations=args.host_rank_iterations,
+        media_max_band_freq=args.media_max_band_freq,
+        text_max_band_freq=args.text_max_band_freq,
     )
     fps = ing.compact_fingerprints(
         spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced
@@ -104,7 +106,10 @@ def cmd_curate_maintain(args) -> int:
         from .operators.search import _gen_name
 
         if _gen_name(ing.vector_index_path) is not None:
-            print(f"vector_index: {ing.compact_vector_index(spark)}")
+            print(
+                "vector_index: "
+                f"{ing.compact_vector_index(spark, assume_quiesced=args.assume_quiesced)}"
+            )
         else:
             print("vector_index: none at this base dir")
     if args.compact_bands:
@@ -278,7 +283,21 @@ def main(argv: list[str] | None = None) -> int:
         "--compact-bands",
         action="store_true",
         help="also fold the streaming media near-dedup phash band store "
-        "into its bkey-bucketed table (applies the hot-band valve)",
+        "into its bkey-bucketed table (applies the hot-band valve when "
+        "--media-max-band-freq is given)",
+    )
+    p_c.add_argument(
+        "--media-max-band-freq",
+        type=int,
+        default=None,
+        help="hot-band valve for the phash band fold: drop band keys "
+        "carried by more stored rows than this (default: no valve)",
+    )
+    p_c.add_argument(
+        "--text-max-band-freq",
+        type=int,
+        default=None,
+        help="hot-band valve for the text MinHash band fold (default: no valve)",
     )
     p_c.add_argument(
         "--recompute-host-ranks",

@@ -198,7 +198,12 @@ def append_vector_index(
     compaction's snapshot — is scanned WITHOUT the list_id partition
     filter by :func:`knn_probe_stored` (segments are batch-sized, so an
     unpruned scan of one is cheap) and folded by the next compaction,
-    so no vector is ever un-probeable; appends need no quiesce."""
+    so no vector is ever un-probeable. Appends need no quiesce ONLY
+    when compaction runs under the caller's commit-marker predicate
+    (``compact_vector_index(committed=...)``, as CurationIngest does):
+    that is what stops a fold from half-reading and deleting a
+    segment whose parquet job-commit is still in flight. A
+    ``committed=None`` fold still requires quiesced appends."""
     gen = _gen_name(path)
     if gen is None:
         raise RuntimeError(
@@ -332,20 +337,40 @@ def compact_vector_index(
     *,
     n_lists: int | None = None,
     iters: int = 3,
+    committed=None,
 ) -> dict:
     """Fold live segments into a new generation, re-learning the coarse
     quantizer (Lloyd k-means over the accumulated corpus) so list
     balance tracks the data instead of the bootstrap seeds. The one
-    corpus-sized maintenance job; single concurrent maintainer."""
+    corpus-sized maintenance job; single concurrent maintainer.
+
+    ``committed`` is the caller's commit-marker predicate
+    (segment name -> bool), mirroring compact_fingerprints'
+    committed/assume_quiesced discipline: segments it rejects are
+    neither folded nor deleted — an append whose parquet job-commit
+    races this fold (its marker not yet written) keeps its directory
+    intact and stays probeable, instead of being half-folded and
+    rmtree'd mid-write. ``None`` folds ALL live segments and is only
+    safe when the caller guarantees no append is in flight (tests,
+    stopped streams)."""
     gen = _gen_name(path)
     if gen is None:
         raise RuntimeError(f"no vector index at {path}")
     for e in os.listdir(path):
         if e.startswith("gen-") and e != gen:
             shutil.rmtree(os.path.join(path, e), ignore_errors=True)
-    segs = _live_segments(path)
+    all_segs = _live_segments(path)
+    segs = (
+        all_segs if committed is None
+        else [s for s in all_segs if committed(s)]
+    )
+    skipped = len(all_segs) - len(segs)
     if not segs:
-        return {"folded_segments": 0, "generation": gen}
+        return {
+            "folded_segments": 0,
+            "generation": gen,
+            "skipped_uncommitted": skipped,
+        }
     cent = _read_centroids(spark, path, gen)
     parts = [os.path.join(path, gen)] + [os.path.join(path, "segments", s) for s in segs]
     data_parts = [p for p in parts if _has_vectors(p)]
@@ -381,4 +406,8 @@ def compact_vector_index(
     for e in segs:
         shutil.rmtree(os.path.join(path, "segments", e), ignore_errors=True)
     shutil.rmtree(os.path.join(path, gen), ignore_errors=True)
-    return {"folded_segments": len(segs), "generation": new_gen}
+    return {
+        "folded_segments": len(segs),
+        "generation": new_gen,
+        "skipped_uncommitted": skipped,
+    }

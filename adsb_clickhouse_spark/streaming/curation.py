@@ -192,6 +192,10 @@ class CurationIngest:
         media_near_dedup: bool = False,
         text_near_dedup: bool = False,
         text_dedup_threshold: float = 0.5,
+        text_minhash_k: int = 16,
+        text_bands: int = 4,
+        text_shingle_w: int = 3,
+        text_max_band_freq: int | None = None,
         media_col: str = "payload",
         media_backend=None,
         media_max_hamming: int = 3,
@@ -222,6 +226,15 @@ class CurationIngest:
         self.phash_bands_path = os.path.join(base_dir, "phash_bands")
         self.text_near_dedup = text_near_dedup
         self.text_dedup_threshold = text_dedup_threshold
+        if text_minhash_k % text_bands != 0:
+            raise ValueError(
+                f"text_minhash_k={text_minhash_k} must be divisible by "
+                f"text_bands={text_bands} (r = k/bands rows per band)"
+            )
+        self.text_minhash_k = int(text_minhash_k)
+        self.text_bands = int(text_bands)
+        self.text_shingle_w = int(text_shingle_w)
+        self.text_max_band_freq = text_max_band_freq
         self.text_bands_path = os.path.join(base_dir, "text_bands")
         self.media_col = media_col
         self.media_backend = media_backend
@@ -399,18 +412,23 @@ class CurationIngest:
             # touches corpus text and stays batch-bounded. The periodic
             # compact_curated pass remains the exact-Jaccard authority;
             # this is the bounded fast path for "near-copy of
-            # already-kept text". Band law constants (k=16, bands=4,
-            # w=3) are the store's schema — changing them invalidates
-            # the accumulated index.
+            # already-kept text". Band law constants (text_minhash_k /
+            # text_bands / text_shingle_w) are the store's schema —
+            # changing them invalidates the accumulated index, which the
+            # law marker turns into a loud failure.
             from ..operators.dedup import minhash_band_rows, minhash_lsh_pairs
 
-            self._enforce_band_law(self.text_bands_path, self._TEXT_BAND_LAW)
+            self._enforce_band_law(self.text_bands_path, self._text_band_law())
             batch_texts = fresh.select(
                 "doc_id", F.col("clean_text").alias("text")
             )
             in_batch = (
                 minhash_lsh_pairs(
-                    batch_texts, threshold=self.text_dedup_threshold
+                    batch_texts,
+                    threshold=self.text_dedup_threshold,
+                    k=self.text_minhash_k,
+                    bands=self.text_bands,
+                    w=self.text_shingle_w,
                 )
                 .select(F.col("id_b").alias("doc_id"))
                 .distinct()
@@ -423,8 +441,11 @@ class CurationIngest:
             probe_text_bands = minhash_band_rows(
                 fresh.select("doc_id", F.col("clean_text").alias("text")),
                 id_col="doc_id",
+                k=self.text_minhash_k,
+                bands=self.text_bands,
+                w=self.text_shingle_w,
             )
-            k = 16  # the band-law constant above
+            k = self.text_minhash_k  # same constant the law string records
             agree = F.aggregate(
                 F.zip_with(
                     "sig", "_ssig", lambda a, b: (a == b).cast("int")
@@ -658,6 +679,9 @@ class CurationIngest:
                             "doc_id", F.col("clean_text").alias("text")
                         ),
                         id_col="doc_id",
+                        k=self.text_minhash_k,
+                        bands=self.text_bands,
+                        w=self.text_shingle_w,
                     )
                     .select("bkey", "sig")
                     .withColumn("batch_id", F.lit(seg))
@@ -813,7 +837,15 @@ class CurationIngest:
     def _phash_band_law(self) -> str:
         return f"phash|bands={int(self.media_bands)}"
 
-    _TEXT_BAND_LAW = "minhash|k=16|bands=4|w=3"
+    def _text_band_law(self) -> str:
+        """Derived from the SAME attributes every minhash call site uses,
+        so a parameter change shifts the law string in lockstep with the
+        bkey space it guards — a frozen literal here once let dedup.py
+        defaults drift under a still-matching law (r10 advice)."""
+        return (
+            f"minhash|k={self.text_minhash_k}|bands={self.text_bands}"
+            f"|w={self.text_shingle_w}"
+        )
 
     @staticmethod
     def _keyed_table_name(path: str) -> str | None:
@@ -975,7 +1007,11 @@ class CurationIngest:
             "curation_tbands",
             buckets=buckets,
             assume_quiesced=assume_quiesced,
-            max_key_freq=max_band_freq,
+            max_key_freq=(
+                max_band_freq
+                if max_band_freq is not None
+                else self.text_max_band_freq
+            ),
             what="text band",
         )
 
@@ -1091,7 +1127,13 @@ class CurationIngest:
             *(os.path.join(self.curated_path, e) for e in foldable)
         )
         pairs = minhash_lsh_pairs(
-            df, text_col="clean_text", id_col="doc_id", threshold=threshold
+            df,
+            text_col="clean_text",
+            id_col="doc_id",
+            threshold=threshold,
+            k=self.text_minhash_k,
+            bands=self.text_bands,
+            w=self.text_shingle_w,
         ).select("id_a", "id_b")
         if self.media_dedup and self.media_col in df.columns:
             # media near-dup joins the same component graph (batch-funnel
@@ -1171,13 +1213,25 @@ class CurationIngest:
             spark, self.vector_index_path, queries, k=k, nprobe=nprobe
         )
 
-    def compact_vector_index(self, spark: SparkSession, **kw) -> dict:
+    def compact_vector_index(
+        self, spark: SparkSession, *, assume_quiesced: bool = False, **kw
+    ) -> dict:
         """Fold vector-index segments into a new generation, re-learning
         the coarse quantizer from the accumulated corpus (same
-        maintenance slot as compact_text_index)."""
+        maintenance slot as compact_text_index). Only segments whose
+        batch carries a commit marker are folded — the
+        compact_fingerprints discipline, so a racing append's segment
+        is left intact and probeable instead of half-folded and
+        deleted; ``assume_quiesced=True`` folds all segments (stream
+        stopped, checkpoint committed)."""
         from ..operators.vecindex import compact_vector_index
 
-        return compact_vector_index(spark, self.vector_index_path, **kw)
+        return compact_vector_index(
+            spark,
+            self.vector_index_path,
+            committed=None if assume_quiesced else self._is_committed,
+            **kw,
+        )
     # -- host-rank maintenance (the streaming domain-reputation store) ------
 
     def read_host_ranks(self, spark: SparkSession) -> DataFrame | None:

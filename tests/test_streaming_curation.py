@@ -806,6 +806,7 @@ def test_curate_maintain_cli_full_cycle(spark, tmp_path):
         "curate-maintain", str(tmp_path),
         "--near-dedup", "--compact-index", "--compact-vectors",
         "--compact-bands", "--recompute-host-ranks",
+        "--media-max-band-freq", "1000", "--text-max-band-freq", "1000",
         "--host-trust-seeds", "seed", "--assume-quiesced",
     ])
     assert rc == 0
@@ -941,3 +942,46 @@ def test_band_law_mismatch_fails_loudly(spark, tmp_path):
             ),
             batch_id=0,
         )
+
+
+def test_text_band_law_tracks_configured_constants(spark, tmp_path):
+    """The text band law string is DERIVED from the configured
+    k/bands/w (r10 advice: a frozen literal let the real banding law
+    drift under a still-matching marker). A store written at the
+    default operating point probed by a k=32/bands=8 ingest is a loud
+    mismatch, not a silent empty probe."""
+    ing = CurationIngest(str(tmp_path), run_id="r1", text_near_dedup=True)
+    assert ing._text_band_law() == "minhash|k=16|bands=4|w=3"
+    ing.process_batch(_docs(spark, [(0, _NEAR_A)]), batch_id=0)
+    tight = CurationIngest(
+        str(tmp_path), run_id="r2", text_near_dedup=True,
+        text_minhash_k=32, text_bands=8,
+    )
+    assert tight._text_band_law() == "minhash|k=32|bands=8|w=3"
+    with pytest.raises(RuntimeError, match="band store .* written under law"):
+        tight.process_batch(_docs(spark, [(1, _OTHER)]), batch_id=0)
+    # k not divisible by bands is rejected at construction
+    with pytest.raises(ValueError, match="divisible"):
+        CurationIngest(str(tmp_path), text_minhash_k=16, text_bands=5)
+
+
+def test_text_band_second_operating_point(spark, tmp_path):
+    """The tighter k=32/bands=8 S-curve point works end-to-end: in-batch
+    and cross-batch suppression of a near-copy, distinct texts kept —
+    the banding constants flow through probe, append, and law marker."""
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1", text_near_dedup=True,
+        text_minhash_k=32, text_bands=8,
+    )
+    ing.process_batch(
+        _docs(spark, [(0, _NEAR_A), (1, _NEAR_A2), (2, _OTHER)]), batch_id=0
+    )
+    kept0 = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+    assert kept0 == {0, 2}
+    ing.process_batch(
+        _docs(spark, [(10, _NEAR_A2), (11, "fresh prose on tidal marsh "
+                      "ecology and the birds that winter there")]),
+        batch_id=1,
+    )
+    kept1 = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+    assert kept1 == {0, 2, 11}

@@ -228,3 +228,41 @@ def test_stale_generation_segment_fully_probeable(spark, tmp_path):
     # narrow probe stays exact-complete via fresh list_ids
     V.compact_vector_index(spark, path)
     assert V.knn_probe_stored(spark, path, q, k=40, nprobe=8).count() == 40
+
+
+def test_compaction_skips_uncommitted_segments(spark, tmp_path):
+    """compact_vector_index under the caller's commit-marker predicate
+    (the compact_fingerprints discipline): a segment the predicate
+    rejects — an append whose job-commit may still be in flight — is
+    neither folded nor deleted, stays probeable against the new
+    generation, and folds once its marker lands (r10 advice)."""
+    path = str(tmp_path / "vidx")
+    V.init_vector_index(spark, path, dim=8, n_lists=4)
+    V.append_vector_index(_batch(spark, range(20), lambda i: i), path, "b0")
+    V.append_vector_index(
+        _batch(spark, range(100, 120), lambda i: 1000 + i), path, "b1"
+    )
+    stats = V.compact_vector_index(spark, path, committed=lambda s: s == "b0")
+    assert stats["folded_segments"] == 1
+    assert stats["skipped_uncommitted"] == 1
+    # the uncommitted segment's directory is untouched
+    assert os.path.isdir(os.path.join(path, "segments", "b1"))
+    # and its vectors are still reachable (stale-gen full scan path)
+    q = spark.createDataFrame(
+        [(0, [x * 1.01 for x in _vec(1105)])],
+        "vec_id long, embedding array<double>",
+    )
+    res = V.knn_probe_stored(spark, path, q, k=1, nprobe=4).collect()
+    assert res[0]["neighbor_id"] == 105 and res[0]["cos_sim"] == 1.0
+    # nothing committed -> a no-op fold, not an empty new generation
+    gen_before = V._gen_name(path)
+    noop = V.compact_vector_index(spark, path, committed=lambda s: False)
+    assert noop["folded_segments"] == 0 and noop["skipped_uncommitted"] == 1
+    assert V._gen_name(path) == gen_before
+    # marker lands -> the next fold takes it
+    stats2 = V.compact_vector_index(spark, path, committed=lambda s: True)
+    assert stats2["folded_segments"] == 1 and stats2["skipped_uncommitted"] == 0
+    assert not os.listdir(os.path.join(path, "segments"))
+    assert V.knn_probe_stored(spark, path, q, k=1, nprobe=4).collect()[0][
+        "neighbor_id"
+    ] == 105
