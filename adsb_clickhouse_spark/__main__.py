@@ -126,6 +126,28 @@ def cmd_curate_maintain(args) -> int:
     return 0
 
 
+def cmd_ingest_report(args) -> int:
+    """Print the streaming funnel's health record: lifetime totals and
+    the latest batch's per-gate drop counts from the ingest_log table
+    CurationIngest writes inside each batch's commit envelope."""
+    import json
+
+    from .session import get_spark
+    from .streaming.curation import CurationIngest
+
+    spark = get_spark("ingest-report")
+    ing = CurationIngest(args.base_dir)
+    try:
+        report = ing.ingest_report(spark)
+    except Exception as exc:  # no log yet: say so instead of stack-tracing
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            print(f"no ingest log at {ing.ingest_log_path}")
+            return 1
+        raise
+    print(json.dumps(report, indent=2, sort_keys=True))
+    return 0
+
+
 def cmd_mm_demo(args) -> int:
     """The flagship multimodal pipeline, end to end in ONE invocation:
     synthetic binary media (with planted byte-exact copies AND
@@ -317,6 +339,12 @@ def main(argv: list[str] | None = None) -> int:
         help="fold segments without commit markers (stream stopped + checkpoint committed)",
     )
     p_c.set_defaults(fn=cmd_curate_maintain)
+    p_ir = sub.add_parser(
+        "ingest-report",
+        help="per-gate health report over the streaming funnel's ingest_log",
+    )
+    p_ir.add_argument("base_dir")
+    p_ir.set_defaults(fn=cmd_ingest_report)
     p_mm = sub.add_parser(
         "mm-demo",
         help="end-to-end multimodal demo: media -> embedding -> curation "

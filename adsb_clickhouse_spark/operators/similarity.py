@@ -1336,3 +1336,62 @@ def semdedup(
     return grouped.groupBy("list_id").applyInPandas(
         prune, "id long, witness long, cos_sim double"
     )
+
+
+def hashed_text_embeddings(
+    docs: DataFrame,
+    *,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, embedding): a DETERMINISTIC text->vector embedder —
+    feature-hashed unigrams with hashed random signs (the hashing trick,
+    Weinberger et al. 2009 / Charikar 2002's sign trick): each token g
+    adds sign(g) = ±1 (parity of md5_long('hs|'||g)) to component
+    md5_long('he|'||g) % dim, with multiplicity. Near-identical texts
+    share almost all token contributions, so their vectors land at
+    cosine ≈ 1 — enough signal for SemDeDup / cluster-balanced mixing /
+    the vector index to run on a TEXT-ONLY corpus with no external
+    embedding model, and (unlike a model) bit-reproducible in ANSI SQL,
+    so the whole text→vector→near-dup loop is oracle-verifiable
+    ('hembed' branch of sim_cosine_near_dup).
+
+    Spark-first shape: one explode + ONE doc-keyed shuffle — the
+    groupBy computes the dim components as `dim` conditional sums
+    (map-side partial agg; the simhash idiom), everything whole-stage
+    codegen, no Python. At 100 TB the cost is the token explode (linear
+    in corpus tokens) and a doc-sized exchange — the same shape as
+    simhash/minhash, and strictly cheaper than any model inference.
+    Components are exact small integers (cast to double), so downstream
+    dot products are exact and cross-engine rounding is safe.
+
+    Zero-token docs (NULL/empty text) produce NO row — they have no
+    content to be semantically near anything; exact dedup owns them.
+    A doc whose signs cancel to the exact zero vector is emitted (the
+    caller's zero-norm filter owns that, matching the embeddings-table
+    convention)."""
+    from ..functions.texttools import md5_long, tokens
+
+    tok = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("g"),
+    )
+    # md5_long is non-negative (60-bit from hex), so plain % matches
+    # DuckDB's % with no pmod shim
+    j = md5_long(F.concat(F.lit("he|"), F.col("g"))) % dim
+    s = F.when(
+        md5_long(F.concat(F.lit("hs|"), F.col("g"))) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    sums = tok.select(F.col("__id"), j.alias("j"), s.alias("s")).groupBy(
+        "__id"
+    ).agg(
+        *[
+            F.sum(F.when(F.col("j") == i, F.col("s")).otherwise(0)).alias(
+                f"c{i}"
+            )
+            for i in range(dim)
+        ]
+    )
+    emb = F.array(*[F.col(f"c{i}").cast("double") for i in range(dim)])
+    return sums.select(F.col("__id").alias(id_col), emb.alias("embedding"))

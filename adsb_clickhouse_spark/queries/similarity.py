@@ -358,10 +358,37 @@ def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) ->
     """
 
 
+def _duck_hembed_ctes(dim: int = 32) -> str:
+    """Hashed-projection text-embedder CTEs (operators/similarity.py::
+    hashed_text_embeddings): feature-hashed unigram components as `dim`
+    conditional sums — exact integers, so the downstream cosine chain
+    is bit-identical across engines."""
+    from ..functions.texttools import duck_md5_long, duck_tokens
+
+    csum = ", ".join(
+        f"SUM(CASE WHEN j={i} THEN s ELSE 0 END)" for i in range(dim)
+    )
+    return f"""
+    htok AS (SELECT doc_id, unnest({duck_tokens('text')}) AS g FROM documents),
+    hcontrib AS (SELECT doc_id,
+        {duck_md5_long("'he|' || g")} % {dim} AS j,
+        CASE WHEN {duck_md5_long("'hs|' || g")} % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM htok),
+    hemb AS (SELECT doc_id, [{csum}]::DOUBLE[] AS v
+             FROM hcontrib GROUP BY doc_id),
+    hnz AS (SELECT * FROM hemb WHERE list_dot_product(v, v) > 0),
+    hpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round({_DUCK_COS.format(a='a.v', b='b.v')}, 4) AS cos_sim
+      FROM hnz a JOIN hnz b ON a.doc_id < b.doc_id)
+    """
+
+
 @register(
     "sim_cosine_near_dup",
     f"""
-    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WITH RECURSIVE {_duck_hembed_ctes()},
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -408,6 +435,9 @@ def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) ->
     UNION ALL
     SELECT 'semdedup' AS method, did AS id_a, wit AS id_b, cos_sim
     FROM sd WHERE rn = 1
+    UNION ALL
+    SELECT 'hembed' AS method, id_a, id_b, cos_sim FROM hpairs
+    WHERE cos_sim >= 0.9
     ORDER BY method, id_a, id_b
     """,
     doc=(
@@ -429,7 +459,13 @@ def _duck_lsh_near_dup_sql(n_planes: int = 4, dim: int = 64, t: float = 0.45) ->
         "dropped doc, id_b = the smallest-id witness). One shuffle + a "
         "per-cluster numpy tile — O(n²) becomes O(Σ c_i²), the paper's "
         "whole point; at 100 TB n_lists grows ∝ n so clusters stay "
-        "bounded (operators/similarity.py::semdedup). All four "
+        "bounded (operators/similarity.py::semdedup); 'hembed' (r11) = "
+        "the WHOLE text→vector→near-dup loop on a text-only corpus: "
+        "documents are embedded by the deterministic hashed-projection "
+        "embedder (feature-hashed unigrams + md5 sign trick, dim 32 — "
+        "one explode + one doc-keyed shuffle, exact integer components) "
+        "and exact-cosine paired at ≥0.9, so the semantic family no "
+        "longer depends on an external embeddings table. All five "
         "oracle-verified in one driver row ('cc' via recursive CTE)."
     ),
 )
@@ -460,9 +496,16 @@ def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("witness").alias("id_b"),
         "cos_sim",
     )
+    hemb = S.hashed_text_embeddings(
+        load_table(spark, sf_dir, "documents"), dim=32
+    ).filter(F.exists("embedding", lambda x: x != 0))
+    hp = S.cosine_near_dup_pairs_blocked(
+        hemb, threshold=0.9, id_col="doc_id"
+    ).select(F.lit("hembed").alias("method"), "id_a", "id_b", "cos_sim")
     return (
         exact.unionByName(lsh)
         .unionByName(cc)
         .unionByName(sd)
+        .unionByName(hp)
         .orderBy("method", "id_a", "id_b")
     )

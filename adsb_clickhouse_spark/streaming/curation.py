@@ -145,6 +145,31 @@ _STORE_POINTER = "_STORE"
 _COMMITS_DIR = "_commits"
 _FOLDED_MANIFEST = "_FOLDED"
 
+# one row per committed batch in ingest_log/ — the streaming funnel's
+# per-gate health record (what an operator alarms on: a near-dedup
+# store silently admitting everything shows up as dropped_*_store
+# flatlining at 0 while the corpus grows). Gates that are configured
+# off report 0, keeping the schema stable for dashboards.
+_INGEST_LOG_SCHEMA = (
+    "ts double, run_id string, rows_in long, dropped_policy long, "
+    "dropped_host long, dropped_exact_text long, dropped_exact_media long, "
+    "dropped_store_dup long, dropped_text_near_batch long, "
+    "dropped_text_near_store long, dropped_media_near_batch long, "
+    "dropped_media_near_store long, admitted long, fps_segments int, "
+    "curated_segments int, text_band_segments int, phash_band_segments int"
+)
+_INGEST_GATES = (
+    "policy",
+    "host",
+    "exact_text",
+    "exact_media",
+    "store_dup",
+    "text_near_batch",
+    "text_near_store",
+    "media_near_batch",
+    "media_near_store",
+)
+
 
 def _clear_segment(path: str, seg: str) -> None:
     for leftover in glob.glob(os.path.join(path, f"batch_id={seg}")):
@@ -204,11 +229,13 @@ class CurationIngest:
         vector_index: bool = False,
         vec_col: str = "embedding",
         vector_n_lists: int = 16,
+        embed_dim: int | None = None,
         host_col: str | None = None,
         host_links_col: str | None = None,
         host_trust_seeds: list | None = None,
         host_rank_iterations: int = 5,
         host_min_rank_pct: float | None = None,
+        ingest_stats: bool = True,
     ):
         self.curated_path = os.path.join(base_dir, "curated")
         self.fps_path = os.path.join(base_dir, "fingerprints")
@@ -244,6 +271,7 @@ class CurationIngest:
         self.vector_index = vector_index
         self.vec_col = vec_col
         self.vector_n_lists = vector_n_lists
+        self.embed_dim = embed_dim
         self.vector_index_path = os.path.join(base_dir, "vector_index")
         self.host_col = host_col
         self.host_links_col = host_links_col
@@ -252,6 +280,8 @@ class CurationIngest:
         self.host_min_rank_pct = host_min_rank_pct
         self.host_edges_path = os.path.join(base_dir, "host_edges")
         self.host_ranks_path = os.path.join(base_dir, "host_ranks")
+        self.ingest_stats = ingest_stats
+        self.ingest_log_path = os.path.join(base_dir, "ingest_log")
 
     def _seg(self, batch_id: int | None) -> str:
         if batch_id is None:
@@ -292,8 +322,28 @@ class CurationIngest:
         _clear_segment(self.host_edges_path, seg)
         _clear_segment(self.phash_bands_path, seg)
         _clear_segment(self.text_bands_path, seg)
+        _clear_segment(self.ingest_log_path, seg)
 
-        scrubbed = pii_scrub(docs).withColumnRenamed("id", "doc_id")
+        # per-gate observability (r11): named row-count taps piggyback
+        # the curated write's own job via CollectMetrics — ZERO extra
+        # passes, no extra actions, and (verified) a tap re-referenced
+        # by a downstream self-join still fires exactly once per query.
+        # The stats row is written under the same batch_id segment +
+        # commit marker as the data, so replay can't double-count.
+        from pyspark.sql import Observation
+
+        taps: list[tuple[str, Observation]] = []
+
+        def _tap(df: DataFrame, stage: str) -> DataFrame:
+            if not self.ingest_stats:
+                return df
+            ob = Observation()
+            taps.append((stage, ob))
+            return df.observe(ob, F.count(F.lit(1)).alias("n"))
+
+        scrubbed = _tap(
+            pii_scrub(docs).withColumnRenamed("id", "doc_id"), "in"
+        )
         scored = (
             scrubbed.join(quality_signals(docs), "doc_id")
             .join(langid_signals(docs, lang_col=None), "doc_id")
@@ -303,8 +353,11 @@ class CurationIngest:
             cond = cond & F.col("predicted_lang").isin(list(self.keep_langs))
         if self.drop_pii_docs:
             cond = cond & ~F.col("has_pii")
-        filtered = scored.filter(cond).withColumn(
-            "fingerprint", F.md5(F.coalesce(F.col("clean_text"), F.lit("")))
+        filtered = _tap(
+            scored.filter(cond).withColumn(
+                "fingerprint", F.md5(F.coalesce(F.col("clean_text"), F.lit("")))
+            ),
+            "policy",
         )
         host_on = self.host_col is not None and self.host_col in docs.columns
         if host_on:
@@ -329,7 +382,7 @@ class CurationIngest:
                         ).alias("c")
                     ).collect()[0]["c"]
                     gate = gate & (F.col("host_pagerank_fp") >= F.lit(cutoff))
-                filtered = (
+                filtered = _tap(
                     filtered.join(
                         docs.select(
                             "doc_id", F.col(self.host_col).alias("__host")
@@ -342,7 +395,8 @@ class CurationIngest:
                         "left",
                     )
                     .filter(gate)
-                    .drop("__host", *[c for c in ranks.columns if c != "host"])
+                    .drop("__host", *[c for c in ranks.columns if c != "host"]),
+                    "host",
                 )
         media_on = self.media_dedup and self.media_col in docs.columns
         if media_on:
@@ -366,10 +420,15 @@ class CurationIngest:
         # (semi-join on the (fingerprint, min doc_id) pairs — map-side
         # partial agg, and the same fingerprint shuffle the store
         # anti-join below reuses)
-        batch_unique = filtered.join(
-            filtered.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id")),
-            ["fingerprint", "doc_id"],
-            "left_semi",
+        batch_unique = _tap(
+            filtered.join(
+                filtered.groupBy("fingerprint").agg(
+                    F.min("doc_id").alias("doc_id")
+                ),
+                ["fingerprint", "doc_id"],
+                "left_semi",
+            ),
+            "exact_text",
         )
         if media_on:
             # within-batch exact MEDIA dedup over the text survivors:
@@ -385,7 +444,10 @@ class CurationIngest:
                 ["media_fp", "doc_id"],
                 "left_anti",
             ).select("doc_id")
-            batch_unique = batch_unique.join(media_losers, "doc_id", "left_anti")
+            batch_unique = _tap(
+                batch_unique.join(media_losers, "doc_id", "left_anti"),
+                "exact_media",
+            )
         # cross-batch: drop anything an earlier batch already kept. The
         # store is read in parts — the bucketed compacted table (its scan
         # co-locates the join: no Exchange on the store side) and the
@@ -401,6 +463,7 @@ class CurationIngest:
                     "media_fp",
                     "left_anti",
                 )
+        fresh = _tap(fresh, "store_dup")
         if self.text_near_dedup:
             # per-batch TEXT near-dedup against the stored MinHash band
             # index (r10): the text twin of the phash band store below.
@@ -433,7 +496,9 @@ class CurationIngest:
                 .select(F.col("id_b").alias("doc_id"))
                 .distinct()
             )
-            fresh = fresh.join(in_batch, "doc_id", "left_anti")
+            fresh = _tap(
+                fresh.join(in_batch, "doc_id", "left_anti"), "text_near_batch"
+            )
             # probe-side band rows (lazy, over the pre-persist chain);
             # the rows APPENDED to the store are rebuilt from the
             # persisted survivors in the commit block below, so the
@@ -466,6 +531,7 @@ class CurationIngest:
                 # earlier part already dropped — the anti-join is
                 # idempotent, so no probe-side pruning bookkeeping
                 fresh = fresh.join(near, "doc_id", "left_anti")
+            fresh = _tap(fresh, "text_near_store")
         media_bands_on = media_on and self.media_near_dedup
         if media_bands_on:
             # per-batch perceptual NEAR-dedup against the stored phash
@@ -501,7 +567,10 @@ class CurationIngest:
                 bands=self.media_bands,
                 max_band_freq=self.media_max_band_freq,
             ).select(F.col("id_b").alias("doc_id")).distinct()
-            fresh = fresh.join(in_batch_losers, "doc_id", "left_anti")
+            fresh = _tap(
+                fresh.join(in_batch_losers, "doc_id", "left_anti"),
+                "media_near_batch",
+            )
             # probe-side band rows only (see the text twin above): the
             # stored rows are rebuilt from the persisted survivors below
             probe_media_bands = phash_band_keys(
@@ -530,6 +599,7 @@ class CurationIngest:
                     .distinct()
                 )
                 fresh = fresh.join(near, "doc_id", "left_anti")
+            fresh = _tap(fresh, "media_near_store")
         if self.assign_splits:
             # split = salted hash of the exact fingerprint — a pure
             # per-row function, so the assignment is identical to the
@@ -578,7 +648,14 @@ class CurationIngest:
                     self.index_path,
                     seg,
                 )
-            if self.vector_index and self.vec_col in docs.columns:
+            embed_fallback = (
+                self.vector_index
+                and self.vec_col not in docs.columns
+                and self.embed_dim is not None
+            )
+            if self.vector_index and (
+                self.vec_col in docs.columns or embed_fallback
+            ):
                 # the curated batch's embeddings become a name-keyed
                 # segment of the stored vector index — same replay and
                 # ordering contract as the text index above (runs before
@@ -592,9 +669,32 @@ class CurationIngest:
                     init_vector_index,
                 )
 
-                vecs = fresh.join(
-                    docs.select("doc_id", self.vec_col), "doc_id"
-                ).filter(F.col(self.vec_col).isNotNull())
+                if embed_fallback:
+                    # no embedding column in the stream: derive vectors
+                    # from the survivors' text with the deterministic
+                    # hashed-projection embedder (r11) — the vector index
+                    # runs on a TEXT-ONLY corpus with no external model.
+                    # Reading the persisted `fresh` keeps the
+                    # rebuild-from-survivors contract of the other
+                    # appends (no store-anti-join re-evaluation).
+                    from ..operators.similarity import hashed_text_embeddings
+
+                    vecs = (
+                        hashed_text_embeddings(
+                            fresh.select(
+                                "doc_id", F.col("clean_text").alias("text")
+                            ),
+                            dim=self.embed_dim,
+                        )
+                        .withColumnRenamed("embedding", self.vec_col)
+                        # exact-zero vectors (signs cancelled) carry no
+                        # signal and would cosine to NaN at probe time
+                        .filter(F.exists(self.vec_col, lambda x: x != 0))
+                    )
+                else:
+                    vecs = fresh.join(
+                        docs.select("doc_id", self.vec_col), "doc_id"
+                    ).filter(F.col(self.vec_col).isNotNull())
                 if _vec_gen(self.vector_index_path) is None:
                     probe_row = vecs.select(self.vec_col).first()
                     if probe_row is not None:
@@ -702,10 +802,94 @@ class CurationIngest:
                 .partitionBy("batch_id")
                 .parquet(self.fps_path)
             )
+            if self.ingest_stats:
+                # the observability record (r11): every tap was populated
+                # by the curated write's job above (Observation.get is
+                # already resolved — no extra Spark action), and the row
+                # lands INSIDE the commit envelope (cleared on replay,
+                # sealed by the marker below) so redelivery leaves
+                # exactly one stats row per batch.
+                (
+                    spark.createDataFrame(
+                        [self._ingest_stats_row(taps)], _INGEST_LOG_SCHEMA
+                    )
+                    .coalesce(1)
+                    .withColumn("batch_id", F.lit(seg))
+                    .write.mode("append")
+                    .partitionBy("batch_id")
+                    .parquet(self.ingest_log_path)
+                )
             if batch_id is not None:
                 self._write_marker(seg)
         finally:
             fresh.unpersist()
+
+    # -- per-batch observability (r11) -------------------------------------
+
+    def _ingest_stats_row(self, taps) -> tuple:
+        """Fold the ordered tap counts into one fixed-schema stats tuple:
+        each gate's drop = the difference between consecutive taps (the
+        funnel only ever removes rows), absent gates report 0."""
+        import time
+
+        counts: dict[str, int] = {}
+        drops: dict[str, int] = {}
+        prev: int | None = None
+        for name, ob in taps:
+            n = int(ob.get["n"])
+            counts[name] = n
+            if prev is not None:
+                drops[name] = prev - n
+            prev = n
+        return (
+            float(time.time()),
+            self.run_id,
+            counts.get("in", 0),
+            *(drops.get(g, 0) for g in _INGEST_GATES),
+            prev if prev is not None else 0,
+            len(_seg_dirs(self.fps_path)),
+            len(self._live_curated_entries()),
+            len(_seg_dirs(self.text_bands_path)),
+            len(_seg_dirs(self.phash_bands_path)),
+        )
+
+    def ingest_log(self, spark: SparkSession) -> DataFrame:
+        """The accumulated per-batch stats rows (one per committed
+        batch; schema ``_INGEST_LOG_SCHEMA`` + ``batch_id``). Raises the
+        standard missing-table error before the first logged batch."""
+        return spark.read.parquet(self.ingest_log_path)
+
+    def ingest_report(self, spark: SparkSession) -> dict:
+        """The streaming twin of ``corpus_report``: totals across the
+        ingest's life (rows in, per-gate drops, admitted) plus the
+        latest batch's row — the numbers an operator alarms on. One
+        bounded aggregate over the (batches-sized) log table."""
+        log = self.ingest_log(spark)
+        drop_cols = [f"dropped_{g}" for g in _INGEST_GATES]
+        agg = log.agg(
+            F.count("*").alias("n_batches"),
+            F.sum("rows_in").alias("rows_in"),
+            F.sum("admitted").alias("admitted"),
+            *[F.sum(c).alias(c) for c in drop_cols],
+        ).collect()[0]
+        latest = log.orderBy(F.desc("ts")).limit(1).collect()[0]
+        return {
+            "n_batches": int(agg["n_batches"]),
+            "rows_in": int(agg["rows_in"]),
+            "admitted": int(agg["admitted"]),
+            "dropped": {g: int(agg[f"dropped_{g}"]) for g in _INGEST_GATES},
+            "latest_batch": {
+                "batch_id": latest["batch_id"],
+                "rows_in": int(latest["rows_in"]),
+                "admitted": int(latest["admitted"]),
+                **{
+                    f"dropped_{g}": int(latest[f"dropped_{g}"])
+                    for g in _INGEST_GATES
+                },
+                "fps_segments": int(latest["fps_segments"]),
+                "curated_segments": int(latest["curated_segments"]),
+            },
+        }
 
     # -- streaming entry --------------------------------------------------
 

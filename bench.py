@@ -12,6 +12,13 @@ prune projection-only work — the round-1 advisor flagged exactly that).
 `value` is the sum of per-query medians; `delta_vs_r{N}` compares
 against the LATEST recorded BENCH_r*.json for the queries that existed
 then (negative = faster now).
+
+Drift adjudication (r11): the environment canary is re-run every 10
+registry rows; BENCH_DELTA.json records the track, each row's
+min/max run spread, and canary-normalized per-row timings
+(raw_median x canary_start / nearest_canary) so a cross-round row
+delta can be attributed to sandbox weather vs a plan change with
+data instead of inference. Headline numbers stay raw medians.
 """
 
 from __future__ import annotations
@@ -80,7 +87,17 @@ def main() -> None:
 
     N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    for name, spec in q.REGISTRY.items():
+    spreads: dict[str, list[float]] = {}
+    # drift instrumentation (r10 verdict #2): the canary re-measured
+    # every CANARY_EVERY rows gives each row a NEARBY environment
+    # reference — a row delta that tracks its nearest canary is sandbox
+    # weather, one that doesn't is a plan change. BENCH_DELTA.json gets
+    # the track, per-row min/max spread, and canary-normalized timings;
+    # the headline per-row numbers stay raw medians for cross-round
+    # comparability.
+    CANARY_EVERY = 10
+    canary_track: list[dict] = [{"row": 0, "sec": env_canary}]
+    for i, (name, spec) in enumerate(q.REGISTRY.items()):
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
@@ -88,6 +105,18 @@ def main() -> None:
             len(df.collect())
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
+        if (i + 1) % CANARY_EVERY == 0:
+            canary_track.append({"row": i + 1, "sec": _canary()[0]})
+
+    def _nearest_canary(row_idx: int) -> float:
+        return min(canary_track, key=lambda c: abs(c["row"] - row_idx))["sec"]
+
+    canary_ref = env_canary if env_canary > 0 else 1.0
+    norm_timings = {
+        n: round(t * canary_ref / _nearest_canary(i), 3)
+        for i, (n, t) in enumerate(timings.items())
+    }
     total = round(sum(timings.values()), 3)
     headline_total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
 
@@ -112,7 +141,7 @@ def main() -> None:
 
     BRANCHED = {
         "sim_ann_lsh": ("method", ["lsh", "mp", "ivf", "pq", "ivfpq"]),
-        "sim_cosine_near_dup": ("method", ["exact", "lsh", "cc", "semdedup"]),
+        "sim_cosine_near_dup": ("method", ["exact", "lsh", "cc", "semdedup", "hembed"]),
         "text_winnow_fingerprint": ("method", ["winnow", "chunk"]),
         "dedup_ngram_jaccard": ("branch", ["pair", "cc", "decon"]),
         "adsb_rollups": ("branch", ["tumbling", "sliding"]),
@@ -246,6 +275,9 @@ def main() -> None:
         json.dump(
             {
                 "queries": timings,
+                "queries_canary_norm": norm_timings,
+                "query_spread": spreads,
+                "canary_track": canary_track,
                 "branches": branch_timings,
                 delta_key: delta,
                 "total": total,

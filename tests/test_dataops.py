@@ -1163,3 +1163,57 @@ def test_phash_composes_with_byte_budget_partitioning(spark):
     out = M.perceptual_hash(media)
     assert out.count() == 20
     assert M.phash_near_dup(out, max_hamming=3).count() == 0
+
+
+# -- hashed-projection text embedder (r11) --------------------------------
+
+
+def test_hashed_text_embeddings_law_and_determinism(spark):
+    """Near-identical texts land at cosine ≈ 1, distinct texts don't;
+    the law is a pure function of the text (identical across
+    partitionings and runs); zero-token docs produce no row."""
+    a = ("the harbour town wakes slowly to the sound of carts rolling "
+         "over old cobblestones while fishermen sort the night's catch")
+    a2 = a.replace("fishermen", "merchants")  # one token changed
+    b = ("register allocation interacts with instruction scheduling in "
+         "optimizing compilers making phase ordering a hard problem")
+    docs = spark.createDataFrame(
+        [(0, a), (1, a2), (2, b), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    emb = {r["doc_id"]: r["embedding"]
+           for r in S.hashed_text_embeddings(docs, dim=32).collect()}
+    assert set(emb) == {0, 1, 2}  # NULL/empty text: no row
+    assert all(len(v) == 32 and all(c == int(c) for c in v)
+               for v in emb.values())
+
+    import math
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / (math.sqrt(sum(x*x for x in u)) * math.sqrt(sum(x*x for x in v)))
+    assert cos(emb[0], emb[1]) > 0.9   # near-dup pair
+    assert cos(emb[0], emb[2]) < 0.7   # distinct docs
+    # partition-invariant (pure per-row law + one exact integer agg)
+    emb8 = {r["doc_id"]: r["embedding"]
+            for r in S.hashed_text_embeddings(docs.repartition(8), dim=32).collect()}
+    assert emb8 == emb
+
+
+def test_semdedup_runs_on_text_only_corpus_via_hashed_embedder(spark):
+    """The semantic-dedup loop closes WITHOUT an external embeddings
+    table: hashed_text_embeddings feeds semdedup directly, and the
+    planted near-copy is pruned with its lower-id witness."""
+    a = ("a long travel diary entry describing mountain passes rivers "
+         "and the small villages between them in plain honest words")
+    docs = spark.createDataFrame(
+        [(0, a), (1, a.replace("honest", "simple")),
+         (2, "entirely different technical notes about b-tree page splits "
+             "write amplification and compaction scheduling in storage")],
+        "doc_id long, text string",
+    )
+    emb = S.hashed_text_embeddings(docs, dim=32)
+    out = S.semdedup(
+        emb, threshold=0.9, n_lists=1, iters=0,
+        id_col="doc_id", vec_col="embedding",
+    ).collect()
+    assert [(r["id"], r["witness"]) for r in out] == [(1, 0)]

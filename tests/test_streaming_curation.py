@@ -985,3 +985,128 @@ def test_text_band_second_operating_point(spark, tmp_path):
     )
     kept1 = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
     assert kept1 == {0, 2, 11}
+
+
+# -- per-batch observability (r11): the ingest_log health record --------
+
+
+def test_ingest_log_gate_counts_match_planted_fixture(spark, tmp_path):
+    """Every gate's drop count in the stats row matches the planted
+    batch: policy (quality/PII), within-batch exact dup, cross-batch
+    store dup, and in-batch + cross-batch text near-dup — counted by
+    CollectMetrics taps on the funnel's own write job (no extra pass),
+    one row per batch inside the commit envelope."""
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1", min_quality=0.1, drop_pii_docs=True,
+        text_near_dedup=True,
+    )
+    good = "the quick brown fox jumps over the lazy dog and keeps on running far"
+    pii = "contact me at someone@example.com for all of the details of the plan"
+    b0 = [
+        (0, good),
+        (1, pii),        # policy: PII
+        (2, None),       # policy: NULL text scores 0
+        (3, good),       # within-batch exact dup of 0
+        (4, _NEAR_A),
+        (5, _NEAR_A2),   # in-batch near-dup of 4
+    ]
+    ing.process_batch(_docs(spark, b0), batch_id=0)
+    log0 = {r["batch_id"]: r for r in ing.ingest_log(spark).collect()}
+    row = log0["br1-0"]
+    assert row["rows_in"] == 6
+    assert row["dropped_policy"] == 2
+    assert row["dropped_exact_text"] == 1
+    assert row["dropped_store_dup"] == 0
+    assert row["dropped_text_near_batch"] == 1
+    assert row["dropped_text_near_store"] == 0
+    assert row["admitted"] == 2
+    assert row["dropped_host"] == 0 and row["dropped_exact_media"] == 0
+    # second batch: one store dup (exact resend) + one stored near-dup
+    ing.process_batch(
+        _docs(spark, [(10, good), (11, _NEAR_A2), (12, _OTHER)]), batch_id=1
+    )
+    row1 = {r["batch_id"]: r for r in ing.ingest_log(spark).collect()}["br1-1"]
+    assert row1["rows_in"] == 3
+    assert row1["dropped_store_dup"] == 1      # 10: exact resend of kept 0
+    assert row1["dropped_text_near_store"] == 1  # 11: near-copy of kept 4
+    assert row1["admitted"] == 1
+    # in/out ledger balances on every row
+    for r in (row, row1):
+        drops = sum(
+            r[f"dropped_{g}"]
+            for g in (
+                "policy", "host", "exact_text", "exact_media", "store_dup",
+                "text_near_batch", "text_near_store", "media_near_batch",
+                "media_near_store",
+            )
+        )
+        assert r["rows_in"] - drops == r["admitted"]
+    # report aggregates the same numbers
+    rep = ing.ingest_report(spark)
+    assert rep["n_batches"] == 2
+    assert rep["rows_in"] == 9 and rep["admitted"] == 3
+    assert rep["dropped"]["policy"] == 2
+    assert rep["dropped"]["store_dup"] == 1
+    assert rep["latest_batch"]["batch_id"] == "br1-1"
+
+
+def test_ingest_log_replay_leaves_one_row(spark, tmp_path):
+    """A replayed batch (crash before the checkpoint commit) rewrites
+    its own stats row; a redelivered COMMITTED batch no-ops — either
+    way exactly one stats row per batch survives."""
+    ing = CurationIngest(str(tmp_path), run_id="r1")
+    b = _docs(spark, [(0, _NEAR_A), (1, _OTHER)])
+    ing.process_batch(b, batch_id=0)
+    ing.process_batch(b, batch_id=0)  # redelivery after commit: no-op
+    log = ing.ingest_log(spark)
+    assert log.count() == 1
+    # crash-before-marker replay: remove the marker, replay, still one row
+    import os
+    os.remove(ing._marker("br1-0"))
+    ing.process_batch(b, batch_id=0)
+    assert ing.ingest_log(spark).count() == 1
+    assert ing.ingest_log(spark).collect()[0]["rows_in"] == 2
+
+
+def test_ingest_report_cli(spark, tmp_path, capsys):
+    from adsb_clickhouse_spark.__main__ import main
+
+    ing = CurationIngest(str(tmp_path), run_id="r1")
+    ing.process_batch(_docs(spark, [(0, _NEAR_A)]), batch_id=0)
+    assert main(["ingest-report", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert '"admitted": 1' in out and '"n_batches": 1' in out
+    # empty dir: clean message, nonzero exit
+    assert main(["ingest-report", str(tmp_path / "nothing")]) == 1
+
+
+def test_ingest_stats_off_writes_no_log(spark, tmp_path):
+    import os
+    ing = CurationIngest(str(tmp_path), run_id="r1", ingest_stats=False)
+    ing.process_batch(_docs(spark, [(0, _NEAR_A)]), batch_id=0)
+    assert not os.path.isdir(ing.ingest_log_path)
+
+
+def test_vector_index_embed_fallback_on_text_only_stream(spark, tmp_path):
+    """vector_index=True + embed_dim on a TEXT-ONLY stream: survivors
+    are embedded by the deterministic hashed-projection embedder and
+    indexed; a text query embedded under the same law finds its exact
+    copy at cosine 1.0 from the stored index."""
+    from adsb_clickhouse_spark.operators.similarity import hashed_text_embeddings
+
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1", vector_index=True, embed_dim=32,
+        vector_n_lists=2,
+    )
+    ing.process_batch(_docs(spark, [(0, _NEAR_A), (1, _OTHER)]), batch_id=0)
+    q = hashed_text_embeddings(
+        spark.createDataFrame([(99, _NEAR_A)], "doc_id long, text string"),
+        dim=32,
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    hits = ing.knn(spark, q, k=1, nprobe=2).collect()
+    assert hits[0]["neighbor_id"] == 0 and hits[0]["cos_sim"] == 1.0
+    # compaction re-learns the quantizer from the embedded corpus and
+    # the probe still resolves
+    ing.compact_vector_index(spark)
+    hits2 = ing.knn(spark, q, k=1, nprobe=2).collect()
+    assert hits2[0]["neighbor_id"] == 0 and hits2[0]["cos_sim"] == 1.0
