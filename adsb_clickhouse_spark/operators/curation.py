@@ -133,6 +133,44 @@ def domain_mixture(
     )
 
 
+def _langid_enrich(frame: DataFrame, text_col: str) -> DataFrame:
+    """Append the langid signal columns (s_en..s_fr, predicted_lang,
+    sample_rate, sample_keep) to ANY frame carrying ``doc_id`` and
+    ``text_col`` — the pure-projection core of :func:`langid_signals`,
+    shared with the funnel's fused projective path (r11): column-wise
+    composition instead of a doc_id self-join, zero shuffles."""
+    t = frame.withColumn("__lid_toks", tokens(F.col(text_col)))
+    for lg in LANGS:
+        t = t.withColumn(
+            f"s_{lg}",
+            F.size(F.array_intersect(F.col("__lid_toks"), _lang_array(STOPWORDS[lg]))),
+        )
+    t = t.drop("__lid_toks")
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    t = t.withColumn("predicted_lang", pred)
+    rate_expr = None
+    for lg in LANGS:
+        cond = F.when(F.col("predicted_lang") == lg, F.lit(SAMPLE_RATES[lg]))
+        rate_expr = cond if rate_expr is None else rate_expr.when(
+            F.col("predicted_lang") == lg, F.lit(SAMPLE_RATES[lg])
+        )
+    keep = (
+        md5_long(F.col("doc_id").cast("string")) % SAMPLE_MOD
+        < (rate_expr * SAMPLE_MOD).cast("long")
+    )
+    return t.withColumn("sample_rate", rate_expr).withColumn("sample_keep", keep)
+
+
 def langid_signals(
     docs: DataFrame,
     *,
@@ -149,37 +187,19 @@ def langid_signals(
     cols = [F.col(id_col).alias("doc_id")]
     if lang_col is not None:
         cols.append(F.col(lang_col).alias("labeled_lang"))
-    t = docs.select(*cols, tokens(F.col(text_col)).alias("toks"))
-    for lg in LANGS:
-        t = t.withColumn(
-            f"s_{lg}", F.size(F.array_intersect(F.col("toks"), _lang_array(STOPWORDS[lg])))
-        )
-    pred = (
-        F.when(
-            (F.col("s_en") >= F.col("s_es"))
-            & (F.col("s_en") >= F.col("s_de"))
-            & (F.col("s_en") >= F.col("s_fr")),
-            "en",
-        )
-        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
-        .when(F.col("s_de") >= F.col("s_fr"), "de")
-        .otherwise("fr")
-    )
-    rate_expr = None
-    for lg in LANGS:
-        cond = F.when(F.col("predicted_lang") == lg, F.lit(SAMPLE_RATES[lg]))
-        rate_expr = cond if rate_expr is None else rate_expr.when(
-            F.col("predicted_lang") == lg, F.lit(SAMPLE_RATES[lg])
-        )
-    keep = (
-        md5_long(F.col("doc_id").cast("string")) % SAMPLE_MOD
-        < (rate_expr * SAMPLE_MOD).cast("long")
+    t = _langid_enrich(
+        docs.select(*cols, F.col(text_col).alias("__text")), "__text"
     )
     out_cols = ["doc_id"] + (["labeled_lang"] if lang_col is not None else [])
-    return (
-        t.select(*out_cols, pred.alias("predicted_lang"), "s_en", "s_es", "s_de", "s_fr")
-        .withColumn("sample_rate", rate_expr)
-        .withColumn("sample_keep", keep)
+    return t.select(
+        *out_cols,
+        "predicted_lang",
+        "s_en",
+        "s_es",
+        "s_de",
+        "s_fr",
+        "sample_rate",
+        "sample_keep",
     )
 
 
@@ -489,6 +509,7 @@ def curate_documents(
     host_rank_iterations: int = 5,
     host_min_rank_pct: float | None = None,
     host_ranks: DataFrame | None = None,
+    fuse_projective: bool = True,
 ) -> CurationResult:
     """Run the full curation funnel over a document corpus.
 
@@ -578,19 +599,57 @@ def curate_documents(
     from .dedup import connected_components, minhash_lsh_pairs
     from .multimodal import media_dedup_edges
     from .packing import pack_assignments
-    from .scrub import pii_scrub
+    from .scrub import pii_counts, pii_redact, pii_scrub
 
-    scrubbed = pii_scrub(docs, text_col=text_col, id_col=id_col).withColumnRenamed(
-        "id", "doc_id"
-    )
-    if not redact:
-        scrubbed = scrubbed.drop("clean_text").join(
-            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("clean_text")),
-            "doc_id",
-        )
-    lang = langid_signals(docs, text_col=text_col, id_col=id_col, lang_col=lang_col)
     qual = quality_signals(docs, text_col=text_col, id_col=id_col)
-    scored = scrubbed.join(lang, "doc_id").join(qual, "doc_id")
+    if fuse_projective:
+        # FUSED projective stages (r11, A/B-measured in
+        # tools/bench_curation_scale.py): scrub, langid, and the host
+        # attach are all pure per-row projections, so they compose
+        # COLUMN-WISE on one corpus scan instead of doc_id self-joins —
+        # Catalyst does not fuse projection⋈projection self-joins (the
+        # two sides are different projections of the same scan, so
+        # ReusedExchange never fires), meaning the join form pays two
+        # corpus exchanges this path simply doesn't have. Only the
+        # aggregate-bearing quality signals (Gopher bigrams) keep the
+        # join form, because their groupBy forces a doc_id exchange
+        # anyway.
+        base_cols = [F.col(id_col).alias("doc_id")]
+        if lang_col is not None:
+            base_cols.append(F.col(lang_col).alias("labeled_lang"))
+        if host_col is not None:
+            base_cols.append(F.col(host_col).alias("__host"))
+        counts = pii_counts(F.col(text_col))
+        flag = None
+        for c in counts:
+            term = c > 0
+            flag = term if flag is None else flag | term
+        base = docs.select(
+            *base_cols,
+            F.col(text_col).alias("__text"),
+            *counts,
+            flag.alias("has_pii"),
+            (
+                pii_redact(F.col(text_col)) if redact else F.col(text_col)
+            ).alias("clean_text"),
+        )
+        scored = _langid_enrich(base, "__text").drop("__text").join(qual, "doc_id")
+    else:
+        scrubbed = pii_scrub(
+            docs, text_col=text_col, id_col=id_col
+        ).withColumnRenamed("id", "doc_id")
+        if not redact:
+            scrubbed = scrubbed.drop("clean_text").join(
+                docs.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("clean_text"),
+                ),
+                "doc_id",
+            )
+        lang = langid_signals(
+            docs, text_col=text_col, id_col=id_col, lang_col=lang_col
+        )
+        scored = scrubbed.join(lang, "doc_id").join(qual, "doc_id")
 
     cond = (F.col("quality_score") >= min_quality) & (
         F.col("dup_bigram_frac") <= max_dup_bigram_frac
@@ -666,19 +725,26 @@ def curate_documents(
             ).withColumnRenamed("node", "__host")
         else:
             ranks = ranks.withColumnRenamed("host", "__host")
-        doc_hosts = docs.select(
-            F.col(id_col).alias("doc_id"), F.col(host_col).alias("__host")
-        )
         # the rank table is NODE-sized (hosts, not documents): broadcast
         # it so the corpus never shuffles for this dimension join. Docs
         # whose host is NULL or absent from the graph get NULL ranks —
         # and FAIL any enabled host gate (no reputation signal does not
         # pass a reputation gate; disable the gates to keep them).
-        scored = (
-            scored.join(doc_hosts, "doc_id")
-            .join(F.broadcast(ranks), "__host", "left")
-            .drop("__host")
-        )
+        if fuse_projective:
+            # __host rode along in the fused base projection — the rank
+            # attach is the broadcast join alone, no doc_id self-join
+            scored = scored.join(F.broadcast(ranks), "__host", "left").drop(
+                "__host"
+            )
+        else:
+            doc_hosts = docs.select(
+                F.col(id_col).alias("doc_id"), F.col(host_col).alias("__host")
+            )
+            scored = (
+                scored.join(doc_hosts, "doc_id")
+                .join(F.broadcast(ranks), "__host", "left")
+                .drop("__host")
+            )
         if "host_trustrank_fp" in ranks.columns:
             # TrustRank-zero = unreachable from every vetted seed — the
             # spam-demotion prior: those hosts' documents are dropped

@@ -184,42 +184,16 @@ def term_bucket_py(term: str, n_buckets: int) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % int(n_buckets)
 
 
-_GEN_POINTER = "_GEN"
-_FOLDED_MANIFEST = "_FOLDED"
-
-
-def _gen_name(path: str) -> str | None:
-    try:
-        with open(os.path.join(path, _GEN_POINTER)) as fh:
-            name = fh.read().strip()
-        return name or None
-    except OSError:
-        return None
-
-
-def _folded_set(path: str, gen: str | None) -> set[str]:
-    """Segment names the current generation has folded (transitive:
-    each compaction carries the prior manifest forward, so a folded
-    segment whose delete was interrupted can never look live again)."""
-    if gen is None:
-        return set()
-    try:
-        with open(os.path.join(path, gen, _FOLDED_MANIFEST)) as fh:
-            return {ln.strip() for ln in fh if ln.strip()}
-    except OSError:
-        return set()
-
-
-def _live_segments(path: str) -> list[str]:
-    seg_root = os.path.join(path, "segments")
-    if not os.path.isdir(seg_root):
-        return []
-    folded = _folded_set(path, _gen_name(path))
-    return sorted(
-        e
-        for e in os.listdir(seg_root)
-        if not e.startswith("_") and e not in folded
-    )
+# the generational-store law (pointer swap, transitive manifests, live
+# segments) is shared engine-wide — plans/genstore.py is the single home
+from ..plans.genstore import (
+    FOLDED_MANIFEST as _FOLDED_MANIFEST,
+    GEN_POINTER as _GEN_POINTER,
+    folded_set as _folded_set,
+    gen_name as _gen_name,
+    live_segments as _live_segments,
+    swap_pointer as _swap_pointer,
+)
 
 
 def _has_postings(part: str) -> bool:
@@ -351,14 +325,6 @@ def write_text_index(
         "n_buckets": B,
         "generation": new_gen,
     }
-
-
-def _swap_pointer(path: str, gen: str) -> None:
-    ptr = os.path.join(path, _GEN_POINTER)
-    tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        fh.write(gen)
-    os.replace(tmp, ptr)
 
 
 def append_text_index(

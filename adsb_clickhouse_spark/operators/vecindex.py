@@ -58,7 +58,13 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .search import _FOLDED_MANIFEST, _folded_set, _gen_name, _live_segments, _swap_pointer
+from ..plans.genstore import (
+    FOLDED_MANIFEST as _FOLDED_MANIFEST,
+    folded_set as _folded_set,
+    gen_name as _gen_name,
+    live_segments as _live_segments,
+    swap_pointer as _swap_pointer,
+)
 from .similarity import _d2_fold, _id_as_long, _nonzero_norm, as_double, cosine
 
 VEC_SCHEMA = "id long, v array<double>, list_id int"

@@ -108,6 +108,41 @@ segment append (a data-bearing init would double-count its batch if
 the init landed but the commit marker didn't); ``compact_text_index``
 is the matching maintenance job, same transitive-manifest discipline.
 
+Observability (r11): every committed batch writes ONE stats row to
+``ingest_log/`` — rows in, drops per gate (policy, host, exact
+text/media, store dup, near-dup text/media split batch/store),
+admitted, store segment tallies — from ``Observation`` taps that
+piggyback the curated write's own job (zero extra passes; a tap
+re-referenced by a downstream self-join fires exactly once). The row
+lives inside the batch's commit envelope (cleared on replay, sealed by
+the marker), so redelivery leaves exactly one row; ``ingest_report`` /
+the ``ingest-report`` CLI aggregate it. This is the alarm surface for
+the failure mode a dedup memory cannot surface itself: a store that
+silently admits (or drops) everything looks identical to a healthy one
+from the curated table alone.
+
+Plan-size valve (r11): the near-dedup stages build drop-sets FROM the
+batch frame and anti-join them back INTO it — self-referencing joins
+that double the logical plan tree per stage. With text AND media
+near-dedup on, driver-side Catalyst analysis grew exponentially
+(146 s/20-doc batch, measured); an eager ``localCheckpoint`` of the
+batch-sized frame at the stage boundaries truncates lineage and
+restores flat per-batch latency (~7×). Lineage loss is safe: a lost
+block kills the batch job and the commit-marker replay converges it.
+
+Recache data-loss fix (r11, latent since r10): the final survivor
+frame is ALSO materialized by eager ``localCheckpoint`` rather than
+``persist()``. The store appends write into paths the survivor plan
+READS (fps store, band stores), and Spark's CacheManager responds to
+each such write with recacheByPath — recomputing the cached plan with
+a fresh file listing that includes the segment just written, so the
+batch matched its OWN band rows and recached EMPTY: every append after
+the first silently wrote zero rows (batch fingerprints lost; a later
+exact resend would be re-admitted). Lineage truncation leaves no path
+reference for recacheByPath to find. Pinned by
+test_band_store_append_does_not_recache_away_fingerprints and the
+all-stores soak.
+
 Scale shape: the anti-join shuffles on the 16-byte fingerprint — the
 store side is the accumulated KEPT set (post-dedup, so it grows with
 unique content, not ingest volume) and after compaction is bucketed on
@@ -137,8 +172,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.curation import langid_signals, quality_signals
-from ..operators.scrub import pii_scrub
+from ..operators.curation import quality_signals
 from .pipeline import _checkpoint_run_id
 
 _STORE_POINTER = "_STORE"
@@ -341,13 +375,30 @@ class CurationIngest:
             taps.append((stage, ob))
             return df.observe(ob, F.count(F.lit(1)).alias("n"))
 
-        scrubbed = _tap(
-            pii_scrub(docs).withColumnRenamed("id", "doc_id"), "in"
+        # FUSED projective stages (r11, mirrors the batch funnel's
+        # fuse_projective path): scrub + langid + host attach compose
+        # column-wise on ONE batch scan — only the aggregate-bearing
+        # quality signals keep the doc_id join (their Gopher bigram
+        # groupBy forces that exchange anyway)
+        from ..operators.curation import _langid_enrich
+        from ..operators.scrub import pii_counts, pii_redact
+
+        host_on = self.host_col is not None and self.host_col in docs.columns
+        counts = pii_counts(F.col("text"))
+        flag = None
+        for c in counts:
+            term = c > 0
+            flag = term if flag is None else flag | term
+        base = docs.select(
+            F.col("doc_id"),
+            F.col("text").alias("__text"),
+            *([F.col(self.host_col).alias("__host")] if host_on else []),
+            *counts,
+            flag.alias("has_pii"),
+            pii_redact(F.col("text")).alias("clean_text"),
         )
-        scored = (
-            scrubbed.join(quality_signals(docs), "doc_id")
-            .join(langid_signals(docs, lang_col=None), "doc_id")
-        )
+        scrubbed = _tap(_langid_enrich(base, "__text").drop("__text"), "in")
+        scored = scrubbed.join(quality_signals(docs), "doc_id")
         cond = F.col("quality_score") >= self.min_quality
         if self.keep_langs is not None:
             cond = cond & F.col("predicted_lang").isin(list(self.keep_langs))
@@ -359,7 +410,6 @@ class CurationIngest:
             ),
             "policy",
         )
-        host_on = self.host_col is not None and self.host_col in docs.columns
         if host_on:
             # domain-reputation gate (the RefinedWeb-lineage prior) as a
             # DIMENSION lookup: the stored rank generation — recomputed
@@ -382,22 +432,21 @@ class CurationIngest:
                         ).alias("c")
                     ).collect()[0]["c"]
                     gate = gate & (F.col("host_pagerank_fp") >= F.lit(cutoff))
+                # __host rode along in the fused base projection — the
+                # rank attach is the broadcast join alone
                 filtered = _tap(
                     filtered.join(
-                        docs.select(
-                            "doc_id", F.col(self.host_col).alias("__host")
-                        ),
-                        "doc_id",
-                    )
-                    .join(
                         F.broadcast(ranks.withColumnRenamed("host", "__host")),
                         "__host",
                         "left",
                     )
                     .filter(gate)
-                    .drop("__host", *[c for c in ranks.columns if c != "host"]),
+                    .drop(*[c for c in ranks.columns if c != "host"]),
                     "host",
                 )
+            # the fused __host column served the gate (or no generation
+            # exists yet) — it must not leak into the curated table
+            filtered = filtered.drop("__host")
         media_on = self.media_dedup and self.media_col in docs.columns
         if media_on:
             # media as a curation citizen (r9): the payload rides along
@@ -464,6 +513,23 @@ class CurationIngest:
                     "left_anti",
                 )
         fresh = _tap(fresh, "store_dup")
+        near_stages = int(self.text_near_dedup) + int(
+            media_on and self.media_near_dedup
+        )
+        if near_stages:
+            # PLAN-SIZE VALVE (r11): each near-dedup stage below builds
+            # drop-sets FROM `fresh` and anti-joins them back INTO
+            # `fresh` — a self-referencing join that doubles the logical
+            # plan tree every time. With both text and media stages on,
+            # Catalyst ANALYSIS time (driver-side, not execution) grew
+            # exponentially: 146 s for a 20-doc batch, measured. An
+            # eager localCheckpoint of the batch-sized frame truncates
+            # the lineage so every stage references a flat scan; the
+            # work up to here runs exactly once (downstream reads the
+            # checkpointed blocks). Block loss on a real cluster kills
+            # the batch job, which the commit-marker replay discipline
+            # already converges — never wrong results.
+            fresh = fresh.localCheckpoint(eager=True)
         if self.text_near_dedup:
             # per-batch TEXT near-dedup against the stored MinHash band
             # index (r10): the text twin of the phash band store below.
@@ -533,6 +599,11 @@ class CurationIngest:
                 fresh = fresh.join(near, "doc_id", "left_anti")
             fresh = _tap(fresh, "text_near_store")
         media_bands_on = media_on and self.media_near_dedup
+        if media_bands_on and self.text_near_dedup:
+            # second valve: the media stage re-references `fresh` three
+            # ways (hash pass, in-batch pairs, band probes) — flatten
+            # the text stage's joins out of its base first
+            fresh = fresh.localCheckpoint(eager=True)
         if media_bands_on:
             # per-batch perceptual NEAR-dedup against the stored phash
             # band index (r10): until now a perturbed copy of already-
@@ -618,7 +689,21 @@ class CurationIngest:
                 .when(bucket < 9, "val")
                 .otherwise("test"),
             )
-        fresh = fresh.persist()
+        # MATERIALIZE the survivors with an eager localCheckpoint, NOT
+        # persist() (r11 data-loss fix): the appends below write into
+        # the very store paths `fresh`'s plan READS (fps store, band
+        # stores), and Spark's CacheManager recacheByPath responds to
+        # each such write by RECOMPUTING any cached plan that reads the
+        # path — with a fresh file listing that now includes the
+        # segment just written, so the batch matched its OWN band rows
+        # (signature agreement 16/16) and recached as EMPTY: every
+        # append after the first wrote zero rows, silently losing the
+        # batch's fingerprints (latent since r10; caught by the r11
+        # all-stores soak). localCheckpoint truncates lineage to a
+        # LogicalRDD — no path reference survives for recacheByPath to
+        # find, so every downstream append reads the same materialized
+        # blocks regardless of write order.
+        fresh = fresh.localCheckpoint(eager=True)
         try:
             (
                 fresh.withColumn("batch_id", F.lit(seg))
@@ -632,12 +717,12 @@ class CurationIngest:
                 # and the empty bootstrap generation means NO batch ever
                 # initializes the index from data — the crash window
                 # "init succeeded, marker didn't" can't double-count.
-                # MUST run BEFORE the fingerprint append below: if the
-                # cached `fresh` blocks are evicted, this write
-                # re-evaluates the plan, whose store anti-join would then
-                # see the batch's OWN fingerprints and index nothing
-                # (observed — an empty index segment for a non-empty
-                # batch; pinned by the streaming-index accretion test)
+                # (`fresh` is an eager localCheckpoint: lineage is
+                # truncated, so no write order can trigger a
+                # re-evaluation that would see the batch's own
+                # fingerprints — the pre-r11 eviction/recache hazards
+                # are structurally gone; lost blocks fail the job and
+                # the marker discipline replays it.)
                 from ..operators.search import append_text_index, init_text_index
 
                 init_text_index(
@@ -735,16 +820,13 @@ class CurationIngest:
                 )
             if media_bands_on:
                 # survivors' band keys accrete into the phash band
-                # store, REBUILT from the persisted `fresh` (one Arrow
-                # hashing pass over the cached survivors — rebuilding
-                # beats dragging the pre-persist probe chain through the
-                # write: −21% on the all-stores integration test, and
-                # the saving grows with the probe chain's store count
-                # since the rebuilt plan reads only the cache). Ordering
-                # still matters: if the
-                # cache is evicted, re-evaluation replays the store
-                # anti-joins, so this must run BEFORE the fingerprint
-                # append below.
+                # store, REBUILT from the checkpointed `fresh` (one
+                # Arrow hashing pass over the materialized survivors —
+                # rebuilding beats dragging the probe chain through the
+                # write: −21% on the all-stores integration test). The
+                # pre-r11 "must run before the fingerprint append"
+                # ordering is no longer load-bearing (see the
+                # localCheckpoint comment above), kept for readability.
                 from ..operators.multimodal import (
                     perceptual_hash as _ph,
                     phash_band_keys as _pbk,
@@ -770,7 +852,7 @@ class CurationIngest:
                     .parquet(self.phash_bands_path)
                 )
             if self.text_near_dedup:
-                # same rebuild-from-persisted + ordering contract
+                # same rebuild-from-checkpoint shape as the phash store
                 from ..operators.dedup import minhash_band_rows as _mbr
 
                 (
@@ -822,6 +904,9 @@ class CurationIngest:
             if batch_id is not None:
                 self._write_marker(seg)
         finally:
+            # checkpointed blocks are freed by the ContextCleaner once
+            # the RDD is unreferenced; unpersist() the backing plan too
+            # so a long-lived driver loop can't accumulate batch blocks
             fresh.unpersist()
 
     # -- per-batch observability (r11) -------------------------------------
@@ -935,18 +1020,8 @@ class CurationIngest:
             *(os.path.join(self.curated_path, e) for e in live)
         )
 
-    def _store_table_base(self) -> str:
-        digest = hashlib.md5(os.path.abspath(self.fps_path).encode()).hexdigest()
-        return f"curation_fps_{digest[:10]}"
-
     def _store_table_name(self) -> str | None:
-        ptr = os.path.join(self.fps_path, _STORE_POINTER)
-        try:
-            with open(ptr) as fh:
-                name = fh.read().strip()
-            return name or None
-        except OSError:
-            return None
+        return self._keyed_table_name(self.fps_path)
 
     def fingerprint_store_parts(self, spark: SparkSession) -> list[DataFrame]:
         """The store as its physical parts, big-to-small: the bucketed
@@ -957,21 +1032,9 @@ class CurationIngest:
         silently skipping the compacted store would re-admit every
         duplicate it remembers. Corrupted segment files likewise surface
         as read/scan errors rather than being swallowed."""
-        parts: list[DataFrame] = []
-        tbl = self._store_table_name()
-        if tbl is not None:
-            if not spark.catalog.tableExists(tbl):
-                raise RuntimeError(
-                    f"fingerprint store pointer names missing table {tbl!r} "
-                    f"({os.path.join(self.fps_path, _STORE_POINTER)}); "
-                    "refusing to run with cross-batch dedup silently disabled"
-                )
-            parts.append(spark.table(tbl).select("fingerprint"))
-        if _seg_dirs(self.fps_path):
-            parts.append(
-                spark.read.parquet(self.fps_path).select("fingerprint")
-            )
-        return parts
+        return self._keyed_store_parts(
+            spark, self.fps_path, ["fingerprint"], "fingerprint"
+        )
 
     def read_fingerprints(self, spark: SparkSession) -> DataFrame | None:
         """The full store as one DataFrame, or None only in the
@@ -990,33 +1053,17 @@ class CurationIngest:
     # -- band stores (streaming near-dedup, r10): phash (media) + minhash
     # (text) share one keyed-store discipline ------------------------------
 
-    _BAND_LAW_MARKER = "_BAND_LAW"
-
     def _enforce_band_law(self, path: str, law: str) -> None:
         """The band law (bands count, hash family, shingle width) IS the
         store's key schema: a store written under bands=4 probed under
         bands=8 produces disjoint bkey spaces, so every probe silently
         misses and near-dups are re-admitted. Record the law at first
-        use and fail LOUDLY on any mismatch — silent re-admission is the
-        one failure mode a dedup memory must not have."""
-        marker = os.path.join(path, self._BAND_LAW_MARKER)
-        try:
-            with open(marker) as fh:
-                existing = fh.read().strip()
-        except OSError:
-            os.makedirs(path, exist_ok=True)
-            tmp = marker + f".tmp.{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as fh:
-                fh.write(law)
-            os.replace(tmp, marker)
-            return
-        if existing != law:
-            raise RuntimeError(
-                f"band store at {path} was written under law {existing!r} "
-                f"but this ingest is configured with {law!r}; probing a "
-                "mismatched key space would silently re-admit near-dups — "
-                "rebuild the store or restore the original configuration"
-            )
+        use and fail LOUDLY on any mismatch — the shared
+        plans/genstore.py law (silent re-admission is the one failure
+        mode a dedup memory must not have)."""
+        from ..plans.genstore import enforce_law
+
+        enforce_law(path, law)
 
     def _phash_band_law(self) -> str:
         return f"phash|bands={int(self.media_bands)}"
@@ -1044,11 +1091,12 @@ class CurationIngest:
     def _keyed_store_parts(
         self, spark: SparkSession, path: str, cols: list[str], what: str
     ) -> list[DataFrame]:
-        """A bkey-keyed store as its physical parts (compacted bucketed
-        table first, then uncompacted segments) — the
-        fingerprint_store_parts contract: bootstrap yields [], a
-        dangling pointer raises (silently skipping the compacted store
-        would re-admit every near-dup it remembers)."""
+        """A keyed store as its physical parts (compacted bucketed
+        table first, then uncompacted segments) — THE shared read
+        contract of every bucketed-table store (exact fingerprints and
+        both band stores): bootstrap yields [], a dangling pointer
+        raises (silently skipping the compacted store would re-admit
+        every duplicate it remembers)."""
         parts: list[DataFrame] = []
         tbl = self._keyed_table_name(path)
         if tbl is not None:
@@ -1056,7 +1104,7 @@ class CurationIngest:
                 raise RuntimeError(
                     f"{what} store pointer names missing table {tbl!r} "
                     f"({os.path.join(path, _STORE_POINTER)}); refusing to "
-                    f"run with {what} near-dedup silently disabled"
+                    f"run with the {what} dedup store silently disabled"
                 )
             parts.append(spark.table(tbl).select(*cols))
         if _seg_dirs(path):
@@ -1074,12 +1122,15 @@ class CurationIngest:
         assume_quiesced: bool,
         max_key_freq: int | None,
         what: str,
+        key: str = "bkey",
     ) -> dict:
-        """Fold committed segments of a bkey-keyed store into a
-        bkey-bucketed table — the compact_fingerprints crash discipline
-        (new generation → atomic pointer swap → GC; every crash window
-        leaves a readable SUPERSET, harmless to the probe join). When
-        ``max_key_freq`` is given, band keys carried by more rows than
+        """Fold committed segments of a ``key``-keyed store into a
+        ``key``-bucketed table — THE shared crash discipline of every
+        bucketed-table store (exact fingerprints, phash bands, text
+        bands are all thin configurations of this one fold): new
+        generation → atomic pointer swap → GC; every crash window
+        leaves a readable SUPERSET, harmless to the probe join. When
+        ``max_key_freq`` is given, keys carried by more rows than
         the valve are dropped from the FOLDED store (one bounded
         aggregate here instead of a store-sized frequency scan per
         batch): a near-dup pair loses its pigeonhole guarantee only if
@@ -1118,15 +1169,15 @@ class CurationIngest:
         df = df.distinct()
         if max_key_freq is not None:
             hot = (
-                df.groupBy("bkey")
+                df.groupBy(key)
                 .agg(F.count("*").alias("_n"))
                 .filter(F.col("_n") > int(max_key_freq))
-                .select("bkey")
+                .select(key)
             )
-            df = df.join(hot, "bkey", "left_anti")
+            df = df.join(hot, key, "left_anti")
         digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()
         new_table = f"{prefix}_{digest[:10]}_g{uuid.uuid4().hex[:8]}"
-        write_bucketed(df, new_table, key="bkey", buckets=buckets)
+        write_bucketed(df, new_table, key=key, buckets=buckets)
         ptr = os.path.join(path, _STORE_POINTER)
         tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
@@ -1209,68 +1260,27 @@ class CurationIngest:
         assume_quiesced: bool = False,
     ) -> dict:
         """Fold committed fingerprint segments into the bucketed store
-        table. Only segments whose batch has a commit marker are folded
-        (an uncommitted segment may belong to a crashed attempt the
-        stream will replay; folding it would freeze a partial write into
-        the compacted store) — pass ``assume_quiesced=True`` to fold
-        ALL segments when the caller guarantees the stream is stopped
-        and its checkpoint fully committed (e.g. legacy stores written
-        before commit markers existed).
-
-        Crash-safe by construction: new generation table → atomic
-        pointer swap → delete folded segments → drop the old
-        generation. Every interruption leaves the readable store a
-        SUPERSET of the truth (fingerprints present twice are harmless
-        to a left-anti join) and a re-run converges it."""
-        seg_entries = _seg_dirs(self.fps_path)
-        foldable = [
-            e
-            for e in seg_entries
-            if assume_quiesced or self._is_committed(_seg_name(e))
-        ]
-        old_table = self._store_table_name()
-        if not foldable:
-            return {
-                "folded_segments": 0,
-                "table": old_table,
-                "skipped_uncommitted": len(seg_entries),
-            }
-        from ..plans.bucketing import write_bucketed
-
-        parts = []
-        if old_table is not None:
-            if not spark.catalog.tableExists(old_table):
-                raise RuntimeError(
-                    f"fingerprint store pointer names missing table {old_table!r}"
-                )
-            parts.append(spark.table(old_table).select("fingerprint"))
-        parts.append(
-            spark.read.parquet(
-                *(os.path.join(self.fps_path, e) for e in foldable)
-            ).select("fingerprint")
+        table — a thin configuration of :meth:`_compact_keyed_store`
+        (key = the 16-byte fingerprint, no hot-key valve: exact-dup
+        keys are SUPPOSED to collide). Only segments whose batch has a
+        commit marker are folded (an uncommitted segment may belong to
+        a crashed attempt the stream will replay; folding it would
+        freeze a partial write into the compacted store) — pass
+        ``assume_quiesced=True`` to fold ALL segments when the caller
+        guarantees the stream is stopped and its checkpoint fully
+        committed (e.g. legacy stores written before commit markers
+        existed)."""
+        return self._compact_keyed_store(
+            spark,
+            self.fps_path,
+            ["fingerprint"],
+            "curation_fps",
+            buckets=buckets,
+            assume_quiesced=assume_quiesced,
+            max_key_freq=None,
+            what="fingerprint",
+            key="fingerprint",
         )
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        new_table = f"{self._store_table_base()}_g{uuid.uuid4().hex[:8]}"
-        write_bucketed(
-            df.distinct(), new_table, key="fingerprint", buckets=buckets
-        )
-        # atomic repoint, then GC (segments first, then the old generation)
-        ptr = os.path.join(self.fps_path, _STORE_POINTER)
-        tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(new_table)
-        os.replace(tmp, ptr)
-        for e in foldable:
-            shutil.rmtree(os.path.join(self.fps_path, e), ignore_errors=True)
-        if old_table is not None and old_table != new_table:
-            spark.sql(f"DROP TABLE IF EXISTS {old_table}")
-        return {
-            "folded_segments": len(foldable),
-            "table": new_table,
-            "skipped_uncommitted": len(seg_entries) - len(foldable),
-        }
 
     def compact_curated(
         self,
@@ -1421,7 +1431,7 @@ class CurationIngest:
     def read_host_ranks(self, spark: SparkSession) -> DataFrame | None:
         """The CURRENT rank generation (host, host_pagerank_fp
         [, host_trustrank_fp]) or None before the first recompute."""
-        from ..operators.search import _gen_name
+        from ..plans.genstore import gen_name as _gen_name
 
         gen = _gen_name(self.host_ranks_path)
         if gen is None:
@@ -1456,7 +1466,7 @@ class CurationIngest:
         the graph (a vetted-list/corpus mismatch worth failing loudly).
         """
         from ..operators.graph import pagerank_multi
-        from ..operators.search import _gen_name, _swap_pointer
+        from ..plans.genstore import gen_name as _gen_name, swap_pointer as _swap_pointer
 
         old_gen = _gen_name(self.host_ranks_path)
         # GC generations orphaned by a crashed previous run

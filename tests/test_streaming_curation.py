@@ -1110,3 +1110,193 @@ def test_vector_index_embed_fallback_on_text_only_stream(spark, tmp_path):
     ing.compact_vector_index(spark)
     hits2 = ing.knn(spark, q, k=1, nprobe=2).collect()
     assert hits2[0]["neighbor_id"] == 0 and hits2[0]["cos_sim"] == 1.0
+
+
+# -- all-stores soak (r11): flat latency + mid-run maintenance ------------
+
+
+def test_all_stores_soak_flat_latency(spark, tmp_path):
+    """Every store ON (fingerprints, text+media band indexes, text
+    index, vector index via the hashed embedder, host edges+ranks),
+    N batches with planted exact/near resends, ONE full curate-maintain
+    cycle mid-run: per-batch latency must stay flat (the stores'
+    whole design claim), suppression must survive the maintenance, the
+    ingest log must balance, and store growth must stay bounded."""
+    import os
+    import time
+
+    from adsb_clickhouse_spark.__main__ import main
+
+    def payload(i: int) -> bytes:
+        # md5-derived pseudo-random bytes: structured (linear) patterns
+        # could alias in blockhash and glue unrelated media together
+        import hashlib as _h
+        out = b""
+        j = 0
+        while len(out) < 640:
+            out += _h.md5(f"soak|{i}|{j}".encode()).digest()
+            j += 1
+        return out[:640]
+
+    def words(seed: str, n: int = 18) -> list:
+        # hash-derived token streams: pairwise-random texts (a shared
+        # template would legitimately band-match everything — the
+        # false-positive regime this soak is NOT about)
+        import hashlib as _h
+        return [
+            "w" + _h.md5(f"{seed}|{p}".encode()).hexdigest()[:6]
+            for p in range(n)
+        ]
+
+    def mk_batch(b: int, per: int = 40):
+        rows = []
+        for k in range(per):
+            i = b * per + k
+            # hosts form a 7-ring (h_j -> h_{j+1}) so every host is
+            # reachable from the h0 trust seed — the post-maintain gate
+            # must drop NOTHING in this soak
+            h = (k if b == 0 and k < 8 else i) % 7
+            if b == 0 and k < 8:  # the planted base texts + payloads
+                rows.append((i, " ".join(words(f"base|{k}")),
+                             payload(k), f"h{h}", [f"h{(h + 1) % 7}"]))
+            elif b > 0 and k < 4:  # exact resends of batch-0 bases
+                h = k % 7
+                rows.append((i, " ".join(words(f"base|{k}")),
+                             payload(k), f"h{h}", [f"h{(h + 1) % 7}"]))
+            elif b > 0 and k < 8:  # near-copies of batch-0 bases (one
+                # middle word changed: high-J, the band store's regime;
+                # the SAME near text every batch, so a batch-1 S-curve
+                # miss is admitted once and exact-suppressed after)
+                w = words(f"base|{k}")
+                w[9] = "changed"
+                h = k % 7
+                rows.append((i, " ".join(w),
+                             payload(1000 + i), f"h{h}", [f"h{(h + 1) % 7}"]))
+            else:
+                rows.append((i, " ".join(words(f"uniq|{i}")),
+                             payload(1000 + i), f"h{h}", [f"h{(h + 1) % 7}"]))
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, text string, payload binary, host string, "
+            "out_links array<string>",
+        )
+
+    ing = CurationIngest(
+        str(tmp_path), run_id="soak",
+        media_dedup=True, media_near_dedup=True, text_near_dedup=True,
+        text_index=True, vector_index=True, embed_dim=16, vector_n_lists=4,
+        host_col="host", host_links_col="out_links",
+        host_trust_seeds=["h0"],
+    )
+    N = 10
+    lat = []
+    for b in range(N):
+        t0 = time.perf_counter()
+        ing.process_batch(mk_batch(b), batch_id=b)
+        lat.append(time.perf_counter() - t0)
+        if b == N // 2 - 1:
+            rc = main([
+                "curate-maintain", str(tmp_path),
+                "--compact-index", "--compact-vectors", "--compact-bands",
+                "--recompute-host-ranks", "--host-trust-seeds", "h0",
+                # the 7-ring needs >=7 hops for trust to reach h6 —
+                # fewer iterations would legitimately TrustRank-zero it
+                "--host-rank-iterations", "8",
+                "--assume-quiesced", "--buckets", "4",
+            ])
+            assert rc == 0
+    try:
+        # flat latency: the tail must not have grown with the store
+        # (generous 3x bound — local-mode scatter is real, growth is
+        # what we exclude: an O(store) probe would be ~8x by batch 14)
+        early = sorted(lat[1:5])[1]
+        late = sorted(lat[-4:])[1]
+        assert late <= 3.0 * early, f"latency grew: {early:.2f}s -> {late:.2f}s ({lat})"
+        # maintenance folded the pre-maintain segments of every store
+        assert ing._store_table_name() is not None
+        assert ing._band_table_name() is not None
+        assert ing._text_band_table_name() is not None
+        fps_segs = [e for e in os.listdir(ing.fps_path) if e.startswith("batch_id=")]
+        assert len(fps_segs) == N // 2  # only post-maintain segments remain
+        # suppression correctness across the whole run: each batch-0
+        # text is curated exactly once; each near-copy TEXT is admitted
+        # at most once ever (LSH recall is an S-curve — a near-copy the
+        # bands miss in batch 1 is admitted, and from then on its exact
+        # fingerprint suppresses every identical resend)
+        cur = ing.curated(spark)
+        n_cur = cur.count()
+        base_unique = 40 + (N - 1) * 32  # batch 0 full + 32 new/batch after
+        assert base_unique <= n_cur <= base_unique + 4, (n_cur, base_unique)
+        # ingest log: one row per batch, ledger balances, and the dedup
+        # gates kept firing after maintenance: the last batch's 8
+        # resend rows all fell to exact-store / near-dup gates
+        log = ing.ingest_log(spark).orderBy("ts").collect()
+        assert len(log) == N
+        gates = ("policy", "host", "exact_text", "exact_media", "store_dup",
+                 "text_near_batch", "text_near_store", "media_near_batch",
+                 "media_near_store")
+        for r in log:
+            assert r["rows_in"] - sum(r[f"dropped_{g}"] for g in gates) == r["admitted"]
+        last = log[-1]
+        resend_drops = (
+            last["dropped_store_dup"]
+            + last["dropped_text_near_batch"]
+            + last["dropped_text_near_store"]
+        )
+        assert resend_drops == 8 and last["admitted"] == 32, dict(last.asDict())
+        assert last["dropped_store_dup"] >= 4  # the 4 exact resends at least
+        # the stored vector index still answers from the re-learned
+        # quantizer: a batch-0 text embeds to cosine 1.0 with itself
+        from adsb_clickhouse_spark.operators.similarity import (
+            hashed_text_embeddings,
+        )
+
+        q = hashed_text_embeddings(
+            cur.filter(F.col("doc_id") == 0).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            dim=16,
+        ).select(
+            # the probe excludes neighbor_id == query_id (self-match);
+            # a query id colliding with doc 0 would hide its own hit
+            (F.col("doc_id") + 1_000_000).alias("vec_id"),
+            "embedding",
+        )
+        hits = ing.knn(spark, q, k=1, nprobe=4).collect()
+        assert hits and hits[0]["neighbor_id"] == 0 and hits[0]["cos_sim"] == 1.0
+    finally:
+        for tbl in (ing._store_table_name(), ing._band_table_name(),
+                    ing._text_band_table_name()):
+            if tbl:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_band_store_append_does_not_recache_away_fingerprints(spark, tmp_path):
+    """Regression (r11, latent since r10): the band-store appends write
+    into paths the survivor frame's plan READS, and Spark's
+    CacheManager recacheByPath recomputed the persisted frame with a
+    fresh file listing — the batch then matched its OWN just-written
+    band rows and recached EMPTY, so every later append (fingerprints!)
+    silently wrote zero rows for batches after the first. Fixed by
+    materializing survivors with an eager localCheckpoint (lineage
+    truncated — no path reference left to recache). Pin the data-level
+    consequence: a batch-2 exact resend of a batch-1 doc must be
+    suppressed by the fingerprint store."""
+    import os
+
+    ing = CurationIngest(str(tmp_path), run_id="r1", text_near_dedup=True)
+    b1_text = ("a batch one document with a genuinely distinct body of "
+               "words that must enter the dedup memory")
+    ing.process_batch(_docs(spark, [(0, _NEAR_A)]), batch_id=0)
+    ing.process_batch(_docs(spark, [(10, b1_text)]), batch_id=1)
+    # the batch-1 fingerprint segment must exist on disk
+    segs = sorted(
+        e for e in os.listdir(ing.fps_path) if e.startswith("batch_id=")
+    )
+    assert segs == ["batch_id=br1-0", "batch_id=br1-1"], segs
+    # and the store must remember batch 1: an exact resend is dropped
+    ing.process_batch(_docs(spark, [(20, b1_text)]), batch_id=2)
+    kept = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
+    assert kept == {0, 10}
+    log = {r["batch_id"]: r for r in ing.ingest_log(spark).collect()}
+    assert log["br1-2"]["dropped_store_dup"] == 1

@@ -129,6 +129,20 @@ def edge_emb_dir(spark, tmp_path_factory):
         rows.append((vid, vec))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     df.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "embeddings.parquet"))
+    # sim_cosine_near_dup's 'hembed' branch (r11) reads documents too:
+    # give it adversarial texts — NULL/empty (no tokens -> no vector),
+    # a near-identical pair (must land at cosine ~1 in both engines)
+    docs = [
+        (0, "rivers and stone bridges drawn patiently over many long winters"),
+        (1, "rivers and stone bridges drawn patiently over many cold winters"),
+        (2, "register allocation interacts with instruction scheduling badly"),
+        (3, None),
+        (4, ""),
+        (5, "税関 🎉 ünïcode only—no ascii tokens here? 123"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "documents.parquet"))
     return base
 
 
@@ -156,6 +170,10 @@ def test_edge_embeddings_oracle_parity(spark, edge_emb_dir, name):
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
         f"'{edge_emb_dir}/embeddings.parquet/*.parquet'"
+    )
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{edge_emb_dir}/documents.parquet/*.parquet'"
     )
     res = con.execute(entry_mod.oracle_sql()[name])
     dcols = [d[0] for d in res.description]

@@ -54,9 +54,10 @@ sys.path.insert(0, ".")
 
 
 def main() -> int:
-    flags = ("--full", "--gates", "--media", "--graph")
+    flags = ("--full", "--gates", "--media", "--graph", "--no-fuse")
     args = [a for a in sys.argv[1:] if a not in flags]
     full = "--full" in sys.argv[1:]
+    no_fuse = "--no-fuse" in sys.argv[1:]  # A/B: the pre-r11 self-join idiom
     gates = "--gates" in sys.argv[1:]
     media = "--media" in sys.argv[1:]
     graph = "--graph" in sys.argv[1:]
@@ -206,6 +207,7 @@ def main() -> int:
         min_quality=0.1,
         dedup_threshold=0.5,
         pack_budget=2048,
+        fuse_projective=not no_fuse,
         **extra,
     )
     funnel = res.funnel()
@@ -213,7 +215,7 @@ def main() -> int:
     # prefix-sum job; count the rows too so the full output materializes)
     funnel["packed_rows"] = res.packed.count()
     out = {"n_docs": n, "full": full, "gates": gates, "media": media,
-           "graph": graph, **funnel}
+           "graph": graph, "fused": not no_fuse, **funnel}
     if media:
         # planted media copies are the HIGHER id of each (i-1, i) pair;
         # min_id retention must have condemned exactly those still in

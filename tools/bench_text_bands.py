@@ -77,8 +77,14 @@ def _texts_df(spark, lo: int, n: int, *, copy_of=None):
 
 
 def main() -> int:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
-    n_segments = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    # --k32: the tighter operating point (k=32/bands=8 — steeper LSH
+    # S-curve, double the signature/band volume); default is the
+    # r10 law (k=16/bands=4)
+    k32 = "--k32" in sys.argv[1:]
+    argv = [a for a in sys.argv[1:] if a != "--k32"]
+    K, BANDS = (32, 8) if k32 else (16, 4)
+    n_docs = int(argv[0]) if argv else 300_000
+    n_segments = int(argv[1]) if len(argv) > 1 else 50
 
     from pyspark.sql import functions as F
 
@@ -99,7 +105,7 @@ def main() -> int:
     batch.count()
 
     seed_bands = minhash_band_rows(
-        _texts_df(spark, 1_000_000, n_docs), id_col="doc_id"
+        _texts_df(spark, 1_000_000, n_docs), id_col="doc_id", k=K, bands=BANDS
     ).select(
         "bkey", "sig", (F.col("id") % n_segments).cast("string").alias("__seg")
     )
@@ -109,7 +115,10 @@ def main() -> int:
     def _run(tag: str, seed: bool, compact: bool) -> None:
         base = tempfile.mkdtemp(prefix=f"textbands_{tag}_")
         try:
-            ing = CurationIngest(base, run_id="p", text_near_dedup=True)
+            ing = CurationIngest(
+                base, run_id="p", text_near_dedup=True,
+                text_minhash_k=K, text_bands=BANDS,
+            )
             if seed:
                 (
                     seed_bands.withColumn(
@@ -149,6 +158,8 @@ def main() -> int:
     print(json.dumps({
         "n_docs_stored": n_docs,
         "n_segments": n_segments,
+        "minhash_k": K,
+        "bands": BANDS,
         "batch_docs": N_BATCH,
         "planted_near_copies": N_PLANTED,
         "batch_sec_empty_store": walls["empty"],
