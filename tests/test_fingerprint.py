@@ -1,0 +1,90 @@
+"""Plan-fingerprint stability: same logical plan -> same hash across
+re-builds, temp paths, and expression-id churn; a real plan change (lost
+broadcast, new shuffle) -> different hash with a readable ops diff."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adsb_clickhouse_spark.plans.fingerprint import (
+    diff_plans,
+    formatted_plan,
+    normalize_plan,
+    op_tree,
+    plan_fingerprint,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_same_plan_same_hash_across_rebuilds(spark):
+    def build():
+        df = spark.read.parquet(f"{SF}/lineitem.parquet")
+        return (
+            df.filter(F.col("l_quantity") > 10)
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+
+    fp1 = plan_fingerprint(build())
+    # a throwaway plan in between shifts every expression id
+    spark.range(100).select((F.col("id") * 2).alias("x")).count()
+    fp2 = plan_fingerprint(build())
+    assert fp1["hash"] == fp2["hash"]
+    assert fp1["ops"] == fp2["ops"]
+
+
+def test_path_and_id_normalization(spark, tmp_base):
+    df = spark.range(50).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    df.write.mode("overwrite").parquet(f"{tmp_base}/a")
+    df.write.mode("overwrite").parquet(f"{tmp_base}/b")
+
+    def agg(path):
+        return spark.read.parquet(path).groupBy("k").agg(F.sum("id").alias("s"))
+
+    fp_a = plan_fingerprint(agg(f"{tmp_base}/a"))
+    fp_b = plan_fingerprint(agg(f"{tmp_base}/b"))
+    # different tempdirs, different expression ids -> identical fingerprint
+    assert fp_a["hash"] == fp_b["hash"]
+    norm = normalize_plan(formatted_plan(agg(f"{tmp_base}/a")))
+    assert tmp_base not in norm
+    assert "#_" in norm  # expression ids were rewritten, not dropped
+
+
+def test_plan_change_changes_hash_and_names_the_join(spark):
+    big = spark.range(10_000).select(F.col("id"), (F.col("id") % 100).alias("k"))
+    small = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    bcast = big.join(F.broadcast(small), "k")
+    smj = big.join(small.hint("merge"), "k")
+    fp_b, fp_s = plan_fingerprint(bcast), plan_fingerprint(smj)
+    assert fp_b["hash"] != fp_s["hash"]
+    ops_b, ops_s = "\n".join(fp_b["ops"]), "\n".join(fp_s["ops"])
+    assert "BroadcastHashJoin" in ops_b
+    assert "SortMergeJoin" in ops_s
+
+
+def test_op_tree_is_compact_header_only(spark):
+    df = spark.range(10).groupBy((F.col("id") % 2).alias("k")).count()
+    tree = op_tree(formatted_plan(df))
+    assert any("HashAggregate" in l for l in tree)
+    assert any("Exchange" in l for l in tree)
+    # detail sections (Output [n]: ...) are not part of the tree
+    assert not any(l.lstrip().startswith("Output") for l in tree)
+    # node numbers stripped
+    assert not any(l.rstrip().endswith(")") and "(" in l.split()[-1] for l in tree)
+
+
+def test_diff_plans_classifies_changed_added_removed():
+    prev = {
+        "a": {"hash": "x1", "ops": ["A"]},
+        "b": {"hash": "y1", "ops": ["B1"]},
+        "gone": {"hash": "z", "ops": ["Z"]},
+    }
+    cur = {
+        "a": {"hash": "x1", "ops": ["A"]},
+        "b": {"hash": "y2", "ops": ["B2"]},
+        "new": {"hash": "n", "ops": ["N"]},
+    }
+    d = diff_plans(prev, cur)
+    assert set(d) == {"b", "+new", "-gone"}
+    assert d["b"] == {"prev_ops": ["B1"], "cur_ops": ["B2"]}
