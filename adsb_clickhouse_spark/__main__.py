@@ -72,8 +72,10 @@ def cmd_stats(args) -> int:
 
 
 def cmd_curate_maintain(args) -> int:
+    import os
+
     from .session import get_spark
-    from .streaming.curation import CurationIngest
+    from .streaming.curation import CurationIngest, stored_band_law_params
 
     spark = get_spark("curation-maintain")
     seeds = (
@@ -81,12 +83,33 @@ def cmd_curate_maintain(args) -> int:
         if args.host_trust_seeds
         else None
     )
+    # adopt each band store's recorded law instead of the constructor
+    # defaults: --near-dedup on a corpus ingested under k=32/b=8 must run
+    # the compaction's candidate generation under THAT law, or recall
+    # silently differs from the configured S-curve (r11 advice; the
+    # exact-Jaccard verify kept results correct, only recall drifted)
+    law_kwargs: dict = {}
+    text_law = stored_band_law_params(os.path.join(args.base_dir, "text_bands"))
+    if text_law:
+        law_kwargs.update(
+            text_minhash_k=text_law["k"],
+            text_bands=text_law["bands"],
+            text_shingle_w=text_law["w"],
+        )
+        print(f"text band law (from store marker): {text_law}")
+    phash_law = stored_band_law_params(
+        os.path.join(args.base_dir, "phash_bands")
+    )
+    if phash_law:
+        law_kwargs["media_bands"] = phash_law["bands"]
+        print(f"phash band law (from store marker): {phash_law}")
     ing = CurationIngest(
         args.base_dir,
         host_trust_seeds=seeds,
         host_rank_iterations=args.host_rank_iterations,
         media_max_band_freq=args.media_max_band_freq,
         text_max_band_freq=args.text_max_band_freq,
+        **law_kwargs,
     )
     fps = ing.compact_fingerprints(
         spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced
@@ -123,6 +146,11 @@ def cmd_curate_maintain(args) -> int:
         )
     if args.recompute_host_ranks:
         print(f"host_ranks: {ing.recompute_host_ranks(spark)}")
+    if args.fold_ingest_log:
+        print(
+            "ingest_log: "
+            f"{ing.compact_ingest_log(spark, max_age_sec=args.max_log_age_sec, assume_quiesced=args.assume_quiesced)}"
+        )
     return 0
 
 
@@ -337,6 +365,20 @@ def main(argv: list[str] | None = None) -> int:
         "--assume-quiesced",
         action="store_true",
         help="fold segments without commit markers (stream stopped + checkpoint committed)",
+    )
+    p_c.add_argument(
+        "--fold-ingest-log",
+        action="store_true",
+        help="also fold the per-batch observability log's committed "
+        "segments into one compacted generation (retention for the "
+        "one-tiny-parquet-per-batch growth)",
+    )
+    p_c.add_argument(
+        "--max-log-age-sec",
+        type=float,
+        default=None,
+        help="with --fold-ingest-log: drop stats rows older than this "
+        "many seconds at fold time (default: keep everything)",
     )
     p_c.set_defaults(fn=cmd_curate_maintain)
     p_ir = sub.add_parser(

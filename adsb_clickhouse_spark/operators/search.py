@@ -60,8 +60,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -187,12 +185,12 @@ def term_bucket_py(term: str, n_buckets: int) -> int:
 # the generational-store law (pointer swap, transitive manifests, live
 # segments) is shared engine-wide — plans/genstore.py is the single home
 from ..plans.genstore import (
-    FOLDED_MANIFEST as _FOLDED_MANIFEST,
+    fold_generation as _fold_generation,
+    gc_orphan_generations as _gc_orphan_generations,
     GEN_POINTER as _GEN_POINTER,
     folded_set as _folded_set,
     gen_name as _gen_name,
     live_segments as _live_segments,
-    swap_pointer as _swap_pointer,
 )
 
 
@@ -258,21 +256,20 @@ def init_text_index(
         s = spark.read.parquet(os.path.join(path, gen, "stats")).collect()[0]
         return {"generation": gen, "n_buckets": int(s["n_buckets"]), "existed": True}
     B = int(n_buckets)
-    new_gen = f"gen-{uuid.uuid4().hex[:8]}"
-    out = os.path.join(path, new_gen)
-    os.makedirs(out, exist_ok=True)
-    (
-        spark.createDataFrame(
-            [(0, 0, B, bool(with_positions))],
-            "n_docs long, sum_dl long, n_buckets int, positional boolean",
+
+    def build(out: str) -> None:
+        os.makedirs(out, exist_ok=True)
+        (
+            spark.createDataFrame(
+                [(0, 0, B, bool(with_positions))],
+                "n_docs long, sum_dl long, n_buckets int, positional boolean",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out}/stats")
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{out}/stats")
-    )
-    with open(os.path.join(out, _FOLDED_MANIFEST), "w") as fh:
-        fh.write("")
-    _swap_pointer(path, new_gen)
+
+    new_gen = _fold_generation(path, build, folded=set())
     return {"generation": new_gen, "n_buckets": B, "existed": False}
 
 
@@ -308,17 +305,16 @@ def write_text_index(
     tfs = doc_term_freqs(
         docs, text_col=text_col, id_col=id_col, with_positions=with_positions
     ).withColumn("bucket", md5_long(F.col("term")) % B)
-    new_gen = f"gen-{uuid.uuid4().hex[:8]}"
-    out = os.path.join(path, new_gen)
-    _write_index_part(tfs, out, B, with_positions)
-    with open(os.path.join(out, _FOLDED_MANIFEST), "w") as fh:
-        fh.write("".join(f"{e}\n" for e in all_segments))
-    _swap_pointer(path, new_gen)
-    for e in all_segments:
-        shutil.rmtree(os.path.join(seg_root, e), ignore_errors=True)
-    if old_gen is not None and old_gen != new_gen:
-        shutil.rmtree(os.path.join(path, old_gen), ignore_errors=True)
-    s = spark.read.parquet(f"{out}/stats").collect()[0]
+    new_gen = _fold_generation(
+        path,
+        lambda out: _write_index_part(tfs, out, B, with_positions),
+        folded=set(all_segments),
+        gc_paths=[os.path.join(seg_root, e) for e in all_segments]
+        + ([os.path.join(path, old_gen)] if old_gen is not None else []),
+    )
+    s = spark.read.parquet(
+        os.path.join(path, new_gen, "stats")
+    ).collect()[0]
     return {
         "n_docs": s["n_docs"],
         "avgdl": (s["sum_dl"] / s["n_docs"]) if s["n_docs"] else 0.0,
@@ -382,14 +378,7 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     gen = _gen_name(path)
     if gen is None:
         raise RuntimeError(f"no text index at {path}")
-    # GC orphan generations first: a compaction that crashed BEFORE its
-    # pointer swap leaves a fully-written but unreferenced gen-* dir.
-    # Safe under the single-concurrent-maintainer contract (probes only
-    # ever resolve the pointed generation, so an unpointed dir has no
-    # readers to race)
-    for e in os.listdir(path):
-        if e.startswith("gen-") and e != gen:
-            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+    _gc_orphan_generations(path, gen)
     segs = _live_segments(path)
     if not segs:
         return {"folded_segments": 0, "generation": gen}
@@ -402,34 +391,35 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     # empty segments (and the stats-only bootstrap generation) carry no
     # readable postings — they contribute nothing and are folded away
     data_parts = [p for p in parts if _has_postings(p)]
-    new_gen = f"gen-{uuid.uuid4().hex[:8]}"
-    out = os.path.join(path, new_gen)
-    if data_parts:
-        post = None
-        for p in data_parts:
-            nxt = spark.read.option("basePath", f"{p}/postings").parquet(
-                f"{p}/postings"
+
+    def build(out: str) -> None:
+        if data_parts:
+            post = None
+            for p in data_parts:
+                nxt = spark.read.option("basePath", f"{p}/postings").parquet(
+                    f"{p}/postings"
+                )
+                post = nxt if post is None else post.unionByName(nxt)
+            _write_index_part(post, out, B, positional)
+        else:
+            os.makedirs(out, exist_ok=True)
+            (
+                spark.createDataFrame(
+                    [(0, 0, B, positional)],
+                    "n_docs long, sum_dl long, n_buckets int, positional boolean",
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{out}/stats")
             )
-            post = nxt if post is None else post.unionByName(nxt)
-        _write_index_part(post, out, B, positional)
-    else:
-        os.makedirs(out, exist_ok=True)
-        (
-            spark.createDataFrame(
-                [(0, 0, B, positional)],
-                "n_docs long, sum_dl long, n_buckets int, positional boolean",
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{out}/stats")
-        )
-    folded = _folded_set(path, gen) | set(segs)
-    with open(os.path.join(out, _FOLDED_MANIFEST), "w") as fh:
-        fh.write("".join(f"{e}\n" for e in sorted(folded)))
-    _swap_pointer(path, new_gen)
-    for e in segs:
-        shutil.rmtree(os.path.join(path, "segments", e), ignore_errors=True)
-    shutil.rmtree(os.path.join(path, gen), ignore_errors=True)
+
+    new_gen = _fold_generation(
+        path,
+        build,
+        folded=_folded_set(path, gen) | set(segs),
+        gc_paths=[os.path.join(path, "segments", e) for e in segs]
+        + [os.path.join(path, gen)],
+    )
     return {"folded_segments": len(segs), "generation": new_gen}
 
 

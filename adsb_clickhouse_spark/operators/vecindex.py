@@ -53,17 +53,15 @@ from __future__ import annotations
 
 import hashlib
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.genstore import (
-    FOLDED_MANIFEST as _FOLDED_MANIFEST,
+    fold_generation as _fold_generation,
     folded_set as _folded_set,
+    gc_orphan_generations as _gc_orphan_generations,
     gen_name as _gen_name,
     live_segments as _live_segments,
-    swap_pointer as _swap_pointer,
 )
 from .similarity import _d2_fold, _id_as_long, _nonzero_norm, as_double, cosine
 
@@ -172,13 +170,11 @@ def init_vector_index(
             "dim": int(cent.shape[1]),
             "existed": True,
         }
-    new_gen = f"gen-{uuid.uuid4().hex[:8]}"
-    out = os.path.join(path, new_gen)
-    os.makedirs(out, exist_ok=True)
-    _write_centroids(spark, out, _seed_centroids(dim, n_lists, seed))
-    with open(os.path.join(out, _FOLDED_MANIFEST), "w") as fh:
-        fh.write("")
-    _swap_pointer(path, new_gen)
+    def build(out: str) -> None:
+        os.makedirs(out, exist_ok=True)
+        _write_centroids(spark, out, _seed_centroids(dim, n_lists, seed))
+
+    new_gen = _fold_generation(path, build, folded=set())
     return {"generation": new_gen, "n_lists": n_lists, "dim": dim, "existed": False}
 
 
@@ -362,9 +358,7 @@ def compact_vector_index(
     gen = _gen_name(path)
     if gen is None:
         raise RuntimeError(f"no vector index at {path}")
-    for e in os.listdir(path):
-        if e.startswith("gen-") and e != gen:
-            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+    _gc_orphan_generations(path, gen)
     all_segs = _live_segments(path)
     segs = (
         all_segs if committed is None
@@ -380,38 +374,39 @@ def compact_vector_index(
     cent = _read_centroids(spark, path, gen)
     parts = [os.path.join(path, gen)] + [os.path.join(path, "segments", s) for s in segs]
     data_parts = [p for p in parts if _has_vectors(p)]
-    new_gen = f"gen-{uuid.uuid4().hex[:8]}"
-    out = os.path.join(path, new_gen)
-    if data_parts:
-        allv = None
-        for p in data_parts:
-            root = os.path.join(p, "vectors")
-            nxt = spark.read.option("basePath", root).parquet(root).select("id", "v")
-            allv = nxt if allv is None else allv.unionByName(nxt)
-        from .similarity import ivf_build
 
-        want = int(n_lists) if n_lists is not None else int(cent.shape[0])
-        assignments, new_cent = ivf_build(
-            allv, n_lists=want, iters=iters, id_col="id", vec_col="v"
-        )
-        (
-            allv.join(assignments, "id")
-            .select("id", "v", "list_id")
-            .write.mode("overwrite")
-            .partitionBy("list_id")
-            .parquet(os.path.join(out, "vectors"))
-        )
-        _write_centroids(spark, out, new_cent)
-    else:
-        os.makedirs(out, exist_ok=True)
-        _write_centroids(spark, out, cent)
-    folded = _folded_set(path, gen) | set(segs)
-    with open(os.path.join(out, _FOLDED_MANIFEST), "w") as fh:
-        fh.write("".join(f"{e}\n" for e in sorted(folded)))
-    _swap_pointer(path, new_gen)
-    for e in segs:
-        shutil.rmtree(os.path.join(path, "segments", e), ignore_errors=True)
-    shutil.rmtree(os.path.join(path, gen), ignore_errors=True)
+    def build(out: str) -> None:
+        if data_parts:
+            allv = None
+            for p in data_parts:
+                root = os.path.join(p, "vectors")
+                nxt = spark.read.option("basePath", root).parquet(root).select("id", "v")
+                allv = nxt if allv is None else allv.unionByName(nxt)
+            from .similarity import ivf_build
+
+            want = int(n_lists) if n_lists is not None else int(cent.shape[0])
+            assignments, new_cent = ivf_build(
+                allv, n_lists=want, iters=iters, id_col="id", vec_col="v"
+            )
+            (
+                allv.join(assignments, "id")
+                .select("id", "v", "list_id")
+                .write.mode("overwrite")
+                .partitionBy("list_id")
+                .parquet(os.path.join(out, "vectors"))
+            )
+            _write_centroids(spark, out, new_cent)
+        else:
+            os.makedirs(out, exist_ok=True)
+            _write_centroids(spark, out, cent)
+
+    new_gen = _fold_generation(
+        path,
+        build,
+        folded=_folded_set(path, gen) | set(segs),
+        gc_paths=[os.path.join(path, "segments", e) for e in segs]
+        + [os.path.join(path, gen)],
+    )
     return {
         "folded_segments": len(segs),
         "generation": new_gen,

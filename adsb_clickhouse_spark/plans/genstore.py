@@ -61,11 +61,12 @@ def gen_name(path: str) -> str | None:
         return None
 
 
-def swap_pointer(path: str, gen: str) -> None:
+def swap_pointer(path: str, gen: str, *, marker: str = GEN_POINTER) -> None:
     """Atomically repoint the store: tmp write + ``os.replace``. This
     IS the commit — everything before it is invisible staging,
-    everything after it is GC."""
-    ptr = os.path.join(path, GEN_POINTER)
+    everything after it is GC. ``marker`` lets bucketed-table stores
+    reuse the same commit for their ``_STORE`` table pointer."""
+    ptr = os.path.join(path, marker)
     tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         fh.write(gen)
@@ -106,6 +107,86 @@ def live_segments(path: str) -> list[str]:
     )
 
 
+def gc_orphan_generations(path: str, keep: str | None) -> None:
+    """Delete ``gen-*`` directories other than the pointed one — the
+    leftovers of a compaction that crashed BEFORE its pointer swap.
+    Safe under the single-concurrent-maintainer contract (probes only
+    resolve the pointed generation, so an unpointed dir has no readers
+    to race)."""
+    if not os.path.isdir(path):
+        return
+    import shutil
+
+    for e in os.listdir(path):
+        if e.startswith("gen-") and e != keep:
+            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+
+
+def fold_generation(
+    path: str,
+    build,
+    *,
+    folded: set[str] | None = None,
+    gc_paths: tuple | list = (),
+    manifest: bool = True,
+) -> str:
+    """THE generational fold loop (stage → manifest → swap → GC) every
+    compactor shares — text index, vector index, host ranks are each
+    one ``build`` callback plus this commit discipline.
+
+    ``build(new_gen_dir)`` fully writes the new generation's content
+    before returning (the stage). Then the transitive ``folded`` set is
+    recorded inside the new generation (unless ``manifest=False`` for
+    stores whose inputs live elsewhere and dedupe by value), the
+    pointer swaps atomically (the commit), and only then are
+    ``gc_paths`` — folded segment dirs, the superseded generation —
+    deleted. Interruption at any point leaves a readable, correct
+    store: before the swap the old generation is still pointed (the
+    orphan new dir is GC'd by the next run); after it, a lagging GC
+    only leaves supersets the manifest already excludes. Returns the
+    new generation name."""
+    import shutil
+
+    new_gen = f"gen-{uuid.uuid4().hex[:8]}"
+    out = os.path.join(path, new_gen)
+    build(out)
+    if manifest:
+        os.makedirs(out, exist_ok=True)
+        write_manifest(out, folded or set())
+    swap_pointer(path, new_gen)
+    for p in gc_paths:
+        shutil.rmtree(p, ignore_errors=True)
+    return new_gen
+
+
+def fold_into_segment(
+    dir_path: str,
+    seg_entry: str,
+    build,
+    *,
+    folded: set[str],
+    gc_paths: tuple | list = (),
+) -> None:
+    """The fold loop's second commit flavor: for stores whose readers
+    resolve SEGMENTS + manifests directly (no generation pointer — the
+    curated table), the commit is one atomic ``os.rename`` of a fully
+    staged segment directory into the store. ``build(staging_seg_dir)``
+    writes the segment's content; the transitive ``folded`` manifest
+    lands inside it BEFORE the rename, so from the commit instant
+    readers exclude the folded inputs; ``gc_paths`` are deleted after
+    (a crash mid-GC leaves dirs the manifest already excludes)."""
+    import shutil
+
+    staging = os.path.join(dir_path, f".fold-staging.{uuid.uuid4().hex[:8]}")
+    out = os.path.join(staging, seg_entry)
+    build(out)
+    write_manifest(out, folded)
+    os.rename(out, os.path.join(dir_path, seg_entry))
+    shutil.rmtree(staging, ignore_errors=True)
+    for p in gc_paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def enforce_law(path: str, law: str, *, marker: str = LAW_MARKER) -> None:
     """Record ``law`` at the store's first use; raise on any later
     mismatch. The law string must be DERIVED from the same variables
@@ -118,11 +199,24 @@ def enforce_law(path: str, law: str, *, marker: str = LAW_MARKER) -> None:
             existing = fh.read().strip()
     except OSError:
         os.makedirs(path, exist_ok=True)
+        # bootstrap must be EXCLUSIVE as well as atomic: a check-then-
+        # replace let two concurrent first-users configured with
+        # different laws both pass (each saw no marker; last replace
+        # won), defeating the guard exactly when it matters (r11
+        # advice). os.link refuses an existing target atomically, so
+        # exactly one law can ever win the race — the loser re-reads
+        # the winner's marker and falls through to the mismatch check.
         tmp = mpath + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             fh.write(law)
-        os.replace(tmp, mpath)
-        return
+        try:
+            os.link(tmp, mpath)
+            existing = law
+        except FileExistsError:
+            with open(mpath) as fh:
+                existing = fh.read().strip()
+        finally:
+            os.unlink(tmp)
     if existing != law:
         raise RuntimeError(
             f"band store at {path} was written under law {existing!r} "

@@ -233,6 +233,50 @@ def _has_parquet(path: str) -> bool:
     return False
 
 
+def stored_band_law_params(path: str) -> dict[str, int]:
+    """Parse a band store's ``_BAND_LAW`` marker back into the numeric
+    parameters that produced it (``{}`` when the store has no marker
+    yet). The law strings are pipe-delimited ``key=int`` pairs derived
+    from the CurationIngest constructor parameters (``_text_band_law`` /
+    ``_phash_band_law``), so the marker is the authoritative record of
+    the key space the accumulated index was built under — maintenance
+    jobs read it instead of trusting their own defaults (r11 advice: a
+    corpus ingested under k=32/b=8 must not be compacted under the
+    constructor's k=16/b=4)."""
+    from ..plans.genstore import LAW_MARKER
+
+    try:
+        with open(os.path.join(path, LAW_MARKER)) as fh:
+            law = fh.read().strip()
+    except OSError:
+        return {}
+    out: dict[str, int] = {}
+    for part in law.split("|")[1:]:
+        key, _, val = part.partition("=")
+        if val.isdigit():
+            out[key] = int(val)
+    return out
+
+
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly free a localCheckpoint'ed frame's cached blocks.
+
+    ``Dataset.unpersist()`` is a CacheManager lookup, and an eager
+    localCheckpoint's blocks are RDD-level persisted — that call is a
+    no-op (measured: the persistent-RDD count doesn't move). The blocks
+    belong to the RDD wrapped by the plan's ``LogicalRDD`` node;
+    unpersisting THAT frees them at batch end instead of whenever the
+    ContextCleaner gets around to GC'ing the unreferenced RDD — the
+    difference between bounded and unbounded block-manager growth in a
+    long-lived driver loop (r11 advice). Best-effort by design: if the
+    plan-node shape ever shifts, ContextCleaner GC still collects the
+    blocks (correct, just lazy)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 class CurationIngest:
     """Micro-batch curation funnel with a persistent dedup memory."""
 
@@ -367,6 +411,9 @@ class CurationIngest:
         from pyspark.sql import Observation
 
         taps: list[tuple[str, Observation]] = []
+        # every eager localCheckpoint this batch takes, freed in the
+        # finally below (see _free_local_checkpoint)
+        ckpts: list[DataFrame] = []
 
         def _tap(df: DataFrame, stage: str) -> DataFrame:
             if not self.ingest_stats:
@@ -398,7 +445,14 @@ class CurationIngest:
             pii_redact(F.col("text")).alias("clean_text"),
         )
         scrubbed = _tap(_langid_enrich(base, "__text").drop("__text"), "in")
-        scored = scrubbed.join(quality_signals(docs), "doc_id")
+        # LEFT join so a doc that produces no quality row (e.g. token-less
+        # text) reaches the policy filter with a NULL quality_score and
+        # fails the >= gate THERE — the 'policy' tap's drop count is then
+        # exact instead of silently absorbing inner-join losses (r11
+        # advice). Catalyst's EliminateOuterJoin rewrites this back to an
+        # inner join under the null-rejecting predicate, so the physical
+        # plan is unchanged; only the attribution semantics are.
+        scored = scrubbed.join(quality_signals(docs), "doc_id", "left")
         cond = F.col("quality_score") >= self.min_quality
         if self.keep_langs is not None:
             cond = cond & F.col("predicted_lang").isin(list(self.keep_langs))
@@ -530,6 +584,7 @@ class CurationIngest:
             # the batch job, which the commit-marker replay discipline
             # already converges — never wrong results.
             fresh = fresh.localCheckpoint(eager=True)
+            ckpts.append(fresh)
         if self.text_near_dedup:
             # per-batch TEXT near-dedup against the stored MinHash band
             # index (r10): the text twin of the phash band store below.
@@ -604,6 +659,7 @@ class CurationIngest:
             # ways (hash pass, in-batch pairs, band probes) — flatten
             # the text stage's joins out of its base first
             fresh = fresh.localCheckpoint(eager=True)
+            ckpts.append(fresh)
         if media_bands_on:
             # per-batch perceptual NEAR-dedup against the stored phash
             # band index (r10): until now a perturbed copy of already-
@@ -704,6 +760,7 @@ class CurationIngest:
         # find, so every downstream append reads the same materialized
         # blocks regardless of write order.
         fresh = fresh.localCheckpoint(eager=True)
+        ckpts.append(fresh)
         try:
             (
                 fresh.withColumn("batch_id", F.lit(seg))
@@ -904,10 +961,10 @@ class CurationIngest:
             if batch_id is not None:
                 self._write_marker(seg)
         finally:
-            # checkpointed blocks are freed by the ContextCleaner once
-            # the RDD is unreferenced; unpersist() the backing plan too
-            # so a long-lived driver loop can't accumulate batch blocks
-            fresh.unpersist()
+            # free every checkpoint valve's blocks NOW — each batch took
+            # up to three (plan-size valves + the final materialization)
+            for df_ in ckpts:
+                _free_local_checkpoint(df_)
 
     # -- per-batch observability (r11) -------------------------------------
 
@@ -941,15 +998,187 @@ class CurationIngest:
     def ingest_log(self, spark: SparkSession) -> DataFrame:
         """The accumulated per-batch stats rows (one per committed
         batch; schema ``_INGEST_LOG_SCHEMA`` + ``batch_id``). Raises the
-        standard missing-table error before the first logged batch."""
-        return spark.read.parquet(self.ingest_log_path)
+        standard missing-table error before the first logged batch.
+        Includes any CRASHED attempt's row (stats written, marker not) —
+        ``ingest_report`` filters those out; this raw view keeps them
+        visible for debugging an abandoned run.
 
-    def ingest_report(self, spark: SparkSession) -> dict:
+        Physical parts, like every other store: the compacted
+        generation (``gen-*/log``, batch_id preserved as a data column)
+        plus the per-batch ``batch_id=`` segments not yet folded —
+        ``compact_ingest_log`` bounds the one-tiny-parquet-per-batch
+        growth the r11 verdict flagged."""
+        from ..plans.genstore import folded_set, gen_name
+
+        gen = gen_name(self.ingest_log_path)
+        live = [
+            e
+            for e in _seg_dirs(self.ingest_log_path)
+            if _seg_name(e) not in folded_set(self.ingest_log_path, gen)
+        ]
+        parts: list[DataFrame] = []
+        if gen is not None:
+            parts.append(
+                spark.read.parquet(
+                    os.path.join(self.ingest_log_path, gen, "log")
+                )
+            )
+        if live:
+            parts.append(
+                spark.read.option("basePath", self.ingest_log_path).parquet(
+                    *(os.path.join(self.ingest_log_path, e) for e in live)
+                )
+            )
+        if not parts:
+            # surface the standard missing/empty-table error
+            return spark.read.parquet(self.ingest_log_path)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p.select(*parts[0].columns))
+        return df
+
+    def compact_ingest_log(
+        self,
+        spark: SparkSession,
+        *,
+        max_age_sec: float | None = None,
+        assume_quiesced: bool = False,
+    ) -> dict:
+        """Fold committed per-batch stats segments into one compacted
+        generation — the observability store's retention job (r11
+        verdict: ingest_log grew one tiny parquet per batch forever).
+        Same fold loop as every other store (``plans/genstore.py``):
+        stage → transitive manifest → pointer swap → GC; uncommitted
+        segments (a possibly-in-flight batch) are left intact unless
+        ``assume_quiesced``. ``max_age_sec`` drops rows whose ``ts`` is
+        older than that horizon at fold time — lifetime totals in
+        ``ingest_report`` then cover the retained window only, which is
+        the point of a retention policy."""
+        import time
+
+        from ..plans.genstore import (
+            fold_generation,
+            folded_set,
+            gc_orphan_generations,
+            gen_name,
+        )
+
+        gen = gen_name(self.ingest_log_path)
+        gc_orphan_generations(self.ingest_log_path, gen)
+        prior_folded = folded_set(self.ingest_log_path, gen)
+        segs = [
+            e
+            for e in _seg_dirs(self.ingest_log_path)
+            if _seg_name(e) not in prior_folded
+        ]
+        foldable = [
+            e
+            for e in segs
+            if assume_quiesced
+            or _seg_name(e).startswith("adhoc-")
+            or self._is_committed(_seg_name(e))
+        ]
+        if not foldable and gen is None:
+            return {"folded_segments": 0, "generation": None}
+        parts: list[DataFrame] = []
+        if gen is not None:
+            parts.append(
+                spark.read.parquet(
+                    os.path.join(self.ingest_log_path, gen, "log")
+                )
+            )
+        if foldable:
+            parts.append(
+                spark.read.option("basePath", self.ingest_log_path).parquet(
+                    *(os.path.join(self.ingest_log_path, e) for e in foldable)
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p.select(*parts[0].columns))
+        dropped_aged = 0
+        if max_age_sec is not None:
+            cutoff = time.time() - float(max_age_sec)
+            dropped_aged = df.filter(F.col("ts") < cutoff).count()
+            df = df.filter(F.col("ts") >= cutoff)
+        out_df = df.coalesce(1)
+
+        def build(out: str) -> None:
+            out_df.write.mode("overwrite").parquet(os.path.join(out, "log"))
+
+        new_gen = fold_generation(
+            self.ingest_log_path,
+            build,
+            folded=prior_folded | {_seg_name(e) for e in foldable},
+            gc_paths=[os.path.join(self.ingest_log_path, e) for e in foldable]
+            + ([os.path.join(self.ingest_log_path, gen)] if gen else []),
+        )
+        return {
+            "folded_segments": len(foldable),
+            "generation": new_gen,
+            "skipped_uncommitted": len(segs) - len(foldable),
+            "dropped_aged_rows": int(dropped_aged),
+        }
+
+    def _committed_ingest_log(self, spark: SparkSession) -> DataFrame:
+        """Log rows whose batch actually committed: marker present, or
+        an ``adhoc-`` segment (adhoc calls are synchronous — the row
+        only exists because the whole funnel body completed). A crashed
+        streaming attempt whose stream never restarts leaves a stats
+        row with no marker; counting it would inflate lifetime totals
+        past the 'one row per committed batch' contract (r11 advice).
+        The isin list is the marker directory listing — batches-sized,
+        like the log itself."""
+        committed = (
+            sorted(os.listdir(self.commits_path))
+            if os.path.isdir(self.commits_path)
+            else []
+        )
+        return self.ingest_log(spark).filter(
+            F.col("batch_id").startswith("adhoc-")
+            | F.col("batch_id").isin(committed)
+        )
+
+    def live_segment_counts(self) -> dict[str, int]:
+        """Unfolded segment count per store — directory listings only,
+        no Spark job. The number maintenance is supposed to keep small:
+        a store whose count grows without bound means its compaction
+        lapsed (every probe re-lists and re-scans one small dir per
+        batch forever)."""
+        from ..plans.genstore import live_segments
+
+        counts = {
+            "fingerprints": len(_seg_dirs(self.fps_path)),
+            "curated": len(self._live_curated_entries()),
+            "text_bands": len(_seg_dirs(self.text_bands_path)),
+            "phash_bands": len(_seg_dirs(self.phash_bands_path)),
+            "host_edges": len(_seg_dirs(self.host_edges_path)),
+            "text_index": len(live_segments(self.index_path)),
+            "vector_index": len(live_segments(self.vector_index_path)),
+        }
+        from ..plans.genstore import folded_set, gen_name
+
+        gen = gen_name(self.ingest_log_path)
+        counts["ingest_log"] = len(
+            [
+                e
+                for e in _seg_dirs(self.ingest_log_path)
+                if _seg_name(e) not in folded_set(self.ingest_log_path, gen)
+            ]
+        )
+        return counts
+
+    def ingest_report(
+        self, spark: SparkSession, *, max_live_segments: int = 64
+    ) -> dict:
         """The streaming twin of ``corpus_report``: totals across the
         ingest's life (rows in, per-gate drops, admitted) plus the
         latest batch's row — the numbers an operator alarms on. One
-        bounded aggregate over the (batches-sized) log table."""
-        log = self.ingest_log(spark)
+        bounded aggregate over the (batches-sized) log table, restricted
+        to COMMITTED batches. ``segment_alarms`` names any store whose
+        live-segment count exceeds ``max_live_segments`` — the signal
+        that its compaction job has lapsed (r11 verdict item 5)."""
+        log = self._committed_ingest_log(spark)
         drop_cols = [f"dropped_{g}" for g in _INGEST_GATES]
         agg = log.agg(
             F.count("*").alias("n_batches"),
@@ -957,13 +1186,25 @@ class CurationIngest:
             F.sum("admitted").alias("admitted"),
             *[F.sum(c).alias(c) for c in drop_cols],
         ).collect()[0]
-        latest = log.orderBy(F.desc("ts")).limit(1).collect()[0]
+        latest_rows = log.orderBy(F.desc("ts")).limit(1).collect()
+        seg_counts = self.live_segment_counts()
+        # a retention fold may have aged out every row: totals are zero
+        # for the retained window and there is no latest batch to show
+        latest = latest_rows[0] if latest_rows else None
         return {
             "n_batches": int(agg["n_batches"]),
-            "rows_in": int(agg["rows_in"]),
-            "admitted": int(agg["admitted"]),
-            "dropped": {g: int(agg[f"dropped_{g}"]) for g in _INGEST_GATES},
-            "latest_batch": {
+            "rows_in": int(agg["rows_in"] or 0),
+            "admitted": int(agg["admitted"] or 0),
+            "dropped": {
+                g: int(agg[f"dropped_{g}"] or 0) for g in _INGEST_GATES
+            },
+            "live_segments": seg_counts,
+            "segment_alarms": sorted(
+                n for n, c in seg_counts.items() if c > int(max_live_segments)
+            ),
+            "latest_batch": None
+            if latest is None
+            else {
                 "batch_id": latest["batch_id"],
                 "rows_in": int(latest["rows_in"]),
                 "admitted": int(latest["admitted"]),
@@ -1005,7 +1246,15 @@ class CurationIngest:
             mf = os.path.join(self.curated_path, e, _FOLDED_MANIFEST)
             if os.path.exists(mf):
                 with open(mf) as fh:
-                    folded.update(json.load(fh))
+                    content = fh.read()
+                if content.lstrip().startswith("["):
+                    # pre-r12 compactions wrote JSON arrays; the shared
+                    # genstore manifest is one name per line
+                    folded.update(json.loads(content))
+                else:
+                    folded.update(
+                        ln.strip() for ln in content.splitlines() if ln.strip()
+                    )
         return [e for e in entries if _seg_name(e) not in folded], folded
 
     def _live_curated_entries(self) -> list[str]:
@@ -1178,11 +1427,11 @@ class CurationIngest:
         digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()
         new_table = f"{prefix}_{digest[:10]}_g{uuid.uuid4().hex[:8]}"
         write_bucketed(df, new_table, key=key, buckets=buckets)
-        ptr = os.path.join(path, _STORE_POINTER)
-        tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(new_table)
-        os.replace(tmp, ptr)
+        from ..plans.genstore import swap_pointer
+
+        # same atomic commit as the generational stores, different
+        # pointer file: _STORE names a catalog table, not a gen dir
+        swap_pointer(path, new_table, marker=_STORE_POINTER)
         for e in foldable:
             shutil.rmtree(os.path.join(path, e), ignore_errors=True)
         if old_table is not None and old_table != new_table:
@@ -1356,27 +1605,30 @@ class CurationIngest:
         if target_files is not None:
             survivors = survivors.coalesce(int(target_files))
         seg = f"nearcompact-{uuid.uuid4().hex[:12]}"
-        staging = os.path.join(
-            self.curated_path, f".nearcompact-staging.{uuid.uuid4().hex[:8]}"
+        n_dropped: dict[str, int] = {}
+
+        def build(out: str) -> None:
+            # the write MATERIALIZES the survivors before any folded
+            # segment is touched — the lineage reads the very
+            # directories the post-commit GC deletes
+            survivors.write.mode("overwrite").parquet(out)
+            n_dropped["n"] = dropped.count()
+
+        from ..plans.genstore import fold_into_segment
+
+        fold_into_segment(
+            self.curated_path,
+            f"batch_id={seg}",
+            build,
+            # transitive: include everything the folded segments had
+            # folded, so deleting THEIR manifests can't resurrect an
+            # orphaned dir
+            folded=prior_folded | {_seg_name(e) for e in foldable},
+            gc_paths=[os.path.join(self.curated_path, e) for e in foldable],
         )
-        out = os.path.join(staging, f"batch_id={seg}")
-        # the write MATERIALIZES the survivors before any folded segment
-        # is touched — the lineage reads the very directories GC deletes
-        survivors.write.mode("overwrite").parquet(out)
-        n_dropped = dropped.count()
-        # transitive: include everything the folded segments had folded,
-        # so deleting THEIR manifests can't resurrect an orphaned dir
-        all_folded = prior_folded | {_seg_name(e) for e in foldable}
-        with open(os.path.join(out, _FOLDED_MANIFEST), "w") as fh:
-            json.dump(sorted(all_folded), fh)
-        os.rename(out, os.path.join(self.curated_path, f"batch_id={seg}"))
-        shutil.rmtree(staging, ignore_errors=True)
-        # GC: readers already exclude the folded dirs via the manifest
-        for e in foldable:
-            shutil.rmtree(os.path.join(self.curated_path, e), ignore_errors=True)
         return {
             "folded_segments": len(foldable),
-            "dropped_docs": n_dropped,
+            "dropped_docs": n_dropped["n"],
             "segment": seg,
         }
 
@@ -1466,16 +1718,15 @@ class CurationIngest:
         the graph (a vetted-list/corpus mismatch worth failing loudly).
         """
         from ..operators.graph import pagerank_multi
-        from ..plans.genstore import gen_name as _gen_name, swap_pointer as _swap_pointer
+        from ..plans.genstore import (
+            fold_generation,
+            gc_orphan_generations,
+            gen_name as _gen_name,
+        )
 
         old_gen = _gen_name(self.host_ranks_path)
         # GC generations orphaned by a crashed previous run
-        if os.path.isdir(self.host_ranks_path):
-            for e in os.listdir(self.host_ranks_path):
-                if e.startswith("gen-") and e != old_gen:
-                    shutil.rmtree(
-                        os.path.join(self.host_ranks_path, e), ignore_errors=True
-                    )
+        gc_orphan_generations(self.host_ranks_path, old_gen)
         segs = _seg_dirs(self.host_edges_path)
         parts = []
         if old_gen is not None:
@@ -1525,22 +1776,32 @@ class CurationIngest:
         ranks = pagerank_multi(
             edges, teleports=teleports, iterations=self.host_rank_iterations
         ).withColumnRenamed("node", "host")
-        new_gen = f"gen-{uuid.uuid4().hex[:8]}"
-        out = os.path.join(self.host_ranks_path, new_gen)
-        edges.write.mode("overwrite").parquet(os.path.join(out, "edges"))
-        ranks.write.mode("overwrite").parquet(os.path.join(out, "ranks"))
-        n_hosts = spark.read.parquet(os.path.join(out, "ranks")).count()
-        n_edges = edges.count()
+        counts: dict[str, int] = {}
+
+        def build(out: str) -> None:
+            edges.write.mode("overwrite").parquet(os.path.join(out, "edges"))
+            ranks.write.mode("overwrite").parquet(os.path.join(out, "ranks"))
+            counts["hosts"] = spark.read.parquet(
+                os.path.join(out, "ranks")
+            ).count()
+            counts["edges"] = edges.count()
+
+        # manifest=False: the fold inputs live in the SEPARATE edge-
+        # segment directory and dedupe by value (the edge store is a
+        # SET), so a lagging GC re-read is harmless without one
+        new_gen = fold_generation(
+            self.host_ranks_path,
+            build,
+            manifest=False,
+            gc_paths=[os.path.join(self.host_edges_path, e) for e in segs]
+            + (
+                [os.path.join(self.host_ranks_path, old_gen)]
+                if old_gen is not None
+                else []
+            ),
+        )
         edges.unpersist()
-        _swap_pointer(self.host_ranks_path, new_gen)
-        for e in segs:
-            shutil.rmtree(
-                os.path.join(self.host_edges_path, e), ignore_errors=True
-            )
-        if old_gen is not None:
-            shutil.rmtree(
-                os.path.join(self.host_ranks_path, old_gen), ignore_errors=True
-            )
+        n_hosts, n_edges = counts["hosts"], counts["edges"]
         return {
             "edges": int(n_edges),
             "hosts": int(n_hosts),

@@ -64,3 +64,139 @@ def test_enforce_law_records_then_guards(tmp_path):
     with open(os.path.join(path, G.LAW_MARKER)) as fh:
         assert fh.read() == "minhash|k=16|bands=4|w=3"
     assert [e for e in os.listdir(path) if ".tmp." in e] == []
+
+
+def test_enforce_law_bootstrap_race_single_winner(tmp_path, monkeypatch):
+    """Two concurrent first-users with DIFFERENT laws: exactly one law
+    wins the bootstrap. Simulated by making the loser's initial marker
+    read miss (as it would under a true race) while the winner's marker
+    already exists — the exclusive os.link must then surface the
+    winner's law and raise, where the old check-then-replace silently
+    overwrote it."""
+    import builtins
+
+    path = str(tmp_path / "store")
+    G.enforce_law(path, "minhash|k=32|bands=8|w=5")  # the winner
+
+    mpath = os.path.join(path, G.LAW_MARKER)
+    real_open = builtins.open
+    state = {"missed": False}
+
+    def racing_open(file, *a, **k):
+        # the loser's first read finds no marker (race window), every
+        # later open (including the re-read after the failed link) is real
+        if not state["missed"] and file == mpath and not a and not k:
+            state["missed"] = True
+            raise OSError("simulated race: marker not yet visible")
+        return real_open(file, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", racing_open)
+    with pytest.raises(RuntimeError, match="minhash\\|k=32"):
+        G.enforce_law(path, "minhash|k=16|bands=4|w=3")
+    monkeypatch.undo()
+    # the winner's law survived untouched, and no tmp litter remains
+    with open(mpath) as fh:
+        assert fh.read().strip() == "minhash|k=32|bands=8|w=5"
+    assert [e for e in os.listdir(path) if ".tmp." in e] == []
+
+
+def test_enforce_law_same_law_race_is_benign(tmp_path, monkeypatch):
+    """Same race, same law on both sides: the loser re-reads the
+    winner's identical marker and passes."""
+    import builtins
+
+    path = str(tmp_path / "store")
+    law = "phash|bands=4"
+    G.enforce_law(path, law)
+    mpath = os.path.join(path, G.LAW_MARKER)
+    real_open = builtins.open
+    state = {"missed": False}
+
+    def racing_open(file, *a, **k):
+        if not state["missed"] and file == mpath and not a and not k:
+            state["missed"] = True
+            raise OSError("simulated race")
+        return real_open(file, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", racing_open)
+    G.enforce_law(path, law)  # must not raise
+
+
+def test_fold_generation_stage_manifest_swap_gc(tmp_path):
+    path = str(tmp_path)
+    os.makedirs(os.path.join(path, "segments/seg-a"))
+    os.makedirs(os.path.join(path, "segments/seg-b"))
+    G.swap_pointer(path, "gen-old")
+    os.makedirs(os.path.join(path, "gen-old"))
+    # an orphan from a crashed prior fold
+    os.makedirs(os.path.join(path, "gen-orphan"))
+    G.gc_orphan_generations(path, "gen-old")
+    assert not os.path.isdir(os.path.join(path, "gen-orphan"))
+
+    built = {}
+
+    def build(out):
+        os.makedirs(out)
+        with open(os.path.join(out, "data"), "w") as fh:
+            fh.write("x")
+        built["dir"] = out
+        # the stage happens BEFORE the commit: old gen still pointed
+        assert G.gen_name(path) == "gen-old"
+
+    new_gen = G.fold_generation(
+        path,
+        build,
+        folded={"seg-a", "seg-b"},
+        gc_paths=[
+            os.path.join(path, "segments/seg-a"),
+            os.path.join(path, "segments/seg-b"),
+            os.path.join(path, "gen-old"),
+        ],
+    )
+    assert G.gen_name(path) == new_gen
+    assert G.folded_set(path, new_gen) == {"seg-a", "seg-b"}
+    assert not os.path.isdir(os.path.join(path, "segments/seg-a"))
+    assert not os.path.isdir(os.path.join(path, "gen-old"))
+    assert G.live_segments(path) == []
+
+
+def test_fold_generation_no_manifest_mode(tmp_path):
+    path = str(tmp_path)
+    gen = G.fold_generation(
+        path, lambda out: os.makedirs(out), manifest=False
+    )
+    assert G.gen_name(path) == gen
+    assert not os.path.exists(os.path.join(path, gen, G.FOLDED_MANIFEST))
+
+
+def test_fold_into_segment_atomic_rename_and_gc(tmp_path):
+    path = str(tmp_path)
+    os.makedirs(os.path.join(path, "batch_id=b0"))
+
+    def build(out):
+        os.makedirs(out)
+        with open(os.path.join(out, "part"), "w") as fh:
+            fh.write("rows")
+
+    G.fold_into_segment(
+        path,
+        "batch_id=nearcompact-x",
+        build,
+        folded={"b0"},
+        gc_paths=[os.path.join(path, "batch_id=b0")],
+    )
+    seg = os.path.join(path, "batch_id=nearcompact-x")
+    assert os.path.exists(os.path.join(seg, "part"))
+    with open(os.path.join(seg, G.FOLDED_MANIFEST)) as fh:
+        assert fh.read().splitlines() == ["b0"]
+    assert not os.path.isdir(os.path.join(path, "batch_id=b0"))
+    # staging fully cleaned
+    assert [e for e in os.listdir(path) if e.startswith(".fold-staging")] == []
+
+
+def test_swap_pointer_custom_marker(tmp_path):
+    path = str(tmp_path)
+    G.swap_pointer(path, "some_table_g1", marker="_STORE")
+    with open(os.path.join(path, "_STORE")) as fh:
+        assert fh.read() == "some_table_g1"
+    assert G.gen_name(path) is None  # _GEN untouched

@@ -1300,3 +1300,148 @@ def test_band_store_append_does_not_recache_away_fingerprints(spark, tmp_path):
     assert kept == {0, 10}
     log = {r["batch_id"]: r for r in ing.ingest_log(spark).collect()}
     assert log["br1-2"]["dropped_store_dup"] == 1
+
+
+def test_ingest_report_excludes_uncommitted_crashed_attempt(spark, tmp_path):
+    """A permanently-abandoned crashed attempt (stats row written,
+    marker never written, stream never restarted) must not inflate
+    ingest_report's lifetime totals — the report counts COMMITTED
+    batches only; the raw ingest_log keeps the orphan visible for
+    debugging. Adhoc (synchronous) rows stay counted: they have no
+    marker by design."""
+    import os
+
+    ing = CurationIngest(str(tmp_path), run_id="r1")
+    ing.process_batch(_docs(spark, [(0, _NEAR_A)]), batch_id=0)
+    ing.process_batch(_docs(spark, [(1, _OTHER)]), batch_id=1)
+    os.remove(ing._marker("br1-1"))  # crash: marker never made it
+    rep = ing.ingest_report(spark)
+    assert rep["n_batches"] == 1
+    assert rep["rows_in"] == 1 and rep["admitted"] == 1
+    assert rep["latest_batch"]["batch_id"] == "br1-0"
+    assert ing.ingest_log(spark).count() == 2  # raw view keeps the orphan
+    # an adhoc call is synchronous — its row exists only because the
+    # funnel completed, so it counts without a marker
+    ing.process_batch(_docs(spark, [(2, _NEAR_A2)]), batch_id=None)
+    rep2 = ing.ingest_report(spark)
+    assert rep2["n_batches"] == 2
+    assert rep2["rows_in"] == 2
+
+
+def test_batch_checkpoint_blocks_freed_at_batch_end(spark, tmp_path):
+    """Every eager localCheckpoint the funnel takes (plan-size valves +
+    the final materialization) is freed when the batch ends.
+    Dataset.unpersist() is a CacheManager no-op for RDD-persisted
+    checkpoint blocks (the r11 finally block relied on it), so a
+    long-lived driver loop accumulated blocks until the ContextCleaner
+    happened to GC them — the fix unpersists the backing RDD through
+    the LogicalRDD plan node."""
+
+    def n_persistent():
+        return spark._jsc.sc().getPersistentRDDs().size()
+
+    ing = CurationIngest(str(tmp_path), run_id="r1", text_near_dedup=True)
+    before = n_persistent()
+    ing.process_batch(_docs(spark, [(0, _NEAR_A), (1, _OTHER)]), batch_id=0)
+    ing.process_batch(_docs(spark, [(2, _NEAR_A2), (3, _OTHER)]), batch_id=1)
+    assert n_persistent() == before
+
+
+def test_curate_maintain_adopts_stored_band_law(spark, tmp_path, capsys):
+    """curate-maintain reads each band store's _BAND_LAW marker and
+    configures itself to match, so a corpus ingested under k=32/b=8 is
+    compacted under THAT law instead of the constructor defaults
+    (r11 advice: recall silently differed from the configured S-curve)."""
+    from adsb_clickhouse_spark.__main__ import main
+    from adsb_clickhouse_spark.streaming.curation import stored_band_law_params
+
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1", text_near_dedup=True,
+        text_minhash_k=32, text_bands=8, text_shingle_w=5,
+    )
+    ing.process_batch(_docs(spark, [(0, _NEAR_A), (1, _OTHER)]), batch_id=0)
+    law = stored_band_law_params(str(tmp_path / "text_bands"))
+    assert law == {"k": 32, "bands": 8, "w": 5}
+    # no marker yet -> {}
+    assert stored_band_law_params(str(tmp_path / "phash_bands")) == {}
+    assert main(["curate-maintain", str(tmp_path), "--near-dedup"]) == 0
+    out = capsys.readouterr().out
+    assert "text band law (from store marker): {'k': 32, 'bands': 8, 'w': 5}" in out
+
+
+def test_curated_fold_state_reads_legacy_json_manifest(spark, tmp_path):
+    """Pre-r12 near-dedup compactions wrote their _FOLDED manifests as
+    JSON arrays; the shared genstore manifest is line-based. A store
+    carrying the legacy format must resolve identically."""
+    import json
+    import os
+
+    ing = CurationIngest(str(tmp_path), run_id="r1", text_near_dedup=False)
+    ing.process_batch(_docs(spark, [(0, _NEAR_A)]), batch_id=0)
+    ing.process_batch(_docs(spark, [(1, _NEAR_A2)]), batch_id=1)
+    res = ing.compact_curated(spark, threshold=0.5)
+    assert res["folded_segments"] == 2 and res["dropped_docs"] == 1
+    live, folded = ing._curated_fold_state()
+    assert folded == {"br1-0", "br1-1"}
+    # rewrite the manifest in the legacy JSON format: same resolution
+    seg_dir = os.path.join(ing.curated_path, f"batch_id={res['segment']}")
+    from adsb_clickhouse_spark.plans.genstore import FOLDED_MANIFEST
+
+    with open(os.path.join(seg_dir, FOLDED_MANIFEST), "w") as fh:
+        json.dump(sorted(folded), fh)
+    live2, folded2 = ing._curated_fold_state()
+    assert (live2, folded2) == (live, folded)
+    assert {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()} == {0}
+
+
+def test_ingest_log_compaction_and_segment_alarms(spark, tmp_path):
+    """compact_ingest_log folds committed per-batch stats segments into
+    one generation (batch_id preserved as a data column), leaves
+    uncommitted segments intact, applies the age horizon, and a replayed
+    ingest afterwards keeps appending live segments the reader unions
+    in. ingest_report names stores whose live-segment count exceeds the
+    alarm threshold."""
+    import os
+
+    ing = CurationIngest(str(tmp_path), run_id="r1")
+    ing.process_batch(_docs(spark, [(0, _NEAR_A)]), batch_id=0)
+    ing.process_batch(_docs(spark, [(1, _OTHER)]), batch_id=1)
+    ing.process_batch(_docs(spark, [(2, _NEAR_A2)]), batch_id=2)
+    os.remove(ing._marker("br1-2"))  # an in-flight/crashed batch
+    res = ing.compact_ingest_log(spark)
+    assert res["folded_segments"] == 2
+    assert res["skipped_uncommitted"] == 1
+    # reader: compacted gen + the unfolded segment = all 3 rows,
+    # batch ids intact
+    log = {r["batch_id"]: r for r in ing.ingest_log(spark).collect()}
+    assert set(log) == {"br1-0", "br1-1", "br1-2"}
+    assert log["br1-0"]["rows_in"] == 1
+    # report still excludes the uncommitted row
+    assert ing.ingest_report(spark)["n_batches"] == 2
+    # directory growth is bounded: only the uncommitted segment remains
+    assert ing.live_segment_counts()["ingest_log"] == 1
+    # later batches append live segments the union picks up
+    ing.process_batch(_docs(spark, [(3, _OTHER + " more words here")]), batch_id=3)
+    assert ing.ingest_log(spark).count() == 4
+    # second fold folds the rest (now committed); age horizon drops all
+    res2 = ing.compact_ingest_log(spark, max_age_sec=0.0, assume_quiesced=True)
+    assert res2["folded_segments"] == 2
+    assert res2["dropped_aged_rows"] >= 2
+    assert ing.live_segment_counts()["ingest_log"] == 0
+    # alarm fires when a store's live segments exceed the threshold
+    rep = ing.ingest_report(spark, max_live_segments=0)
+    assert "fingerprints" in rep["segment_alarms"]
+    assert rep["live_segments"]["fingerprints"] == 4
+    assert ing.ingest_report(spark)["segment_alarms"] == []
+
+
+def test_curate_maintain_cli_folds_ingest_log(spark, tmp_path, capsys):
+    from adsb_clickhouse_spark.__main__ import main
+
+    ing = CurationIngest(str(tmp_path), run_id="r1")
+    ing.process_batch(_docs(spark, [(0, _NEAR_A)]), batch_id=0)
+    ing.process_batch(_docs(spark, [(1, _OTHER)]), batch_id=1)
+    assert main(["curate-maintain", str(tmp_path), "--fold-ingest-log"]) == 0
+    out = capsys.readouterr().out
+    assert "'folded_segments': 2" in out.split("ingest_log:")[1]
+    assert ing.ingest_log(spark).count() == 2
