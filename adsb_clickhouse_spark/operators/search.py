@@ -254,7 +254,12 @@ def init_text_index(
     gen = _gen_name(path)
     if gen is not None:
         s = spark.read.parquet(os.path.join(path, gen, "stats")).collect()[0]
-        return {"generation": gen, "n_buckets": int(s["n_buckets"]), "existed": True}
+        return {
+            "generation": gen,
+            "n_buckets": int(s["n_buckets"]),
+            "positional": bool(s["positional"]),
+            "existed": True,
+        }
     B = int(n_buckets)
 
     def build(out: str) -> None:
@@ -270,7 +275,12 @@ def init_text_index(
         )
 
     new_gen = _fold_generation(path, build, folded=set())
-    return {"generation": new_gen, "n_buckets": B, "existed": False}
+    return {
+        "generation": new_gen,
+        "n_buckets": B,
+        "positional": bool(with_positions),
+        "existed": False,
+    }
 
 
 def write_text_index(
@@ -330,6 +340,8 @@ def append_text_index(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    law: tuple[int, bool] | None = None,
+    return_stats: bool = True,
 ) -> dict:
     """Add a batch of NEW documents to an initialized index as segment
     ``segments/<segment>`` (postings + its own stats part). Segment
@@ -339,7 +351,15 @@ def append_text_index(
     that appended doc_ids are new to the index (re-ingesting a doc
     would double its postings, shifting tf/df — exactly-once belongs
     to the ingest's batch markers). Bucket count comes from the
-    current generation so every part prunes identically."""
+    current generation so every part prunes identically.
+
+    ``law`` = (n_buckets, positional) lets a long-lived caller skip the
+    per-append generation-stats read — both values are immutable for
+    the store's life (init fixes them; compaction preserves them), so a
+    streaming ingest reads them once and passes them forever (r12 floor
+    cut: two small collect jobs per batch were pure fixed cost).
+    ``return_stats=False`` likewise skips the segment stats read-back
+    when the caller ignores the counts."""
     gen = _gen_name(path)
     if gen is None:
         raise RuntimeError(
@@ -347,15 +367,18 @@ def append_text_index(
             "the layout before appends"
         )
     spark = docs.sparkSession
-    s = spark.read.parquet(os.path.join(path, gen, "stats")).collect()[0]
-    B = int(s["n_buckets"])
-    # a segment's schema must match its generation's (positional or not)
-    positional = bool(s["positional"])
+    if law is None:
+        s = spark.read.parquet(os.path.join(path, gen, "stats")).collect()[0]
+        # a segment's schema must match its generation's (positional or not)
+        law = (int(s["n_buckets"]), bool(s["positional"]))
+    B, positional = int(law[0]), bool(law[1])
     tfs = doc_term_freqs(
         docs, text_col=text_col, id_col=id_col, with_positions=positional
     ).withColumn("bucket", md5_long(F.col("term")) % B)
     out = os.path.join(path, "segments", segment)
     _write_index_part(tfs, out, B, positional)
+    if not return_stats:
+        return {"segment": segment, "n_buckets": B}
     s = spark.read.parquet(f"{out}/stats").collect()[0]
     return {"segment": segment, "n_docs": s["n_docs"], "n_buckets": B}
 

@@ -1,0 +1,126 @@
+"""Attribute (and then cut) the per-batch FLOOR of the all-stores
+streaming curation ingest (r11 verdict item 2).
+
+The all-stores soak proved per-batch latency is FLAT as the stores grow
+— this probe explains what the flat floor is MADE OF. It runs the
+all-stores configuration (text+media band dedup, text index, vector
+index via the hashed embedder, host edges, observability) at two batch
+sizes and prints the per-stage wall decomposition that
+``CurationIngest.last_stage_wall`` records around every Spark action in
+the batch:
+
+- stages whose wall is ~equal at 5k and 50k docs are FIXED floor
+  (job scheduling, parquet commit, store metadata reads);
+- stages that scale with the batch are honest work.
+
+Usage: python tools/bench_ingest_floor.py [small] [big] [k]
+Defaults: 5_000 / 50_000 docs, k=3 batches per size (median reported).
+Prints one JSON line; headline rows live in README's measured scale
+behavior table.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def _batches(spark, lo: int, n: int):
+    """Unique pairwise-random docs with payload + host columns — the
+    all-stores input shape (a shared text template would band-match
+    everything; see the soak fixture's note)."""
+    from pyspark.sql import functions as F
+
+    words = F.concat_ws(
+        " ",
+        *[
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f"|w{j}")))
+            for j in range(14)
+        ],
+    )
+    return spark.range(lo, lo + n).select(
+        F.col("id").alias("doc_id"),
+        words.alias("text"),
+        F.md5(F.col("id").cast("string")).cast("binary").alias("payload"),
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string")).alias("host"),
+        F.array(
+            F.concat(F.lit("h"), ((F.col("id") + 1) % 7).cast("string"))
+        ).alias("out_links"),
+    )
+
+
+def _run_size(spark, n: int, k: int) -> dict:
+    from adsb_clickhouse_spark.streaming.curation import CurationIngest
+
+    base = tempfile.mkdtemp(prefix=f"floor_{n}_")
+    try:
+        ing = CurationIngest(
+            base,
+            run_id="floor",
+            media_dedup=True,
+            media_near_dedup=True,
+            text_near_dedup=True,
+            text_index=True,
+            vector_index=True,
+            embed_dim=16,
+            vector_n_lists=4,
+            host_col="host",
+            host_links_col="out_links",
+        )
+        total: list[float] = []
+        stage_runs: dict[str, list[float]] = {}
+        for b in range(k + 1):  # +1 untimed warmup batch (plan JIT)
+            t0 = time.perf_counter()
+            ing.process_batch(_batches(spark, b * n, n), batch_id=b)
+            wall = time.perf_counter() - t0
+            if b == 0:
+                continue
+            total.append(round(wall, 2))
+            for s, v in ing.last_stage_wall.items():
+                stage_runs.setdefault(s, []).append(v)
+        return {
+            "batch_docs": n,
+            "total_sec": total,
+            "total_median": round(statistics.median(total), 2),
+            "stages": {
+                s: round(statistics.median(v), 2)
+                for s, v in sorted(stage_runs.items())
+            },
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def main() -> int:
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000
+    big = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    from adsb_clickhouse_spark.session import get_spark
+
+    spark = get_spark("ingest-floor")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"runs": [_run_size(spark, small, k), _run_size(spark, big, k)]}
+    # fixed-floor estimate per stage: the wall that did NOT move with a
+    # 10x batch (min of the two medians is the floor upper bound)
+    s_small = out["runs"][0]["stages"]
+    s_big = out["runs"][1]["stages"]
+    out["fixed_floor_est"] = {
+        s: min(s_small[s], s_big.get(s, s_small[s]))
+        for s in s_small
+    }
+    out["fixed_floor_total_est"] = round(
+        sum(out["fixed_floor_est"].values()), 2
+    )
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
