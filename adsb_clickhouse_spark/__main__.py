@@ -279,6 +279,95 @@ def cmd_mm_demo(args) -> int:
     return 0 if out["probe_hit_doc4_exact"] else 1
 
 
+def cmd_text_demo(args) -> int:
+    """The flagship TEXT-ONLY pipeline, end to end in ONE invocation —
+    the text twin of mm-demo, requiring NO external embedding model:
+    synthetic text corpus (with planted exact copies AND one-token-
+    changed near-copies) → streaming curation ingest (exact fingerprint
+    dedup + MinHash band near-dedup + stored IVF vector index fed by the
+    deterministic hashed-projection embedder) → index compaction
+    (quantizer re-learned from the curated corpus) → a kNN probe of the
+    STORED index with a fresh paraphrase of a planted document. Every
+    stage is the oracle/pytest-gated operator; the demo only composes
+    them. Exit code certifies the probe's top hit is the planted
+    original."""
+    import hashlib
+    import json
+    import time
+
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import hashed_text_embeddings
+    from .session import get_spark
+    from .streaming.curation import CurationIngest
+
+    spark = get_spark("text-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = args.data_dir or tempfile.mkdtemp(prefix="text_demo_")
+    n = args.n
+    dim = 32
+    t0 = time.time()
+
+    def words(seed: str, k: int = 14) -> list:
+        return [
+            "w" + hashlib.md5(f"{seed}|{p}".encode()).hexdigest()[:6]
+            for p in range(k)
+        ]
+
+    rows = []
+    for i in range(n):
+        if i % 10 == 1:  # byte-exact COPY of the neighbor's text
+            rows.append((i, " ".join(words(f"d{i - 1}"))))
+        elif i % 10 == 6:  # one-token-changed NEAR-copy of the neighbor
+            w = words(f"d{i - 1}")
+            w[7] = "changed"
+            rows.append((i, " ".join(w)))
+        else:
+            rows.append((i, " ".join(words(f"d{i}"))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ing = CurationIngest(
+        base,
+        run_id="demo",
+        text_near_dedup=True,
+        text_dedup_threshold=0.5,
+        vector_index=True,
+        embed_dim=dim,
+        vector_n_lists=8,
+    )
+    half = n // 2
+    ing.process_batch(docs.filter(F.col("doc_id") < half), batch_id=0)
+    ing.process_batch(docs.filter(F.col("doc_id") >= half), batch_id=1)
+    n_curated = ing.curated(spark).count()
+    comp = ing.compact_vector_index(spark)
+    # probe the STORED index with a fresh PARAPHRASE of doc 4's text
+    # (two tokens substituted), embedded by the same deterministic law —
+    # its nearest curated neighbor must be doc 4
+    pw = words("d4")
+    pw[2], pw[11] = "fresh", "probe"
+    qdf = hashed_text_embeddings(
+        spark.createDataFrame([(9_999_999, " ".join(pw))], "doc_id long, text string"),
+        dim=dim,
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    hits = ing.knn(spark, qdf, k=3, nprobe=8).collect()
+    rep = ing.ingest_report(spark)
+    out = {
+        "n_docs": n,
+        "curated": n_curated,
+        "dropped_exact": rep["dropped"]["exact_text"] + rep["dropped"]["store_dup"],
+        "dropped_near": rep["dropped"]["text_near_batch"]
+        + rep["dropped"]["text_near_store"],
+        "index_folded_segments": comp["folded_segments"],
+        "probe_top3": [
+            {"doc_id": r["neighbor_id"], "cos_sim": r["cos_sim"]} for r in hits
+        ],
+        "probe_hit_doc4": bool(hits and hits[0]["neighbor_id"] == 4),
+        "wall_sec": round(time.time() - t0, 1),
+        "base_dir": base,
+    }
+    print(json.dumps(out))
+    return 0 if out["probe_hit_doc4"] else 1
+
+
 def cmd_search(args) -> int:
     from .operators.search import (
         bm25_probe_stored,
@@ -395,6 +484,15 @@ def main(argv: list[str] | None = None) -> int:
     p_mm.add_argument("--n", type=int, default=2000)
     p_mm.add_argument("--data-dir", default=None)
     p_mm.set_defaults(fn=cmd_mm_demo)
+    p_td = sub.add_parser(
+        "text-demo",
+        help="end-to-end text-only demo: corpus -> hashed embedder -> "
+        "curation ingest (exact + band near-dedup + stored vector index) "
+        "-> compaction -> kNN probe of a planted paraphrase",
+    )
+    p_td.add_argument("--n", type=int, default=2000)
+    p_td.add_argument("--data-dir", default=None)
+    p_td.set_defaults(fn=cmd_text_demo)
     p_q = sub.add_parser(
         "search", help="probe a stored BM25/phrase inverted index"
     )

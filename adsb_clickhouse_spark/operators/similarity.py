@@ -1344,6 +1344,7 @@ def hashed_text_embeddings(
     dim: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram: int | tuple[int, int] = 1,
 ) -> DataFrame:
     """(id_col, embedding): a DETERMINISTIC text->vector embedder —
     feature-hashed unigrams with hashed random signs (the hashing trick,
@@ -1370,13 +1371,49 @@ def hashed_text_embeddings(
     content to be semantically near anything; exact dedup owns them.
     A doc whose signs cancel to the exact zero vector is emitted (the
     caller's zero-norm filter owns that, matching the embeddings-table
-    convention)."""
+    convention).
+
+    ``ngram=(1, 2)`` hashes space-joined token BIGRAMS alongside the
+    unigrams — the same explode + one-doc-keyed-shuffle shape with ~2×
+    the gram rows. Bigrams make the vector word-ORDER sensitive: a
+    bag-identical permutation of a text (cosine exactly 1 under
+    unigrams, indistinguishable at any threshold) separates from a true
+    word-substitution paraphrase that preserves local order — the
+    discrimination SemDeDup and cluster-balanced mixing need on
+    template-heavy corpora (recall A/B in tests/test_dataops.py and
+    README). The oracled 'hembed' branch stays on the frozen unigram
+    law; the bigram rows use the posexplode/element_at idiom rather
+    than a transform-built array (quality_signals measured the lambda
+    form ~4× slower — interpreted per element)."""
     from ..functions.texttools import md5_long, tokens
 
+    lo, hi = (ngram, ngram) if isinstance(ngram, int) else ngram
+    if (lo, hi) not in ((1, 1), (1, 2)):
+        raise ValueError(f"ngram must be 1 or (1, 2), got {ngram!r}")
     tok = docs.select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(F.col(text_col))).alias("g"),
     )
+    if hi >= 2:
+        tk = tokens(F.col(text_col))
+        bi = (
+            docs.select(F.col(id_col).alias("__id"), tk.alias("tk"))
+            .filter(F.size("tk") >= 2)
+            .select(
+                "__id",
+                "tk",
+                F.explode(F.sequence(F.lit(2), F.size("tk"))).alias("i"),
+            )
+            .select(
+                "__id",
+                F.concat_ws(
+                    " ",
+                    F.element_at("tk", F.col("i") - 1),
+                    F.element_at("tk", F.col("i")),
+                ).alias("g"),
+            )
+        )
+        tok = tok.unionByName(bi)
     # md5_long is non-negative (60-bit from hex), so plain % matches
     # DuckDB's % with no pmod shim
     j = md5_long(F.concat(F.lit("he|"), F.col("g"))) % dim

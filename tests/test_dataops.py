@@ -1217,3 +1217,83 @@ def test_semdedup_runs_on_text_only_corpus_via_hashed_embedder(spark):
         id_col="doc_id", vec_col="embedding",
     ).collect()
     assert [(r["id"], r["witness"]) for r in out] == [(1, 0)]
+
+
+def test_hembed_ngram_separates_paraphrase_from_bag_permutation(spark):
+    """The r12 ngram=(1,2) A/B: under unigram hashing, a bag-identical
+    PERMUTATION of a text embeds to cosine exactly 1.0 — at ANY
+    threshold that catches true word-substitution paraphrases, SemDeDup
+    also merges every reordered distractor. Bigram features make the
+    vector word-order sensitive: every paraphrase cosine strictly
+    exceeds every permutation cosine, so a threshold between them gives
+    paraphrase recall 30/30 with 0/30 permutation false-merges — at the
+    SAME dim."""
+    import hashlib as _h
+    import math
+
+    def words(seed, n=18):
+        return ["w" + _h.md5(f"{seed}|{p}".encode()).hexdigest()[:6]
+                for p in range(n)]
+
+    rows = []
+    for i in range(30):
+        base = words(f"base|{i}")
+        para = list(base)
+        para[5] = "w" + _h.md5(f"sub|{i}|a".encode()).hexdigest()[:6]
+        para[12] = "w" + _h.md5(f"sub|{i}|b".encode()).hexdigest()[:6]
+        # deterministic bag-preserving permutation: reverse + rotate
+        perm = list(reversed(base))
+        perm = perm[7:] + perm[:7]
+        rows += [(i, " ".join(base)), (1000 + i, " ".join(para)),
+                 (2000 + i, " ".join(perm))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / (math.sqrt(sum(x * x for x in u))
+                    * math.sqrt(sum(x * x for x in v)))
+
+    def pairs(emb):
+        para = [cos(emb[i], emb[1000 + i]) for i in range(30)]
+        perm = [cos(emb[i], emb[2000 + i]) for i in range(30)]
+        return para, perm
+
+    uni = {r["doc_id"]: r["embedding"]
+           for r in S.hashed_text_embeddings(docs, dim=64).collect()}
+    para_u, perm_u = pairs(uni)
+    # unigram: the permutation IS the base — identical integer
+    # components (cosine 1 up to float sqrt rounding)
+    assert all(uni[i] == uni[2000 + i] for i in range(30))
+    assert all(c > 0.999999 for c in perm_u)
+    assert max(para_u) < min(perm_u)  # no separating threshold exists
+
+    ng = {r["doc_id"]: r["embedding"]
+          for r in S.hashed_text_embeddings(docs, dim=64, ngram=(1, 2)).collect()}
+    para_n, perm_n = pairs(ng)
+    assert min(para_n) > max(perm_n), (min(para_n), max(perm_n))
+    t = (min(para_n) + max(perm_n)) / 2
+
+    out = S.semdedup(
+        S.hashed_text_embeddings(docs, dim=64, ngram=(1, 2)),
+        threshold=t, n_lists=2, iters=0,
+        id_col="doc_id", vec_col="embedding",
+    ).collect()
+    dropped = {r["id"]: r["witness"] for r in out}
+    para_recall = sum(1 for i in range(30) if dropped.get(1000 + i) == i)
+    perm_merged = sum(1 for i in range(30) if 2000 + i in dropped)
+    assert para_recall == 30 and perm_merged == 0, (para_recall, perm_merged, t)
+
+
+def test_hembed_ngram_one_is_the_frozen_unigram_law(spark):
+    """ngram=1 (the default, and the oracled 'hembed' branch's law) is
+    bit-identical to the pre-r12 embedder; bad ngram specs fail fast."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    d = S.hashed_text_embeddings(docs, dim=16).collect()[0]["embedding"]
+    e = S.hashed_text_embeddings(docs, dim=16, ngram=1).collect()[0]["embedding"]
+    assert d == e
+    with pytest.raises(ValueError, match="ngram"):
+        S.hashed_text_embeddings(docs, dim=16, ngram=(2, 3)).collect()

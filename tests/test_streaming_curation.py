@@ -1445,3 +1445,21 @@ def test_curate_maintain_cli_folds_ingest_log(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "'folded_segments': 2" in out.split("ingest_log:")[1]
     assert ing.ingest_log(spark).count() == 2
+
+
+def test_text_demo_cli_end_to_end(spark, tmp_path, capsys):
+    """The flagship TEXT-ONLY demo (mm-demo's twin, no external model):
+    corpus -> hashed embedder -> ingest with exact + band near-dedup +
+    stored vector index -> compaction -> kNN probe of a planted
+    paraphrase. Exit code 0 certifies the probe's top hit is the
+    planted original."""
+    from adsb_clickhouse_spark.__main__ import main
+
+    rc = main(["text-demo", "--n", "60", "--data-dir", str(tmp_path / "td")])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    import json
+
+    rep = json.loads(out.strip().splitlines()[-1])
+    assert rep["probe_hit_doc4"] is True
+    assert rep["dropped_exact"] == 6  # the 6 planted byte-exact copies
