@@ -308,6 +308,7 @@ class CurationIngest:
         vec_col: str = "embedding",
         vector_n_lists: int = 16,
         embed_dim: int | None = None,
+        embed_ngram=1,
         host_col: str | None = None,
         host_links_col: str | None = None,
         host_trust_seeds: list | None = None,
@@ -350,6 +351,11 @@ class CurationIngest:
         self.vec_col = vec_col
         self.vector_n_lists = vector_n_lists
         self.embed_dim = embed_dim
+        # 1 (frozen unigram law) or (1, 2): bigram features for
+        # word-order-sensitive SemDeDup/kNN on template-heavy corpora
+        # (see hashed_text_embeddings) — part of the index's embedding
+        # law, so change it only with a store rebuild
+        self.embed_ngram = embed_ngram
         self.vector_index_path = os.path.join(base_dir, "vector_index")
         self.host_col = host_col
         self.host_links_col = host_links_col
@@ -867,6 +873,7 @@ class CurationIngest:
                                 "doc_id", F.col("clean_text").alias("text")
                             ),
                             dim=self.embed_dim,
+                            ngram=self.embed_ngram,
                         )
                         .withColumnRenamed("embedding", self.vec_col)
                         # exact-zero vectors (signs cancelled) carry no

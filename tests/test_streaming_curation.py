@@ -1463,3 +1463,35 @@ def test_text_demo_cli_end_to_end(spark, tmp_path, capsys):
     rep = json.loads(out.strip().splitlines()[-1])
     assert rep["probe_hit_doc4"] is True
     assert rep["dropped_exact"] == 6  # the 6 planted byte-exact copies
+
+
+def test_vector_index_embed_fallback_honors_ngram(spark, tmp_path):
+    """embed_ngram=(1,2) flows through the text-only vector-index
+    fallback: the stored vectors match the standalone embedder's bigram
+    law (bit-exact integer components)."""
+    from adsb_clickhouse_spark.operators.similarity import hashed_text_embeddings
+
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1", vector_index=True, embed_dim=16,
+        vector_n_lists=2, embed_ngram=(1, 2),
+    )
+    ing.process_batch(_docs(spark, [(0, _NEAR_A), (1, _OTHER)]), batch_id=0)
+    import os
+
+    from adsb_clickhouse_spark.plans.genstore import gen_name
+
+    seg = os.path.join(ing.vector_index_path, "segments")
+    segs = [e for e in os.listdir(seg) if not e.startswith("_")]
+    stored = {
+        r["id"]: r["v"]
+        for r in spark.read.parquet(
+            os.path.join(seg, segs[0], "vectors")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["embedding"]
+        for r in hashed_text_embeddings(
+            _docs(spark, [(0, _NEAR_A), (1, _OTHER)]), dim=16, ngram=(1, 2)
+        ).collect()
+    }
+    assert stored == want
