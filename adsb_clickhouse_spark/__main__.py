@@ -103,6 +103,17 @@ def cmd_curate_maintain(args) -> int:
     if phash_law:
         law_kwargs["media_bands"] = phash_law["bands"]
         print(f"phash band law (from store marker): {phash_law}")
+    from .streaming.curation import stored_embed_law_params
+
+    embed_law = stored_embed_law_params(
+        os.path.join(args.base_dir, "vector_index")
+    )
+    if embed_law:
+        law_kwargs.update(
+            embed_dim=embed_law["dim"],
+            embed_ngram=(embed_law["ngram_lo"], embed_law["ngram_hi"]),
+        )
+        print(f"embed law (from store marker): {embed_law}")
     ing = CurationIngest(
         args.base_dir,
         host_trust_seeds=seeds,

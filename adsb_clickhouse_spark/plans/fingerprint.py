@@ -38,7 +38,8 @@ _SUBS: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"splits=Some\(\d+\)"), "splits=Some(_)"),
     # timestamps / dates constant-folded into predicates (now() - INTERVAL)
     (re.compile(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?"), "<ts>"),
-    (re.compile(r"\b1[6-9]\d{11}\b"), "<epoch_us>"),  # micros since epoch
+    # epoch millis (13 digits) or micros (16) constant-folded from now()
+    (re.compile(r"\b1[6-9]\d{11}(?:\d{3})?\b"), "<epoch>"),
     # cached-RDD / checkpoint RDD numbers (localCheckpoint scans carry
     # MapPartitionsRDD[19]-style ids that shift with every prior job)
     (re.compile(r"\brdd_\d+\b"), "rdd_"),

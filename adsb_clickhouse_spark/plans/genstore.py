@@ -177,17 +177,28 @@ def fold_into_segment(
     (a crash mid-GC leaves dirs the manifest already excludes)."""
     import shutil
 
+    # GC staging leftovers of a prior CRASHED fold first (a finally
+    # block can't cover kill -9): unpointed, unreferenced by any
+    # reader, and safe under the single-concurrent-maintainer contract
+    if os.path.isdir(dir_path):
+        for e in os.listdir(dir_path):
+            if e.startswith(".fold-staging."):
+                shutil.rmtree(os.path.join(dir_path, e), ignore_errors=True)
     staging = os.path.join(dir_path, f".fold-staging.{uuid.uuid4().hex[:8]}")
     out = os.path.join(staging, seg_entry)
-    build(out)
-    write_manifest(out, folded)
-    os.rename(out, os.path.join(dir_path, seg_entry))
-    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        build(out)
+        write_manifest(out, folded)
+        os.rename(out, os.path.join(dir_path, seg_entry))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     for p in gc_paths:
         shutil.rmtree(p, ignore_errors=True)
 
 
-def enforce_law(path: str, law: str, *, marker: str = LAW_MARKER) -> None:
+def enforce_law(
+    path: str, law: str, *, marker: str = LAW_MARKER, what: str = "band store"
+) -> None:
     """Record ``law`` at the store's first use; raise on any later
     mismatch. The law string must be DERIVED from the same variables
     that shape the store's key space (never a frozen literal), so a
@@ -219,8 +230,8 @@ def enforce_law(path: str, law: str, *, marker: str = LAW_MARKER) -> None:
             os.unlink(tmp)
     if existing != law:
         raise RuntimeError(
-            f"band store at {path} was written under law {existing!r} "
+            f"{what} at {path} was written under law {existing!r} "
             f"but this ingest is configured with {law!r}; probing a "
-            "mismatched key space would silently re-admit near-dups — "
+            "mismatched key space would silently lose recall — "
             "rebuild the store or restore the original configuration"
         )

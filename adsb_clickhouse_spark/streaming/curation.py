@@ -177,6 +177,9 @@ from .pipeline import _checkpoint_run_id
 
 _STORE_POINTER = "_STORE"
 _COMMITS_DIR = "_commits"
+# marker-file retention: folded marker names live one-per-line in this
+# manifest inside the commits dir (see CurationIngest.compact_ingest_log)
+_COMMITTED_MANIFEST = "_COMMITTED"
 _FOLDED_MANIFEST = "_FOLDED"
 
 # one row per committed batch in ingest_log/ — the streaming funnel's
@@ -220,6 +223,17 @@ def _seg_name(entry: str) -> str:
     return entry.split("=", 1)[1]
 
 
+def _live_seg_dirs(path: str) -> list[str]:
+    """``batch_id=`` entries not folded into the pointed generation —
+    the one live-segment resolution every ``batch_id=``-layout consumer
+    shares (reader, compactor, segment counter), so a manifest-format
+    change lands in exactly one place (r12 review)."""
+    from ..plans.genstore import folded_set, gen_name
+
+    folded = folded_set(path, gen_name(path))
+    return [e for e in _seg_dirs(path) if _seg_name(e) not in folded]
+
+
 def _has_parquet(path: str) -> bool:
     """True iff the directory tree holds at least one parquet file —
     guards every read of a possibly-empty segment write (a zero-row
@@ -233,7 +247,7 @@ def _has_parquet(path: str) -> bool:
     return False
 
 
-def stored_band_law_params(path: str) -> dict[str, int]:
+def stored_band_law_params(path: str, *, marker: str | None = None) -> dict[str, int]:
     """Parse a band store's ``_BAND_LAW`` marker back into the numeric
     parameters that produced it (``{}`` when the store has no marker
     yet). The law strings are pipe-delimited ``key=int`` pairs derived
@@ -246,7 +260,7 @@ def stored_band_law_params(path: str) -> dict[str, int]:
     from ..plans.genstore import LAW_MARKER
 
     try:
-        with open(os.path.join(path, LAW_MARKER)) as fh:
+        with open(os.path.join(path, marker or LAW_MARKER)) as fh:
             law = fh.read().strip()
     except OSError:
         return {}
@@ -256,6 +270,20 @@ def stored_band_law_params(path: str) -> dict[str, int]:
         if val.isdigit():
             out[key] = int(val)
     return out
+
+
+EMBED_LAW_MARKER = "_EMBED_LAW"
+
+
+def stored_embed_law_params(vector_index_path: str) -> dict[str, int]:
+    """The recorded embedding law of a vector index whose vectors came
+    from the text-fallback embedder: ``{"dim": d, "ngram_lo": lo,
+    "ngram_hi": hi}``, or ``{}`` for an index that has never fallback-
+    embedded (external embeddings carry their own law). Maintenance and
+    probe tooling read this instead of trusting constructor defaults —
+    a store embedded under ngram=(1,2) probed or appended under the
+    default unigram law would silently degrade recall (r12 review)."""
+    return stored_band_law_params(vector_index_path, marker=EMBED_LAW_MARKER)
 
 
 def _free_local_checkpoint(df: DataFrame) -> None:
@@ -384,8 +412,30 @@ class CurationIngest:
     def _marker(self, seg: str) -> str:
         return os.path.join(self.commits_path, seg)
 
+    def _committed_manifest_set(self) -> set:
+        """Marker names folded into ``_commits/_COMMITTED`` by marker
+        retention (see ``compact_ingest_log``) — semantically identical
+        to one marker file per line. Cached by file mtime: the manifest
+        changes only under maintenance, but ``_is_committed`` runs per
+        batch."""
+        mpath = os.path.join(self.commits_path, _COMMITTED_MANIFEST)
+        try:
+            mtime = os.path.getmtime(mpath)
+        except OSError:
+            return set()
+        cached = getattr(self, "_committed_manifest_cache", None)
+        if cached is not None and cached[0] == mtime:
+            return cached[1]
+        with open(mpath) as fh:
+            names = {line.strip() for line in fh if line.strip()}
+        self._committed_manifest_cache = (mtime, names)
+        return names
+
     def _is_committed(self, seg: str) -> bool:
-        return os.path.exists(self._marker(seg))
+        return (
+            os.path.exists(self._marker(seg))
+            or seg in self._committed_manifest_set()
+        )
 
     def _write_marker(self, seg: str) -> None:
         os.makedirs(self.commits_path, exist_ok=True)
@@ -393,6 +443,40 @@ class CurationIngest:
         with open(tmp, "w") as fh:
             fh.write(seg)
         os.replace(tmp, self._marker(seg))  # atomic on POSIX
+
+    def compact_markers(self) -> int:
+        """Fold per-batch commit-marker FILES into the ``_COMMITTED``
+        manifest (one name per line) — marker retention. The markers
+        are load-bearing for replay idempotence (an uncommitted
+        redelivery clears-and-rewrites its segment; a committed one
+        must no-op), so they can never be deleted — but a long-lived
+        stream accreting one inode per batch forever, with
+        ``ingest_report`` listing the whole directory each call, is the
+        exact growth pattern the ingest_log retention fixed (r12
+        review). Manifest-write then unlink: a crash between the two
+        leaves a marker both in the manifest and on disk — harmless,
+        the next fold re-unions. Returns the number folded."""
+        if not os.path.isdir(self.commits_path):
+            return 0
+        files = [
+            e
+            for e in os.listdir(self.commits_path)
+            if e != _COMMITTED_MANIFEST and ".tmp." not in e
+        ]
+        if not files:
+            return 0
+        names = self._committed_manifest_set() | set(files)
+        mpath = os.path.join(self.commits_path, _COMMITTED_MANIFEST)
+        tmp = mpath + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(sorted(names)) + "\n")
+        os.replace(tmp, mpath)  # atomic: readers see old or new, never half
+        for e in files:
+            try:
+                os.unlink(os.path.join(self.commits_path, e))
+            except OSError:
+                pass
+        return len(files)
 
     # -- the funnel body (used by both batch and streaming) ---------------
 
@@ -405,7 +489,8 @@ class CurationIngest:
             # the checkpoint commit) must not clear-and-rewrite — after a
             # fingerprint compaction folded the segment, the rewrite would
             # be suppressed by its own fingerprints and the data lost
-            return
+            self.last_stage_wall = {}  # no stale attribution from the
+            return  # previous batch on a no-op redelivery
         # replay safety FIRST: a crashed attempt's fingerprints must not
         # suppress this replay's own rows at the anti-join below
         _clear_segment(self.curated_path, seg)
@@ -866,7 +951,16 @@ class CurationIngest:
                     # rebuild-from-survivors contract of the other
                     # appends (no store-anti-join re-evaluation).
                     from ..operators.similarity import hashed_text_embeddings
+                    from ..plans.genstore import enforce_law
 
+                    # the embedding law is part of the store's key
+                    # space exactly like a band law: record at first
+                    # use, fail loudly on mismatch (see _embed_law)
+                    enforce_law(
+                        self.vector_index_path,
+                        self._embed_law(),
+                        marker=EMBED_LAW_MARKER,
+                    )
                     vecs = (
                         hashed_text_embeddings(
                             fresh.select(
@@ -1089,11 +1183,7 @@ class CurationIngest:
         from ..plans.genstore import folded_set, gen_name
 
         gen = gen_name(self.ingest_log_path)
-        live = [
-            e
-            for e in _seg_dirs(self.ingest_log_path)
-            if _seg_name(e) not in folded_set(self.ingest_log_path, gen)
-        ]
+        live = _live_seg_dirs(self.ingest_log_path)
         parts: list[DataFrame] = []
         if gen is not None:
             parts.append(
@@ -1156,8 +1246,27 @@ class CurationIngest:
             or _seg_name(e).startswith("adhoc-")
             or self._is_committed(_seg_name(e))
         ]
+        # marker retention rides the same maintenance cadence: AFTER the
+        # committed-filter above resolved (it reads marker files), fold
+        # the files into the _COMMITTED manifest so the commits dir
+        # stays bounded too (r12 review: the log's one-file-per-batch
+        # growth pattern applied equally to its marker twin)
+        folded_markers = self.compact_markers()
         if not foldable and gen is None:
-            return {"folded_segments": 0, "generation": None}
+            return {"folded_segments": 0, "generation": None,
+                    "folded_markers": folded_markers}
+        if not foldable and max_age_sec is None:
+            # nothing new and no age horizon to apply: re-folding the
+            # existing generation would be a full read+write job and a
+            # pointer swap for zero data change — a periodic maintain
+            # with no new batches must be a no-op (r12 review)
+            return {
+                "folded_segments": 0,
+                "generation": gen,
+                "skipped_uncommitted": len(segs),
+                "dropped_aged_rows": 0,
+                "folded_markers": folded_markers,
+            }
         parts: list[DataFrame] = []
         if gen is not None:
             parts.append(
@@ -1196,6 +1305,7 @@ class CurationIngest:
             "generation": new_gen,
             "skipped_uncommitted": len(segs) - len(foldable),
             "dropped_aged_rows": int(dropped_aged),
+            "folded_markers": folded_markers,
         }
 
     def _committed_ingest_log(self, spark: SparkSession) -> DataFrame:
@@ -1207,11 +1317,16 @@ class CurationIngest:
         past the 'one row per committed batch' contract (r11 advice).
         The isin list is the marker directory listing — batches-sized,
         like the log itself."""
-        committed = (
-            sorted(os.listdir(self.commits_path))
+        live = (
+            [
+                e
+                for e in os.listdir(self.commits_path)
+                if e != _COMMITTED_MANIFEST and ".tmp." not in e
+            ]
             if os.path.isdir(self.commits_path)
             else []
         )
+        committed = sorted(self._committed_manifest_set() | set(live))
         return self.ingest_log(spark).filter(
             F.col("batch_id").startswith("adhoc-")
             | F.col("batch_id").isin(committed)
@@ -1234,16 +1349,7 @@ class CurationIngest:
             "text_index": len(live_segments(self.index_path)),
             "vector_index": len(live_segments(self.vector_index_path)),
         }
-        from ..plans.genstore import folded_set, gen_name
-
-        gen = gen_name(self.ingest_log_path)
-        counts["ingest_log"] = len(
-            [
-                e
-                for e in _seg_dirs(self.ingest_log_path)
-                if _seg_name(e) not in folded_set(self.ingest_log_path, gen)
-            ]
-        )
+        counts["ingest_log"] = len(_live_seg_dirs(self.ingest_log_path))
         return counts
 
     def ingest_report(
@@ -1394,6 +1500,23 @@ class CurationIngest:
 
     def _phash_band_law(self) -> str:
         return f"phash|bands={int(self.media_bands)}"
+
+    def _embed_law(self) -> str:
+        """The text-fallback embedder's law (dim + ngram range): like a
+        band law, it IS the stored vectors' key space — appending
+        unigram-law vectors into a bigram-law index (a restarted stream
+        with default ``embed_ngram``) silently degrades kNN/SemDeDup
+        recall with no error, the exact failure mode ``_BAND_LAW``
+        exists to make loud. Recorded under ``_EMBED_LAW`` in the
+        vector index at first fallback embed, enforced on every later
+        one; ``stored_embed_law_params`` reads it back for maintenance
+        and probe tooling."""
+        ng = self.embed_ngram
+        lo, hi = (ng, ng) if isinstance(ng, int) else ng
+        return (
+            f"hembed|dim={int(self.embed_dim)}|ngram_lo={int(lo)}"
+            f"|ngram_hi={int(hi)}"
+        )
 
     def _text_band_law(self) -> str:
         """Derived from the SAME attributes every minhash call site uses,

@@ -123,7 +123,13 @@ def main() -> None:
         try:
             plan_fps[name] = plan_fingerprint(df)
         except Exception as exc:  # never let diagnostics kill the bench
-            plan_fps[name] = {"hash": f"error:{exc}", "ops": []}
+            # stable hash: exception TEXT carries run-varying tokens
+            # (temp paths, object ids) that would flag a spurious "plan
+            # change" every round; the TYPE is the stable part
+            plan_fps[name] = {
+                "hash": f"error:{type(exc).__name__}",
+                "ops": [str(exc)[:200]],
+            }
         if (i + 1) % CANARY_EVERY == 0:
             canary_track.append({"row": i + 1, "sec": _canary()[0]})
 
@@ -252,10 +258,17 @@ def main() -> None:
         key=_plans_round,
     )
     cur_round = (_bench_round(prev_benches[-1]) if prev_benches else 0) + 1
+    # diff against the latest PRIOR-round file only: a re-run within the
+    # same round already overwrote PLANS_r{cur}, and diffing against our
+    # own previous run would mask exactly the regression the feature
+    # exists to catch (both runs carry the regressed plan)
+    prior_round_files = [
+        p for p in prev_plan_files if _plans_round(p) < cur_round
+    ]
     plan_changes: dict = {}
-    if prev_plan_files:
+    if prior_round_files:
         try:
-            with open(prev_plan_files[-1]) as fh:
+            with open(prior_round_files[-1]) as fh:
                 plan_changes = diff_plans(json.load(fh), plan_fps)
         except (OSError, ValueError):
             pass

@@ -88,3 +88,19 @@ def test_diff_plans_classifies_changed_added_removed():
     d = diff_plans(prev, cur)
     assert set(d) == {"b", "+new", "-gone"}
     assert d["b"] == {"prev_ops": ["B1"], "cur_ops": ["B2"]}
+
+
+def test_epoch_literal_normalization():
+    # millis (13 digits) and micros (16) both normalize; unrelated
+    # numbers do not
+    n = normalize_plan("ts#12L > 1755312000000000, v > 1755312000123, k = 42")
+    assert "<epoch>" in n and "1755312" not in n
+    assert "42" in n
+
+
+def test_error_fingerprints_are_stable():
+    # bench.py hashes a failed fingerprint by exception TYPE only —
+    # assert the convention stays stable (run-varying text in the hash
+    # would flag a spurious plan change every round)
+    exc = ValueError("/tmp/run-4f3a9c/part-0001.parquet missing")
+    assert f"error:{type(exc).__name__}" == "error:ValueError"

@@ -200,3 +200,29 @@ def test_swap_pointer_custom_marker(tmp_path):
     with open(os.path.join(path, "_STORE")) as fh:
         assert fh.read() == "some_table_g1"
     assert G.gen_name(path) is None  # _GEN untouched
+
+
+def test_fold_into_segment_cleans_staging_on_failure(tmp_path):
+    """A crashed fold's .fold-staging.* leftovers are GC'd: by the
+    finally on an in-process failure, and by the next fold's entry
+    sweep when the process died outright (kill -9 has no finally)."""
+    path = str(tmp_path)
+    # a prior kill-9's leftover
+    os.makedirs(os.path.join(path, ".fold-staging.deadbeef", "seg"))
+
+    def boom(out):
+        os.makedirs(out)
+        raise RuntimeError("executor lost")
+
+    with pytest.raises(RuntimeError, match="executor lost"):
+        G.fold_into_segment(path, "batch_id=x", boom, folded=set())
+    assert [e for e in os.listdir(path) if e.startswith(".fold-staging")] == []
+    assert not os.path.exists(os.path.join(path, "batch_id=x"))
+
+
+def test_enforce_law_what_names_the_store_kind(tmp_path):
+    G.enforce_law(str(tmp_path), "hembed|dim=16", marker="_EMBED_LAW",
+                  what="vector index embedding law")
+    with pytest.raises(RuntimeError, match="vector index embedding law"):
+        G.enforce_law(str(tmp_path), "hembed|dim=32", marker="_EMBED_LAW",
+                      what="vector index embedding law")

@@ -1495,3 +1495,94 @@ def test_vector_index_embed_fallback_honors_ngram(spark, tmp_path):
         ).collect()
     }
     assert stored == want
+
+
+def test_embed_law_recorded_and_enforced(spark, tmp_path):
+    """The text-fallback embedder's law (dim + ngram) is recorded in
+    the vector index at first use and a restarted ingest configured
+    with a different law fails LOUDLY — appending unigram-law vectors
+    into a bigram-law index would silently degrade kNN/SemDeDup recall,
+    the exact failure mode _BAND_LAW makes loud for band stores."""
+    from adsb_clickhouse_spark.streaming.curation import stored_embed_law_params
+
+    kw = dict(vector_index=True, embed_dim=16, vector_n_lists=2)
+    ing = CurationIngest(str(tmp_path), run_id="r1", embed_ngram=(1, 2), **kw)
+    ing.process_batch(_docs(spark, [(0, _NEAR_A)]), batch_id=0)
+    assert stored_embed_law_params(ing.vector_index_path) == {
+        "dim": 16, "ngram_lo": 1, "ngram_hi": 2,
+    }
+    # a same-law restart appends fine
+    ing2 = CurationIngest(str(tmp_path), run_id="r1", embed_ngram=(1, 2), **kw)
+    ing2.process_batch(_docs(spark, [(1, _OTHER)]), batch_id=1)
+    # a default-(unigram-)law restart fails before touching the store
+    ing3 = CurationIngest(str(tmp_path), run_id="r1", **kw)
+    with pytest.raises(RuntimeError, match="written under law"):
+        ing3.process_batch(_docs(spark, [(2, _NEAR_A2)]), batch_id=2)
+    # an index that never fallback-embedded has no law to report
+    assert stored_embed_law_params(str(tmp_path / "nowhere")) == {}
+
+
+def test_curate_maintain_adopts_stored_embed_law(spark, tmp_path, capsys):
+    from adsb_clickhouse_spark.__main__ import main
+
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1", vector_index=True, embed_dim=16,
+        vector_n_lists=2, embed_ngram=(1, 2),
+    )
+    ing.process_batch(_docs(spark, [(0, _NEAR_A), (1, _OTHER)]), batch_id=0)
+    assert main(["curate-maintain", str(tmp_path), "--compact-vectors"]) == 0
+    out = capsys.readouterr().out
+    assert "embed law (from store marker)" in out
+    assert "'ngram_hi': 2" in out
+
+
+def test_marker_retention_folds_files_into_manifest(spark, tmp_path):
+    """compact_markers folds per-batch commit-marker FILES into the
+    _COMMITTED manifest: committedness (and so replay idempotence and
+    the report's committed filter) is preserved while the commits dir
+    stops growing one inode per batch forever."""
+    import os
+
+    ing = CurationIngest(str(tmp_path), run_id="r1")
+    ing.process_batch(_docs(spark, [(0, _NEAR_A)]), batch_id=0)
+    ing.process_batch(_docs(spark, [(1, _OTHER)]), batch_id=1)
+    ing.process_batch(_docs(spark, [(2, _NEAR_A2)]), batch_id=2)
+    assert ing.compact_markers() == 3
+    assert sorted(os.listdir(ing.commits_path)) == ["_COMMITTED"]
+    assert ing._is_committed("br1-1")
+    # a committed redelivery still no-ops after the fold
+    pre = sorted(
+        r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()
+    )
+    ing.process_batch(_docs(spark, [(0, _NEAR_A)]), batch_id=0)
+    assert sorted(
+        r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()
+    ) == pre
+    assert ing.last_stage_wall == {}  # no stale attribution on the no-op
+    # the report's committed filter unions manifest + live marker files
+    assert ing.ingest_report(spark)["n_batches"] == 3
+    ing.process_batch(_docs(spark, [(3, _OTHER + " and more")]), batch_id=3)
+    assert ing.ingest_report(spark)["n_batches"] == 4
+    # the next log fold sweeps the new marker file too
+    res = ing.compact_ingest_log(spark)
+    assert res["folded_markers"] == 1
+    assert sorted(os.listdir(ing.commits_path)) == ["_COMMITTED"]
+    assert ing.ingest_report(spark)["n_batches"] == 4
+
+
+def test_compact_ingest_log_noop_when_nothing_new(spark, tmp_path):
+    """A periodic maintain with no new committed batches must not
+    re-fold the existing generation (a full read+write job and pointer
+    churn for zero data change)."""
+    ing = CurationIngest(str(tmp_path), run_id="r1")
+    ing.process_batch(_docs(spark, [(0, _NEAR_A)]), batch_id=0)
+    ing.process_batch(_docs(spark, [(1, _OTHER)]), batch_id=1)
+    res1 = ing.compact_ingest_log(spark)
+    assert res1["folded_segments"] == 2
+    res2 = ing.compact_ingest_log(spark)
+    assert res2["folded_segments"] == 0
+    assert res2["generation"] == res1["generation"]  # pointer untouched
+    # an age horizon still forces the rewrite through the no-op guard
+    res3 = ing.compact_ingest_log(spark, max_age_sec=0.0)
+    assert res3["generation"] != res1["generation"]
+    assert res3["dropped_aged_rows"] == 2
