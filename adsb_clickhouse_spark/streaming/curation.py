@@ -343,6 +343,7 @@ class CurationIngest:
         host_rank_iterations: int = 5,
         host_min_rank_pct: float | None = None,
         ingest_stats: bool = True,
+        parallel_appends: bool = True,
     ):
         self.curated_path = os.path.join(base_dir, "curated")
         self.fps_path = os.path.join(base_dir, "fingerprints")
@@ -393,6 +394,10 @@ class CurationIngest:
         self.host_edges_path = os.path.join(base_dir, "host_edges")
         self.host_ranks_path = os.path.join(base_dir, "host_ranks")
         self.ingest_stats = ingest_stats
+        # run the independent per-batch store appends from concurrent
+        # driver threads (r12 floor cut — see process_batch); False
+        # keeps the sequential form for A/B and debugging
+        self.parallel_appends = parallel_appends
         self.ingest_log_path = os.path.join(base_dir, "ingest_log")
         # per-stage wall clock of the LAST process_batch call, stage
         # name -> seconds (see _mark in process_batch); the floor
@@ -886,6 +891,25 @@ class CurationIngest:
                 .parquet(self.curated_path)
             )
             _mark("curated_write")
+            # ---- independent store appends (r12 floor cut) -------------
+            # Every append below reads the checkpointed `fresh` (or the
+            # raw `docs` for host edges); none depends on another, and
+            # the commit marker is written only after ALL complete, so
+            # ORDER is free (the pre-r11 "before the fingerprint append"
+            # ordering stopped being load-bearing with the checkpoint
+            # valves). They therefore run CONCURRENTLY from driver
+            # threads: at small batches each append is a tiny job that
+            # leaves local[N] (or a cluster) mostly idle, and the
+            # sequential form paid one full job-scheduling latency per
+            # store — the dominant share of the all-stores per-batch
+            # floor after the r12 stats-row cut. Spark's scheduler is
+            # thread-safe (pinned-thread mode maps each Python thread to
+            # its own JVM thread); a failure in ANY append fails the
+            # batch before the marker, exactly as the sequential form
+            # did, and the replay clears every partial segment.
+            # `parallel_appends=False` keeps the sequential form for A/B.
+            appends: list = []
+
             if self.text_index:
                 # the curated batch becomes a name-keyed index segment:
                 # a replayed batch overwrites its own segment (converges),
@@ -900,27 +924,33 @@ class CurationIngest:
                 # the marker discipline replays it.)
                 from ..operators.search import append_text_index, init_text_index
 
-                if self._text_index_law is None:
-                    # one init + stats read per ingest OBJECT, not per
-                    # batch: n_buckets/positional are immutable for the
-                    # store's life (init fixes them, compaction
-                    # preserves them) — re-reading them was two fixed
-                    # collect jobs per batch (r12 floor cut)
-                    info = init_text_index(
-                        spark, self.index_path, n_buckets=self.text_index_buckets
+                def _do_text_index() -> None:
+                    if self._text_index_law is None:
+                        # one init + stats read per ingest OBJECT, not
+                        # per batch: n_buckets/positional are immutable
+                        # for the store's life (init fixes them,
+                        # compaction preserves them) — re-reading them
+                        # was two fixed collect jobs per batch
+                        info = init_text_index(
+                            spark,
+                            self.index_path,
+                            n_buckets=self.text_index_buckets,
+                        )
+                        self._text_index_law = (
+                            int(info["n_buckets"]),
+                            bool(info["positional"]),
+                        )
+                    append_text_index(
+                        fresh.select(
+                            "doc_id", F.col("clean_text").alias("text")
+                        ),
+                        self.index_path,
+                        seg,
+                        law=self._text_index_law,
+                        return_stats=False,
                     )
-                    self._text_index_law = (
-                        int(info["n_buckets"]),
-                        bool(info["positional"]),
-                    )
-                append_text_index(
-                    fresh.select("doc_id", F.col("clean_text").alias("text")),
-                    self.index_path,
-                    seg,
-                    law=self._text_index_law,
-                    return_stats=False,
-                )
-                _mark("text_index_append")
+
+                appends.append(("text_index_append", _do_text_index))
             embed_fallback = (
                 self.vector_index
                 and self.vec_col not in docs.columns
@@ -930,72 +960,77 @@ class CurationIngest:
                 self.vec_col in docs.columns or embed_fallback
             ):
                 # the curated batch's embeddings become a name-keyed
-                # segment of the stored vector index — same replay and
-                # ordering contract as the text index above (runs before
-                # the fingerprint append for the same re-evaluation
-                # hazard). Init is bootstrap-only (seed centroids, no
-                # data), so a crashed init + replay cannot double-index;
-                # dim is inferred from the first embedded batch.
+                # segment of the stored vector index — same replay
+                # contract as the text index above. Init is
+                # bootstrap-only (seed centroids, no data), so a crashed
+                # init + replay cannot double-index; dim is inferred
+                # from the first embedded batch.
                 from ..operators.vecindex import (
                     _gen_name as _vec_gen,
                     append_vector_index,
                     init_vector_index,
                 )
 
-                if embed_fallback:
-                    # no embedding column in the stream: derive vectors
-                    # from the survivors' text with the deterministic
-                    # hashed-projection embedder (r11) — the vector index
-                    # runs on a TEXT-ONLY corpus with no external model.
-                    # Reading the persisted `fresh` keeps the
-                    # rebuild-from-survivors contract of the other
-                    # appends (no store-anti-join re-evaluation).
-                    from ..operators.similarity import hashed_text_embeddings
-                    from ..plans.genstore import enforce_law
+                def _do_vector_index() -> None:
+                    if embed_fallback:
+                        # no embedding column in the stream: derive
+                        # vectors from the survivors' text with the
+                        # deterministic hashed-projection embedder (r11)
+                        # — the vector index runs on a TEXT-ONLY corpus
+                        # with no external model. Reading the persisted
+                        # `fresh` keeps the rebuild-from-survivors
+                        # contract of the other appends.
+                        from ..operators.similarity import (
+                            hashed_text_embeddings,
+                        )
+                        from ..plans.genstore import enforce_law
 
-                    # the embedding law is part of the store's key
-                    # space exactly like a band law: record at first
-                    # use, fail loudly on mismatch (see _embed_law)
-                    enforce_law(
-                        self.vector_index_path,
-                        self._embed_law(),
-                        marker=EMBED_LAW_MARKER,
-                    )
-                    vecs = (
-                        hashed_text_embeddings(
-                            fresh.select(
-                                "doc_id", F.col("clean_text").alias("text")
-                            ),
-                            dim=self.embed_dim,
-                            ngram=self.embed_ngram,
-                        )
-                        .withColumnRenamed("embedding", self.vec_col)
-                        # exact-zero vectors (signs cancelled) carry no
-                        # signal and would cosine to NaN at probe time
-                        .filter(F.exists(self.vec_col, lambda x: x != 0))
-                    )
-                else:
-                    vecs = fresh.join(
-                        docs.select("doc_id", self.vec_col), "doc_id"
-                    ).filter(F.col(self.vec_col).isNotNull())
-                if _vec_gen(self.vector_index_path) is None:
-                    probe_row = vecs.select(self.vec_col).first()
-                    if probe_row is not None:
-                        init_vector_index(
-                            spark,
+                        # the embedding law is part of the store's key
+                        # space exactly like a band law: record at first
+                        # use, fail loudly on mismatch (see _embed_law)
+                        enforce_law(
                             self.vector_index_path,
-                            dim=len(probe_row[0]),
-                            n_lists=self.vector_n_lists,
+                            self._embed_law(),
+                            marker=EMBED_LAW_MARKER,
+                            what="vector index embedding law",
                         )
-                if _vec_gen(self.vector_index_path) is not None:
-                    append_vector_index(
-                        vecs.select("doc_id", self.vec_col),
-                        self.vector_index_path,
-                        seg,
-                        id_col="doc_id",
-                        vec_col=self.vec_col,
-                    )
-                _mark("vector_index_append")
+                        vecs = (
+                            hashed_text_embeddings(
+                                fresh.select(
+                                    "doc_id",
+                                    F.col("clean_text").alias("text"),
+                                ),
+                                dim=self.embed_dim,
+                                ngram=self.embed_ngram,
+                            )
+                            .withColumnRenamed("embedding", self.vec_col)
+                            # exact-zero vectors (signs cancelled) carry
+                            # no signal and would cosine to NaN at probe
+                            .filter(F.exists(self.vec_col, lambda x: x != 0))
+                        )
+                    else:
+                        vecs = fresh.join(
+                            docs.select("doc_id", self.vec_col), "doc_id"
+                        ).filter(F.col(self.vec_col).isNotNull())
+                    if _vec_gen(self.vector_index_path) is None:
+                        probe_row = vecs.select(self.vec_col).first()
+                        if probe_row is not None:
+                            init_vector_index(
+                                spark,
+                                self.vector_index_path,
+                                dim=len(probe_row[0]),
+                                n_lists=self.vector_n_lists,
+                            )
+                    if _vec_gen(self.vector_index_path) is not None:
+                        append_vector_index(
+                            vecs.select("doc_id", self.vec_col),
+                            self.vector_index_path,
+                            seg,
+                            id_col="doc_id",
+                            vec_col=self.vec_col,
+                        )
+
+                appends.append(("vector_index_append", _do_vector_index))
             if host_on and self.host_links_col in docs.columns:
                 # the batch's host links accrete into the edge store the
                 # periodic rank recompute reads. Derived from the RAW
@@ -1006,87 +1041,131 @@ class CurationIngest:
                 # the recompute reads the store as a SET (distinct).
                 from ..operators.graph import host_edges
 
-                (
-                    host_edges(
-                        docs,
-                        host_col=self.host_col,
-                        links_col=self.host_links_col,
+                def _do_host_edges() -> None:
+                    (
+                        host_edges(
+                            docs,
+                            host_col=self.host_col,
+                            links_col=self.host_links_col,
+                        )
+                        .withColumn("batch_id", F.lit(seg))
+                        .write.mode("append")
+                        .partitionBy("batch_id")
+                        .parquet(self.host_edges_path)
                     )
-                    .withColumn("batch_id", F.lit(seg))
-                    .write.mode("append")
-                    .partitionBy("batch_id")
-                    .parquet(self.host_edges_path)
-                )
-                _mark("host_edges_append")
+
+                appends.append(("host_edges_append", _do_host_edges))
             if media_bands_on:
                 # survivors' band keys accrete into the phash band
                 # store, REBUILT from the checkpointed `fresh` (one
                 # Arrow hashing pass over the materialized survivors —
                 # rebuilding beats dragging the probe chain through the
-                # write: −21% on the all-stores integration test). The
-                # pre-r11 "must run before the fingerprint append"
-                # ordering is no longer load-bearing (see the
-                # localCheckpoint comment above), kept for readability.
+                # write: −21% on the all-stores integration test).
                 from ..operators.multimodal import (
                     perceptual_hash as _ph,
                     phash_band_keys as _pbk,
                 )
 
-                (
-                    _pbk(
-                        _ph(
-                            fresh.filter(
-                                F.col(self.media_col).isNotNull()
-                            ).select(
-                                F.col("doc_id").alias("media_id"),
-                                self.media_col,
+                def _do_phash_bands() -> None:
+                    (
+                        _pbk(
+                            _ph(
+                                fresh.filter(
+                                    F.col(self.media_col).isNotNull()
+                                ).select(
+                                    F.col("doc_id").alias("media_id"),
+                                    self.media_col,
+                                ),
+                                backend=self.media_backend,
                             ),
-                            backend=self.media_backend,
-                        ),
-                        bands=self.media_bands,
+                            bands=self.media_bands,
+                        )
+                        .select("bkey", "phash")
+                        .withColumn("batch_id", F.lit(seg))
+                        .write.mode("append")
+                        .partitionBy("batch_id")
+                        .parquet(self.phash_bands_path)
                     )
-                    .select("bkey", "phash")
-                    .withColumn("batch_id", F.lit(seg))
-                    .write.mode("append")
-                    .partitionBy("batch_id")
-                    .parquet(self.phash_bands_path)
-                )
-                _mark("phash_bands_append")
+
+                appends.append(("phash_bands_append", _do_phash_bands))
             if self.text_near_dedup:
                 # same rebuild-from-checkpoint shape as the phash store
                 from ..operators.dedup import minhash_band_rows as _mbr
 
-                (
-                    _mbr(
-                        fresh.select(
-                            "doc_id", F.col("clean_text").alias("text")
-                        ),
-                        id_col="doc_id",
-                        k=self.text_minhash_k,
-                        bands=self.text_bands,
-                        w=self.text_shingle_w,
+                def _do_text_bands() -> None:
+                    (
+                        _mbr(
+                            fresh.select(
+                                "doc_id", F.col("clean_text").alias("text")
+                            ),
+                            id_col="doc_id",
+                            k=self.text_minhash_k,
+                            bands=self.text_bands,
+                            w=self.text_shingle_w,
+                        )
+                        .select("bkey", "sig")
+                        .withColumn("batch_id", F.lit(seg))
+                        .write.mode("append")
+                        .partitionBy("batch_id")
+                        .parquet(self.text_bands_path)
                     )
-                    .select("bkey", "sig")
-                    .withColumn("batch_id", F.lit(seg))
+
+                appends.append(("text_bands_append", _do_text_bands))
+
+            def _do_fps() -> None:
+                fps_out = fresh.select("fingerprint")
+                if media_on:
+                    fps_out = fps_out.unionByName(
+                        fresh.filter(F.col("media_fp").isNotNull()).select(
+                            F.col("media_fp").alias("fingerprint")
+                        )
+                    )
+                (
+                    fps_out.withColumn("batch_id", F.lit(seg))
                     .write.mode("append")
                     .partitionBy("batch_id")
-                    .parquet(self.text_bands_path)
+                    .parquet(self.fps_path)
                 )
-                _mark("text_bands_append")
-            fps_out = fresh.select("fingerprint")
-            if media_on:
-                fps_out = fps_out.unionByName(
-                    fresh.filter(F.col("media_fp").isNotNull()).select(
-                        F.col("media_fp").alias("fingerprint")
-                    )
-                )
-            (
-                fps_out.withColumn("batch_id", F.lit(seg))
-                .write.mode("append")
-                .partitionBy("batch_id")
-                .parquet(self.fps_path)
-            )
-            _mark("fps_append")
+
+            appends.append(("fps_append", _do_fps))
+
+            def _timed_append(stage: str, fn) -> None:
+                t0 = _time.perf_counter()
+                fn()
+                walls[stage] = round(_time.perf_counter() - t0, 3)
+
+            if self.parallel_appends and len(appends) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                from pyspark import inheritable_thread_target
+
+                with ThreadPoolExecutor(
+                    max_workers=len(appends),
+                    thread_name_prefix="store-append",
+                ) as ex:
+                    futures = [
+                        # inheritable_thread_target propagates THIS
+                        # thread's JVM-local properties (the streaming
+                        # job group, description, scheduler pool) into
+                        # the worker thread — without it, a
+                        # StreamingQuery.stop() could no longer cancel
+                        # in-flight append jobs and a FAIR pool would
+                        # be silently dropped (r12 review)
+                        ex.submit(
+                            inheritable_thread_target(_timed_append), s, fn
+                        )
+                        for s, fn in appends
+                    ]
+                    # surface the FIRST failure after all settle (each
+                    # append owns its segment; partial writes are
+                    # cleared by the replay) — the marker below is
+                    # reached only if every append succeeded
+                    for fu in futures:
+                        fu.result()
+            else:
+                for s, fn in appends:
+                    _timed_append(s, fn)
+            _mark("store_appends_total")
             if self.ingest_stats:
                 # the observability record (r11): every tap was populated
                 # by the curated write's job above (Observation.get is
@@ -1140,6 +1219,38 @@ class CurationIngest:
             compression="snappy",
         )
 
+    @staticmethod
+    def _tap_count(ob) -> int:
+        """An Observation tap's row count, tolerating AQE's
+        empty-relation pruning. When every row of a batch is dropped
+        upstream of a tap, AQE's ``PropagateEmptyRelation`` can prune
+        the ``CollectMetrics`` node from the physical plan; the
+        ObservationManager then completes the observation with a
+        SCHEMALESS empty row that ``Observation.get`` cannot decode
+        (``toPyRow`` asserts) — a fully-deduplicated micro-batch would
+        crash the stream. The node is pruned exactly because its input
+        is provably EMPTY, so the true count is 0: detect the
+        empty-row completion and substitute it; anything else
+        re-raises."""
+        try:
+            return int(ob.get["n"])
+        except Exception:
+            # the fallback peeks at the already-completed promise via
+            # the (non-public) JVM Observation; any surprise there must
+            # surface the ORIGINAL error, not its own
+            try:
+                jo = getattr(ob, "_jo", None)
+                empty = (
+                    jo is not None
+                    and jo.getRowOrEmpty().isDefined()
+                    and jo.getRowOrEmpty().get().length() == 0
+                )
+            except Exception:
+                empty = False
+            if empty:
+                return 0
+            raise
+
     def _ingest_stats_row(self, taps) -> tuple:
         """Fold the ordered tap counts into one fixed-schema stats tuple:
         each gate's drop = the difference between consecutive taps (the
@@ -1150,7 +1261,7 @@ class CurationIngest:
         drops: dict[str, int] = {}
         prev: int | None = None
         for name, ob in taps:
-            n = int(ob.get["n"])
+            n = self._tap_count(ob)
             counts[name] = n
             if prev is not None:
                 drops[name] = prev - n

@@ -1586,3 +1586,151 @@ def test_compact_ingest_log_noop_when_nothing_new(spark, tmp_path):
     res3 = ing.compact_ingest_log(spark, max_age_sec=0.0)
     assert res3["generation"] != res1["generation"]
     assert res3["dropped_aged_rows"] == 2
+
+
+def test_parallel_appends_match_sequential(spark, tmp_path):
+    """The concurrent store appends (r12 floor cut) produce stores
+    identical to the sequential form — same curated rows, fingerprints,
+    band keys, index segments, and ledger — because order between the
+    independent appends was never load-bearing."""
+    import os
+
+    def run(sub: str, parallel: bool) -> CurationIngest:
+        ing = CurationIngest(
+            str(tmp_path / sub), run_id="r1",
+            media_dedup=True, media_near_dedup=True, text_near_dedup=True,
+            text_index=True, vector_index=True, embed_dim=16,
+            vector_n_lists=2, host_col="host", host_links_col="out_links",
+            parallel_appends=parallel,
+        )
+        rows = [
+            (0, _NEAR_A, b"m0" * 40, "h0", ["h1"]),
+            (1, _OTHER, b"m1" * 40, "h1", ["h0"]),
+            (2, _NEAR_A, b"m0" * 40, "h0", ["h1"]),  # exact dup of 0
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, payload binary, host string, "
+            "out_links array<string>",
+        )
+        ing.process_batch(df, batch_id=0)
+        ing.process_batch(
+            spark.createDataFrame(
+                [(3, _NEAR_A2, b"m3" * 40, "h2", ["h0"])],
+                "doc_id long, text string, payload binary, host string, "
+                "out_links array<string>",
+            ),
+            batch_id=1,
+        )
+        return ing
+
+    par, seq = run("par", True), run("seq", False)
+
+    from adsb_clickhouse_spark.streaming.curation import _has_parquet
+
+    def rows(ing, path):
+        if not _has_parquet(path):
+            return []
+        df = spark.read.parquet(path)
+        cols = sorted(c for c in df.columns if c != "batch_id")
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    # EVERY store's full content, column by column (batch_id excluded —
+    # identical by construction): curated docs, fingerprints, both band
+    # stores, host edges
+    for attr in (
+        "curated_path",
+        "fps_path",
+        "phash_bands_path",
+        "text_bands_path",
+        "host_edges_path",
+    ):
+        assert rows(par, getattr(par, attr)) == rows(seq, getattr(seq, attr))
+    # vector index: the union of all segment vectors, id -> components
+    def vecs(ing):
+        seg_root = os.path.join(ing.vector_index_path, "segments")
+        out = {}
+        for e in os.listdir(seg_root):
+            if e.startswith("_") or not _has_parquet(
+                os.path.join(seg_root, e, "vectors")
+            ):
+                continue
+            for r in spark.read.parquet(
+                os.path.join(seg_root, e, "vectors")
+            ).collect():
+                out[r["id"]] = list(r["v"])
+        return out
+
+    assert vecs(par) == vecs(seq)
+    # text index: same segment count and same postings content
+    def postings(ing):
+        seg_root = os.path.join(ing.index_path, "segments")
+        segs = [
+            e
+            for e in os.listdir(seg_root)
+            if not e.startswith("_")
+            and _has_parquet(os.path.join(seg_root, e, "postings"))
+        ]
+        if not segs:
+            return []
+        df = spark.read.parquet(
+            *(os.path.join(seg_root, e, "postings") for e in segs)
+        )
+        cols = sorted(df.columns)
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    assert postings(par) == postings(seq)
+    assert par.ingest_report(spark)["admitted"] == seq.ingest_report(spark)["admitted"]
+    # per-stage walls recorded for every append plus the section total
+    assert "store_appends_total" in par.last_stage_wall
+    assert "fps_append" in par.last_stage_wall
+
+
+def test_fully_deduped_batch_does_not_crash_observability(spark, tmp_path):
+    """A batch whose every row is dropped before the later funnel taps
+    (here: the only doc is a near-dup of a stored one) must still
+    commit with an exact stats row. Before the r12 fix, AQE's
+    empty-relation propagation pruned the CollectMetrics node of a
+    zero-row tap, the ObservationManager completed the observation
+    with a schemaless empty row, and Observation.get crashed the batch
+    — a fully-deduplicated micro-batch killed the stream."""
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1", media_dedup=True, media_near_dedup=True,
+        text_near_dedup=True, text_index=True, vector_index=True,
+        embed_dim=16, vector_n_lists=2, host_col="host",
+        host_links_col="out_links",
+    )
+    import hashlib
+
+    def payload(seed: str) -> bytes:
+        # high-entropy distinct blobs: the fake phash backend can
+        # legitimately band-match low-entropy repeated-byte payloads
+        out = b""
+        for j in range(40):
+            out += hashlib.md5(f"{seed}|{j}".encode()).digest()
+        return out
+
+    schema = ("doc_id long, text string, payload binary, host string, "
+              "out_links array<string>")
+    ing.process_batch(
+        spark.createDataFrame(
+            [(0, _NEAR_A, payload("p0"), "h0", ["h1"]),
+             (1, _OTHER, payload("p1"), "h1", ["h0"])],
+            schema,
+        ),
+        batch_id=0,
+    )
+    # batch 1: ONLY a near-dup — zero survivors reach the media taps
+    ing.process_batch(
+        spark.createDataFrame(
+            [(2, _NEAR_A2, payload("p2"), "h2", ["h0"])], schema
+        ),
+        batch_id=1,
+    )
+    rep = ing.ingest_report(spark)
+    assert rep["n_batches"] == 2
+    latest = rep["latest_batch"]
+    assert latest["rows_in"] == 1 and latest["admitted"] == 0
+    # the drop landed on the text-near-store gate, exactly
+    assert latest["dropped_text_near_store"] == 1
+    assert ing.curated(spark).count() == 2  # batch 1 admitted nothing

@@ -55,7 +55,7 @@ def _batches(spark, lo: int, n: int):
     )
 
 
-def _run_size(spark, n: int, k: int) -> dict:
+def _run_size(spark, n: int, k: int, parallel: bool = True) -> dict:
     from adsb_clickhouse_spark.streaming.curation import CurationIngest
 
     base = tempfile.mkdtemp(prefix=f"floor_{n}_")
@@ -72,6 +72,7 @@ def _run_size(spark, n: int, k: int) -> dict:
             vector_n_lists=4,
             host_col="host",
             host_links_col="out_links",
+            parallel_appends=parallel,
         )
         total: list[float] = []
         stage_runs: dict[str, list[float]] = {}
@@ -98,15 +99,23 @@ def _run_size(spark, n: int, k: int) -> dict:
 
 
 def main() -> int:
-    small = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000
-    big = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    argv = [a for a in sys.argv[1:] if a != "--sequential"]
+    parallel = "--sequential" not in sys.argv
+    small = int(argv[0]) if len(argv) > 0 else 5_000
+    big = int(argv[1]) if len(argv) > 1 else 50_000
+    k = int(argv[2]) if len(argv) > 2 else 3
 
     from adsb_clickhouse_spark.session import get_spark
 
     spark = get_spark("ingest-floor")
     spark.sparkContext.setLogLevel("ERROR")
-    out = {"runs": [_run_size(spark, small, k), _run_size(spark, big, k)]}
+    out = {
+        "parallel_appends": parallel,
+        "runs": [
+            _run_size(spark, small, k, parallel),
+            _run_size(spark, big, k, parallel),
+        ],
+    }
     # fixed-floor estimate per stage: the wall that did NOT move with a
     # 10x batch (min of the two medians is the floor upper bound)
     s_small = out["runs"][0]["stages"]
@@ -115,8 +124,21 @@ def main() -> int:
         s: min(s_small[s], s_big.get(s, s_small[s]))
         for s in s_small
     }
+    # the total must not double-count: store_appends_total SPANS the six
+    # per-append walls (which also OVERLAP each other in parallel mode),
+    # so the elapsed-wall total sums the section once and skips the
+    # per-append members it contains
+    append_members = {
+        s for s in out["fixed_floor_est"] if s.endswith("_append")
+    }
+    skip = (
+        append_members
+        if "store_appends_total" in out["fixed_floor_est"]
+        else set()
+    )
     out["fixed_floor_total_est"] = round(
-        sum(out["fixed_floor_est"].values()), 2
+        sum(v for s, v in out["fixed_floor_est"].items() if s not in skip),
+        2,
     )
     print(json.dumps(out))
     return 0
