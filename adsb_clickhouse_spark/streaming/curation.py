@@ -1146,13 +1146,17 @@ class CurationIngest:
                     futures = [
                         # inheritable_thread_target propagates THIS
                         # thread's JVM-local properties (the streaming
-                        # job group, description, scheduler pool) into
-                        # the worker thread — without it, a
-                        # StreamingQuery.stop() could no longer cancel
-                        # in-flight append jobs and a FAIR pool would
-                        # be silently dropped (r12 review)
+                        # job group, description, scheduler pool) AND
+                        # the session's tags into the worker thread —
+                        # without it, a StreamingQuery.stop() could no
+                        # longer cancel in-flight append jobs and a
+                        # FAIR pool would be silently dropped (r12
+                        # review); the session-form wrapper also
+                        # carries interrupt tags
                         ex.submit(
-                            inheritable_thread_target(_timed_append), s, fn
+                            inheritable_thread_target(spark)(_timed_append),
+                            s,
+                            fn,
                         )
                         for s, fn in appends
                     ]
