@@ -463,6 +463,21 @@ class CurationIngest:
         the next fold re-unions. Returns the number folded."""
         if not os.path.isdir(self.commits_path):
             return 0
+        # GC stale marker tmp files (a crashed _write_marker's leftover —
+        # same leak class as .fold-staging). Age-gated: a young tmp may
+        # belong to an in-flight _write_marker racing this maintain;
+        # deleting it would fail that batch's os.replace (replay
+        # converges it, but don't cause the crash we're cleaning up)
+        import time as _t
+
+        for e in os.listdir(self.commits_path):
+            if ".tmp." in e:
+                p = os.path.join(self.commits_path, e)
+                try:
+                    if _t.time() - os.path.getmtime(p) > 3600:
+                        os.unlink(p)
+                except OSError:
+                    pass
         files = [
             e
             for e in os.listdir(self.commits_path)
@@ -1295,7 +1310,7 @@ class CurationIngest:
         plus the per-batch ``batch_id=`` segments not yet folded —
         ``compact_ingest_log`` bounds the one-tiny-parquet-per-batch
         growth the r11 verdict flagged."""
-        from ..plans.genstore import folded_set, gen_name
+        from ..plans.genstore import gen_name
 
         gen = gen_name(self.ingest_log_path)
         live = _live_seg_dirs(self.ingest_log_path)

@@ -1734,3 +1734,25 @@ def test_fully_deduped_batch_does_not_crash_observability(spark, tmp_path):
     # the drop landed on the text-near-store gate, exactly
     assert latest["dropped_text_near_store"] == 1
     assert ing.curated(spark).count() == 2  # batch 1 admitted nothing
+
+
+def test_compact_markers_gc_stale_tmp_only(spark, tmp_path):
+    """A crashed _write_marker's .tmp leftover is GC'd by marker
+    retention once it is old (kill -9 has no finally), while a YOUNG
+    tmp — possibly an in-flight racing write — is left alone."""
+    import os
+    import time
+
+    ing = CurationIngest(str(tmp_path), run_id="r1")
+    ing.process_batch(_docs(spark, [(0, _NEAR_A)]), batch_id=0)
+    old = os.path.join(ing.commits_path, "br1-9.tmp.deadbeef")
+    young = os.path.join(ing.commits_path, "br1-8.tmp.cafebabe")
+    for p in (old, young):
+        with open(p, "w") as fh:
+            fh.write("x")
+    os.utime(old, (time.time() - 7200, time.time() - 7200))
+    assert ing.compact_markers() == 1  # the real marker folded
+    names = set(os.listdir(ing.commits_path))
+    assert "br1-9.tmp.deadbeef" not in names  # stale tmp swept
+    assert "br1-8.tmp.cafebabe" in names  # young tmp untouched
+    assert ing._is_committed("br1-0")
