@@ -32,6 +32,17 @@ _SUBS: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"\(subquery #_\)"), "(subquery _)"),
     # whole-stage-codegen stage numbers:  *(3) HashAggregate -> *(_) ...
     (re.compile(r"\*\(\d+\)"), "*(_)"),
+    # ...and their detail-section forms. The codegen counter is
+    # JVM-global and varies with broadcast-thread scheduling even for
+    # an identical run sequence (observed 24 vs 25 on back-to-back
+    # identical builds), so all three spellings must normalize:
+    (re.compile(r"\[codegen id : \d+\]"), "[codegen id : _]"),
+    (re.compile(r"WholeStageCodegen \(\d+\)"), "WholeStageCodegen (_)"),
+    # a WholeStageCodegen node's Arguments line is its bare stage id.
+    # (CollectLimit's bare-integer Arguments is normalized too — a
+    # pure LIMIT-literal change goes undetected, accepted over a
+    # false 'plan change' on codegen-counter drift every round.)
+    (re.compile(r"^Arguments: \d+$", re.MULTILINE), "Arguments: _"),
     # filesystem paths (testdata, tempdirs, checkpoint dirs, file: URIs)
     (re.compile(r"(file:)?/[^\s,\]\)]+"), "<path>"),
     # parallelism literals vary with SPARK_GRAFT_CPUS, not with the plan

@@ -104,3 +104,20 @@ def test_error_fingerprints_are_stable():
     # would flag a spurious plan change every round)
     exc = ValueError("/tmp/run-4f3a9c/part-0001.parquet missing")
     assert f"error:{type(exc).__name__}" == "error:ValueError"
+
+
+def test_codegen_counter_normalization():
+    # the codegen counter is JVM-global and drifts with broadcast-thread
+    # scheduling — all three spellings must normalize (observed unstable
+    # across identical back-to-back runs before the r12 fix)
+    text = ("*(3) HashAggregate\n"
+            "(32) Scan ExistingRDD [codegen id : 24]\n"
+            "(65) WholeStageCodegen (24)\n"
+            "Arguments: 24\n"
+            "Arguments: 100, [x#12 ASC]\n")
+    n = normalize_plan(text)
+    assert "[codegen id : _]" in n and "codegen id : 24" not in n
+    assert "WholeStageCodegen (_)" in n
+    assert "\nArguments: _" in n
+    # multi-valued Arguments lines are NOT digit-only and stay intact
+    assert "Arguments: 100, [x#_ ASC]" in n

@@ -1,0 +1,91 @@
+"""Verify the committed plan-fingerprint baseline against a FRESH build.
+
+The cross-round regression contract (bench.py emits ``PLANS_r{N}.json``,
+next round diffs against it) only works if an unchanged registry row
+fingerprints identically across JVMs, temp dirs, and rounds. This tool
+rebuilds every registry row's plan in the current (fresh) JVM and diffs
+the fingerprints against the newest committed ``PLANS_r*.json`` —
+exit 0 iff all rows match, else it names each changed row with its
+before/after operator trees (exactly what the bench would report).
+
+Each row is EXECUTED (collect) before fingerprinting — the bench
+fingerprints the post-execution plan, which under AQE is the FINAL
+plan (ResultQueryStage / AQEShuffleRead reflecting the runtime
+re-plan); a built-but-unexecuted plan shows only the initial plan and
+would mismatch every row.
+
+Usage: python tools/check_plan_fingerprints.py [sf_dir]
+Default sf_dir: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1 (must match
+the directory the committed baseline was generated against — plan
+fingerprints include the read schema, not the path).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(here)
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+
+    def _round(p: str):
+        m = re.fullmatch(r"PLANS_r(\d+)\.json", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    files = sorted(glob.glob(os.path.join(repo, "PLANS_r*.json")), key=_round)
+    if not files:
+        print("no committed PLANS_r*.json to check against")
+        return 2
+    with open(files[-1]) as fh:
+        committed = json.load(fh)
+
+    from adsb_clickhouse_spark.plans.fingerprint import diff_plans, plan_fingerprint
+    from adsb_clickhouse_spark.session import get_spark
+
+    import adsb_clickhouse_spark.queries as q
+
+    q.load_all()
+    spark = get_spark("plan-fingerprint-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    fresh: dict = {}
+    for name, spec in q.REGISTRY.items():
+        try:
+            df = spec.spark(spark, sf_dir)
+            df.collect()  # AQE-final plan, matching the bench's convention
+            fresh[name] = plan_fingerprint(df)
+        except Exception as exc:
+            fresh[name] = {"hash": f"error:{type(exc).__name__}", "ops": [str(exc)[:200]]}
+
+    changes = diff_plans(committed, fresh)
+    out = {
+        "baseline": os.path.basename(files[-1]),
+        "rows": len(fresh),
+        "changed": sorted(k for k in changes if not k.startswith(("+", "-"))),
+        "added": sorted(k[1:] for k in changes if k.startswith("+")),
+        "removed": sorted(k[1:] for k in changes if k.startswith("-")),
+    }
+    print(json.dumps(out))
+    for name, body in changes.items():
+        if body:
+            print(f"--- {name} prev ops:")
+            print("\n".join(body["prev_ops"]))
+            print(f"+++ {name} cur ops:")
+            print("\n".join(body["cur_ops"]))
+    return 1 if changes else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
