@@ -14,10 +14,16 @@ plan (ResultQueryStage / AQEShuffleRead reflecting the runtime
 re-plan); a built-but-unexecuted plan shows only the initial plan and
 would mismatch every row.
 
-Usage: python tools/check_plan_fingerprints.py [sf_dir]
+Usage: python tools/check_plan_fingerprints.py [sf_dir] [--selftest]
 Default sf_dir: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1 (must match
 the directory the committed baseline was generated against — plan
 fingerprints include the read schema, not the path).
+
+``--selftest`` is the NEGATIVE control: it deliberately changes plans
+(``spark.sql.autoBroadcastJoinThreshold=-1`` — every auto-broadcast
+join becomes a sort-merge join) and exits 0 iff the diff CATCHES it,
+proving the detector fires on a real regression, not just stays quiet
+on a no-op.
 """
 
 from __future__ import annotations
@@ -34,9 +40,11 @@ sys.path.insert(0, ".")
 def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
     repo = os.path.dirname(here)
+    selftest = "--selftest" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--selftest"]
     sf_dir = (
-        sys.argv[1]
-        if len(sys.argv) > 1
+        argv[0]
+        if argv
         else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
 
@@ -59,6 +67,10 @@ def main() -> int:
     q.load_all()
     spark = get_spark("plan-fingerprint-check")
     spark.sparkContext.setLogLevel("ERROR")
+    if selftest:
+        # the deliberate regression: auto-broadcast off, every
+        # broadcast-eligible join degrades to sort-merge
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     fresh: dict = {}
     for name, spec in q.REGISTRY.items():
@@ -84,6 +96,18 @@ def main() -> int:
             print("\n".join(body["prev_ops"]))
             print(f"+++ {name} cur ops:")
             print("\n".join(body["cur_ops"]))
+    if selftest:
+        # success = the detector FIRED and the op-tree diff names the
+        # lost broadcasts
+        smj = [
+            k
+            for k, body in changes.items()
+            if body
+            and any("SortMergeJoin" in l for l in body.get("cur_ops", []))
+            and any("BroadcastHashJoin" in l for l in body.get("prev_ops", []))
+        ]
+        print(json.dumps({"selftest_detected": len(changes), "broadcast_to_smj": smj}))
+        return 0 if smj else 1
     return 1 if changes else 0
 
 
