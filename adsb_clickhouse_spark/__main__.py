@@ -122,46 +122,51 @@ def cmd_curate_maintain(args) -> int:
         text_max_band_freq=args.text_max_band_freq,
         **law_kwargs,
     )
-    fps = ing.compact_fingerprints(
-        spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced
-    )
-    print(f"fingerprints: {fps}")
-    if args.near_dedup:
-        cur = ing.compact_curated(
-            spark,
-            threshold=args.threshold,
-            assume_quiesced=args.assume_quiesced,
+    # the single-maintainer lease: a second curate-maintain (or a
+    # scheduler double-fire) on the same base_dir blocks, then fails
+    # loudly with TimeoutError instead of staging a rival fold whose
+    # work the pointer swap throws away (r12 verdict item 4)
+    with ing.maintenance_lease():
+        fps = ing.compact_fingerprints(
+            spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced
         )
-        print(f"curated: {cur}")
-    if args.compact_index:
-        idx = ing.compact_text_index(spark)
-        print(f"text_index: {idx}")
-    if args.compact_vectors:
-        from .operators.search import _gen_name
-
-        if _gen_name(ing.vector_index_path) is not None:
-            print(
-                "vector_index: "
-                f"{ing.compact_vector_index(spark, assume_quiesced=args.assume_quiesced)}"
+        print(f"fingerprints: {fps}")
+        if args.near_dedup:
+            cur = ing.compact_curated(
+                spark,
+                threshold=args.threshold,
+                assume_quiesced=args.assume_quiesced,
             )
-        else:
-            print("vector_index: none at this base dir")
-    if args.compact_bands:
-        print(
-            "phash_bands: "
-            f"{ing.compact_phash_bands(spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced)}"
-        )
-        print(
-            "text_bands: "
-            f"{ing.compact_text_bands(spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced)}"
-        )
-    if args.recompute_host_ranks:
-        print(f"host_ranks: {ing.recompute_host_ranks(spark)}")
-    if args.fold_ingest_log:
-        print(
-            "ingest_log: "
-            f"{ing.compact_ingest_log(spark, max_age_sec=args.max_log_age_sec, assume_quiesced=args.assume_quiesced)}"
-        )
+            print(f"curated: {cur}")
+        if args.compact_index:
+            idx = ing.compact_text_index(spark)
+            print(f"text_index: {idx}")
+        if args.compact_vectors:
+            from .operators.search import _gen_name
+
+            if _gen_name(ing.vector_index_path) is not None:
+                print(
+                    "vector_index: "
+                    f"{ing.compact_vector_index(spark, assume_quiesced=args.assume_quiesced)}"
+                )
+            else:
+                print("vector_index: none at this base dir")
+        if args.compact_bands:
+            print(
+                "phash_bands: "
+                f"{ing.compact_phash_bands(spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced)}"
+            )
+            print(
+                "text_bands: "
+                f"{ing.compact_text_bands(spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced)}"
+            )
+        if args.recompute_host_ranks:
+            print(f"host_ranks: {ing.recompute_host_ranks(spark)}")
+        if args.fold_ingest_log:
+            print(
+                "ingest_log: "
+                f"{ing.compact_ingest_log(spark, max_age_sec=args.max_log_age_sec, assume_quiesced=args.assume_quiesced)}"
+            )
     return 0
 
 

@@ -42,15 +42,12 @@ round-before-ordering, ties on doc_id):
     tfn(t,d) = tf·(k1 + 1) / (tf + k1·(1 − b + b·dl/avgdl))
     score    = round(Σ_t idf·tfn, 4)
 
-Metadata I/O note: the pointer/manifest/segment-listing layer uses
-POSIX file ops (open/os.replace/os.listdir), the same discipline as
-the curation fingerprint store it mirrors — correct on local and NFS
-filesystems, where os.replace gives the atomic pointer swap. Against
-object storage, route these through the Hadoop FileSystem API exactly
-as packing.py::write_training_shards does for its manifest (the
-template is in-repo), and back the pointer swap with the store's
-conditional-put/rename primitive; the parquet data paths already go
-through Spark's Hadoop FS layer and need no change.
+Metadata I/O note: the pointer/manifest/segment-listing layer goes
+through the plans/storeio.py seam — POSIX by default (atomic
+os.replace pointer swap; correct on local and NFS filesystems), a
+LOUD failure on object-store paths, and a registerable implementation
+slot for a conditional-put-backed port; the parquet data paths already
+go through Spark's Hadoop FS layer and need no change.
 
 No reference-repo equivalent (the reference is an ADS-B pipeline);
 this is a retrieval extension of the engine like the ANN family.
@@ -199,11 +196,10 @@ def _has_postings(part: str) -> bool:
     from an EMPTY batch (or the stats-only bootstrap generation) has a
     postings dir with no parquet files — Spark can't infer a schema
     from it, so readers must skip it; its stats row contributes 0."""
+    from ..plans.storeio import storeio_for
+
     root = os.path.join(part, "postings")
-    for dirpath, _dirs, files in os.walk(root):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+    return storeio_for(root).has_files(root, ".parquet")
 
 
 def _write_index_part(tfs: DataFrame, out: str, B: int, positional: bool) -> None:
@@ -303,13 +299,16 @@ def write_text_index(
     leaves the old index readable. Build cost is the one posting
     aggregation the in-memory search pays, plus the bucketed write —
     amortized over every later probe, exactly like the IVF-ADC layout."""
+    from ..plans.storeio import storeio_for
+
     B = int(n_buckets)
     spark = docs.sparkSession
+    _sio = storeio_for(path)
     old_gen = _gen_name(path)
     seg_root = os.path.join(path, "segments")
     all_segments = (
-        sorted(e for e in os.listdir(seg_root) if not e.startswith("_"))
-        if os.path.isdir(seg_root)
+        sorted(e for e in _sio.listdir(seg_root) if not e.startswith("_"))
+        if _sio.isdir(seg_root)
         else []
     )
     tfs = doc_term_freqs(

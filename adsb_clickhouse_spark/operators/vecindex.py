@@ -125,30 +125,34 @@ _SEGMENT_GEN_MARKER = "_GEN_AT_APPEND"
 
 def _write_segment_gen(seg_dir: str, gen: str) -> None:
     """Record which generation's centroids assigned this segment's
-    list_ids — atomic replace so readers see the old value or the new,
-    never a torn write."""
-    tmp = os.path.join(seg_dir, f".{_SEGMENT_GEN_MARKER}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(gen)
-    os.replace(tmp, os.path.join(seg_dir, _SEGMENT_GEN_MARKER))
+    list_ids — atomic publish (StoreIO.write_atomic) so readers see the
+    old value or the new, never a torn write."""
+    from ..plans.storeio import storeio_for
+
+    storeio_for(seg_dir).write_atomic(
+        os.path.join(seg_dir, _SEGMENT_GEN_MARKER), gen
+    )
 
 
 def _segment_gen(seg_dir: str) -> str | None:
+    from ..plans.storeio import storeio_for
+
     try:
-        with open(os.path.join(seg_dir, _SEGMENT_GEN_MARKER)) as fh:
-            return fh.read().strip() or None
-    except FileNotFoundError:
+        return (
+            storeio_for(seg_dir)
+            .read_text(os.path.join(seg_dir, _SEGMENT_GEN_MARKER))
+            .strip()
+            or None
+        )
+    except OSError:
         return None
 
 
 def _has_vectors(part: str) -> bool:
+    from ..plans.storeio import storeio_for
+
     root = os.path.join(part, "vectors")
-    if not os.path.isdir(root):
-        return False
-    for sub, _dirs, files in os.walk(root):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+    return storeio_for(root).has_files(root, ".parquet")
 
 
 def init_vector_index(

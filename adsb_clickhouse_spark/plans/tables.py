@@ -47,9 +47,7 @@ implementation (MERGE INTO + time travel) changes only this module.
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
 import time
 import uuid
 from datetime import date, datetime, timedelta, timezone
@@ -58,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.latest import latest_per_key
+from .storeio import storeio_for
 
 PARTITION_COL = "scrape_date"
 _POINTER = "_CURRENT"
@@ -101,10 +100,11 @@ def append_history(
     if batch_id is not None:
         # replay overwrite: drop every day's leftovers of this batch before
         # rewriting (handles attempt 1 writing days the replay doesn't)
-        for leftover in glob.glob(
+        io = storeio_for(path)
+        for leftover in io.glob(
             os.path.join(path, PARTITION_COL + "=*", f"batch_id={seg}")
         ):
-            shutil.rmtree(leftover, ignore_errors=True)
+            io.rmtree(leftover)
     (
         with_partition_col(df, ts)
         .withColumn("batch_id", F.lit(seg))
@@ -191,56 +191,77 @@ def read_history(
 
 
 def _atomic_swap(src: str, dst: str) -> None:
-    """Replace dst dir with src dir; POSIX rename is atomic per entry.
-    Used by partition compaction (single-writer maintenance job); state
-    commits use the snapshot+pointer protocol instead. The displaced dir
-    gets a dot-prefixed name so a crash between rename and rmtree leaves
-    only entries Spark's partition discovery and our listers ignore."""
+    """Replace dst dir with src dir; StoreIO.rename is atomic per entry
+    (POSIX rename on the default implementation). Used by partition
+    compaction (single-writer maintenance job); state commits use the
+    snapshot+pointer protocol instead. The displaced dir gets a
+    dot-prefixed name so a crash between rename and rmtree leaves only
+    entries Spark's partition discovery and our listers ignore."""
+    io = storeio_for(dst)
     tmp_old = os.path.join(
         os.path.dirname(dst), f".{os.path.basename(dst)}.old.{uuid.uuid4().hex}"
     )
-    if os.path.exists(dst):
-        os.rename(dst, tmp_old)
-    os.rename(src, dst)
-    if os.path.exists(tmp_old):
-        shutil.rmtree(tmp_old)
+    if io.exists(dst):
+        io.rename(dst, tmp_old)
+    io.rename(src, dst)
+    if io.exists(tmp_old):
+        io.rmtree(tmp_old)
 
 
 class _WriterLock:
     """Single-writer serialization for state commits: all four per-source
     IngestPipelines upsert the shared combined/state table, so commits
     must not interleave (ADVICE r1: concurrent read-merge-overwrite can
-    drop prior state). ``O_CREAT|O_EXCL`` is atomic on POSIX and on
-    object-store-backed FUSE mounts; stale locks (crashed writer) are
-    broken after the timeout."""
+    drop prior state). ``StoreIO.create_exclusive`` admits exactly one
+    holder (``O_CREAT|O_EXCL``-equivalent — atomic on POSIX and on
+    object-store-backed FUSE mounts); stale locks (crashed writer) are
+    broken after the timeout.
 
-    def __init__(self, path: str, timeout_s: float = _LOCK_TIMEOUT_S):
-        self.lock_path = os.path.join(path, ".writer_lock")
+    Takeover rule: a contender that has waited out ``timeout_s`` breaks
+    the lock ONLY if the lock file is older than
+    ``max(10 * timeout_s, 300 s)`` — i.e. presumed dead, not merely
+    slow; otherwise it raises ``TimeoutError``. Also serves as the
+    store-level MAINTENANCE lease (``CurationIngest.maintenance_lease``):
+    two concurrent maintainers on one base_dir would stage rival folds
+    of the same segments and the loser's work is wasted, so the second
+    one fails loudly instead."""
+
+    def __init__(
+        self,
+        path: str,
+        timeout_s: float = _LOCK_TIMEOUT_S,
+        *,
+        name: str = ".writer_lock",
+    ):
+        self._io = storeio_for(path)
+        self.lock_path = os.path.join(path, name)
         self.timeout_s = timeout_s
 
     def __enter__(self):
         deadline = time.monotonic() + self.timeout_s
         while True:
-            try:
-                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
+            won, _ = self._io.create_exclusive(
+                self.lock_path, str(os.getpid())
+            )
+            if won:
                 return self
-            except FileExistsError:
-                if time.monotonic() > deadline:
-                    try:  # stale lock from a crashed writer — break it
-                        age = time.time() - os.path.getmtime(self.lock_path)
+            if time.monotonic() > deadline:
+                try:  # stale lock from a crashed writer — break it
+                    age = time.time() - self._io.mtime(self.lock_path)
+                except OSError:
+                    continue
+                if age > max(self.timeout_s * 10, 300.0):
+                    try:
+                        self._io.unlink(self.lock_path)
                     except OSError:
-                        continue
-                    if age > max(self.timeout_s * 10, 300.0):
-                        os.unlink(self.lock_path)
-                        continue
-                    raise TimeoutError(f"writer lock held: {self.lock_path}")
-                time.sleep(0.05)
+                        pass  # another contender broke it first
+                    continue
+                raise TimeoutError(f"writer lock held: {self.lock_path}")
+            time.sleep(0.05)
 
     def __exit__(self, *exc):
         try:
-            os.unlink(self.lock_path)
+            self._io.unlink(self.lock_path)
         except OSError:
             pass
         return False
@@ -248,8 +269,7 @@ class _WriterLock:
 
 def _current_version(path: str) -> str | None:
     try:
-        with open(os.path.join(path, _POINTER)) as fh:
-            v = fh.read().strip()
+        v = storeio_for(path).read_text(os.path.join(path, _POINTER)).strip()
         return v or None
     except OSError:
         return None
@@ -261,24 +281,23 @@ def _current_snapshot_dir(path: str) -> str | None:
 
 
 def _commit_pointer(path: str, version: str) -> None:
-    tmp = os.path.join(path, f".{_POINTER}.{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        fh.write(version)
-    os.replace(tmp, os.path.join(path, _POINTER))  # atomic on POSIX
+    # atomic publish: readers resolve the old snapshot or the new one
+    storeio_for(path).write_atomic(os.path.join(path, _POINTER), version)
 
 
 def _gc_snapshots(path: str, keep: str, grace_s: float) -> None:
     """Remove superseded snapshots older than the grace period — readers
     holding the old pointer (registered temp views) keep working until
     then; after an upsert, long-lived views should be re-registered."""
+    io = storeio_for(path)
     cutoff = time.time() - grace_s
-    for entry in os.listdir(path):
+    for entry in io.listdir(path):
         if not entry.startswith("v_") or entry == keep:
             continue
         full = os.path.join(path, entry)
         try:
-            if os.path.getmtime(full) < cutoff:
-                shutil.rmtree(full)
+            if io.mtime(full) < cutoff:
+                io.rmtree(full)
         except OSError:
             pass  # another GC won the race
 
@@ -305,7 +324,7 @@ def upsert_state(
     clobbering each other.
     """
     spark = batch.sparkSession
-    os.makedirs(path, exist_ok=True)
+    storeio_for(path).makedirs(path)
     with _WriterLock(path):
         cur = _current_snapshot_dir(path)
         candidates = batch
@@ -342,25 +361,26 @@ def expire_history(
     how many batch directories the day accumulated. Interim batch-major
     trees (``batch_id=*/scrape_date=*``) are walked too, pruning batch
     dirs emptied by the expiry."""
+    io = storeio_for(path)
     cutoff = (now or datetime.now(timezone.utc).date()) - timedelta(days=ttl_days)
     dropped = []
-    if not os.path.isdir(path):
+    if not io.isdir(path):
         return dropped
-    for entry in sorted(os.listdir(path)):
+    for entry in sorted(io.listdir(path)):
         full = os.path.join(path, entry)
         if entry.startswith(PARTITION_COL + "="):
             if date.fromisoformat(entry.split("=", 1)[1]) < cutoff:
-                shutil.rmtree(full)
+                io.rmtree(full)
                 dropped.append(entry)
-        elif entry.startswith("batch_id=") and os.path.isdir(full):
-            for sub in sorted(os.listdir(full)):
+        elif entry.startswith("batch_id=") and io.isdir(full):
+            for sub in sorted(io.listdir(full)):
                 if not sub.startswith(PARTITION_COL + "="):
                     continue
                 if date.fromisoformat(sub.split("=", 1)[1]) < cutoff:
-                    shutil.rmtree(os.path.join(full, sub))
+                    io.rmtree(os.path.join(full, sub))
                     dropped.append(os.path.join(entry, sub))
-            if not any(e.startswith(PARTITION_COL + "=") for e in os.listdir(full)):
-                shutil.rmtree(full)
+            if not any(e.startswith(PARTITION_COL + "=") for e in io.listdir(full)):
+                io.rmtree(full)
     return dropped
 
 

@@ -161,11 +161,9 @@ probe, not a corpus self-join.
 
 from __future__ import annotations
 
-import glob
 import hashlib
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -173,6 +171,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.curation import quality_signals
+from ..plans.storeio import storeio_for
 from .pipeline import _checkpoint_run_id
 
 _STORE_POINTER = "_STORE"
@@ -209,14 +208,15 @@ _INGEST_GATES = (
 
 
 def _clear_segment(path: str, seg: str) -> None:
-    for leftover in glob.glob(os.path.join(path, f"batch_id={seg}")):
-        shutil.rmtree(leftover, ignore_errors=True)
+    io = storeio_for(path)
+    io.rmtree(os.path.join(path, f"batch_id={seg}"))
 
 
 def _seg_dirs(path: str) -> list[str]:
-    if not os.path.isdir(path):
+    io = storeio_for(path)
+    if not io.isdir(path):
         return []
-    return sorted(e for e in os.listdir(path) if e.startswith("batch_id="))
+    return sorted(e for e in io.listdir(path) if e.startswith("batch_id="))
 
 
 def _seg_name(entry: str) -> str:
@@ -239,12 +239,7 @@ def _has_parquet(path: str) -> bool:
     guards every read of a possibly-empty segment write (a zero-row
     partitionBy write leaves only _SUCCESS, and reading that throws
     UNABLE_TO_INFER_SCHEMA)."""
-    if not os.path.isdir(path):
-        return False
-    for _sub, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+    return storeio_for(path).has_files(path, ".parquet")
 
 
 def stored_band_law_params(path: str, *, marker: str | None = None) -> dict[str, int]:
@@ -260,8 +255,9 @@ def stored_band_law_params(path: str, *, marker: str | None = None) -> dict[str,
     from ..plans.genstore import LAW_MARKER
 
     try:
-        with open(os.path.join(path, marker or LAW_MARKER)) as fh:
-            law = fh.read().strip()
+        law = storeio_for(path).read_text(
+            os.path.join(path, marker or LAW_MARKER)
+        ).strip()
     except OSError:
         return {}
     out: dict[str, int] = {}
@@ -345,6 +341,13 @@ class CurationIngest:
         ingest_stats: bool = True,
         parallel_appends: bool = True,
     ):
+        # the commit-metadata seam (plans/storeio.py): resolves the
+        # POSIX implementation for plain paths and FAILS LOUDLY here —
+        # at construction, before any batch — for s3://...-style base
+        # dirs whose namespaces lack the atomic primitives the commit
+        # protocol (markers, pointers, law bootstrap) depends on
+        self.base_dir = base_dir
+        self._io = storeio_for(base_dir)
         self.curated_path = os.path.join(base_dir, "curated")
         self.fps_path = os.path.join(base_dir, "fingerprints")
         self.commits_path = os.path.join(base_dir, _COMMITS_DIR)
@@ -420,34 +423,36 @@ class CurationIngest:
     def _committed_manifest_set(self) -> set:
         """Marker names folded into ``_commits/_COMMITTED`` by marker
         retention (see ``compact_ingest_log``) — semantically identical
-        to one marker file per line. Cached by file mtime: the manifest
-        changes only under maintenance, but ``_is_committed`` runs per
-        batch."""
+        to one marker file per line. Cached by the file's stat token
+        ((mtime_ns, size), not a float mtime: two folds inside one
+        coarse-granularity timestamp tick could otherwise leave a
+        reader serving a stale set — r12 advice); the manifest changes
+        only under maintenance, but ``_is_committed`` runs per batch."""
         mpath = os.path.join(self.commits_path, _COMMITTED_MANIFEST)
         try:
-            mtime = os.path.getmtime(mpath)
+            token = self._io.stat_token(mpath)
         except OSError:
             return set()
         cached = getattr(self, "_committed_manifest_cache", None)
-        if cached is not None and cached[0] == mtime:
+        if cached is not None and cached[0] == token:
             return cached[1]
-        with open(mpath) as fh:
-            names = {line.strip() for line in fh if line.strip()}
-        self._committed_manifest_cache = (mtime, names)
+        names = {
+            line.strip()
+            for line in self._io.read_text(mpath).splitlines()
+            if line.strip()
+        }
+        self._committed_manifest_cache = (token, names)
         return names
 
     def _is_committed(self, seg: str) -> bool:
         return (
-            os.path.exists(self._marker(seg))
+            self._io.exists(self._marker(seg))
             or seg in self._committed_manifest_set()
         )
 
     def _write_marker(self, seg: str) -> None:
-        os.makedirs(self.commits_path, exist_ok=True)
-        tmp = self._marker(seg) + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(seg)
-        os.replace(tmp, self._marker(seg))  # atomic on POSIX
+        self._io.makedirs(self.commits_path)
+        self._io.write_atomic(self._marker(seg), seg)  # atomic publish
 
     def compact_markers(self) -> int:
         """Fold per-batch commit-marker FILES into the ``_COMMITTED``
@@ -461,39 +466,37 @@ class CurationIngest:
         review). Manifest-write then unlink: a crash between the two
         leaves a marker both in the manifest and on disk — harmless,
         the next fold re-unions. Returns the number folded."""
-        if not os.path.isdir(self.commits_path):
+        if not self._io.isdir(self.commits_path):
             return 0
         # GC stale marker tmp files (a crashed _write_marker's leftover —
         # same leak class as .fold-staging). Age-gated: a young tmp may
         # belong to an in-flight _write_marker racing this maintain;
-        # deleting it would fail that batch's os.replace (replay
+        # deleting it would fail that batch's atomic publish (replay
         # converges it, but don't cause the crash we're cleaning up)
         import time as _t
 
-        for e in os.listdir(self.commits_path):
+        for e in self._io.listdir(self.commits_path):
             if ".tmp." in e:
                 p = os.path.join(self.commits_path, e)
                 try:
-                    if _t.time() - os.path.getmtime(p) > 3600:
-                        os.unlink(p)
+                    if _t.time() - self._io.mtime(p) > 3600:
+                        self._io.unlink(p)
                 except OSError:
                     pass
         files = [
             e
-            for e in os.listdir(self.commits_path)
+            for e in self._io.listdir(self.commits_path)
             if e != _COMMITTED_MANIFEST and ".tmp." not in e
         ]
         if not files:
             return 0
         names = self._committed_manifest_set() | set(files)
         mpath = os.path.join(self.commits_path, _COMMITTED_MANIFEST)
-        tmp = mpath + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(sorted(names)) + "\n")
-        os.replace(tmp, mpath)  # atomic: readers see old or new, never half
+        # atomic publish: readers see the old manifest or the new, never half
+        self._io.write_atomic(mpath, "\n".join(sorted(names)) + "\n")
         for e in files:
             try:
-                os.unlink(os.path.join(self.commits_path, e))
+                self._io.unlink(os.path.join(self.commits_path, e))
             except OSError:
                 pass
         return len(files)
@@ -1154,25 +1157,29 @@ class CurationIngest:
 
                 from pyspark import inheritable_thread_target
 
+                # inheritable_thread_target propagates THIS thread's
+                # JVM-local properties (the streaming job group,
+                # description, scheduler pool) AND the session's tags
+                # into the worker thread — without it, a
+                # StreamingQuery.stop() could no longer cancel
+                # in-flight append jobs and a FAIR pool would be
+                # silently dropped (r12 review); the session-form
+                # wrapper also carries interrupt tags. In legacy
+                # NON-pinned-thread mode (PYSPARK_PIN_THREAD=false)
+                # the session form returns the session itself, not a
+                # decorator (properties are process-global there, so
+                # there is nothing to propagate) — fall back to the
+                # plain callable rather than TypeError every batch
+                # (r12 advice).
+                deco = inheritable_thread_target(spark)
+                if not callable(deco) or isinstance(deco, SparkSession):
+                    deco = lambda f: f  # noqa: E731 — non-pinned mode
                 with ThreadPoolExecutor(
                     max_workers=len(appends),
                     thread_name_prefix="store-append",
                 ) as ex:
                     futures = [
-                        # inheritable_thread_target propagates THIS
-                        # thread's JVM-local properties (the streaming
-                        # job group, description, scheduler pool) AND
-                        # the session's tags into the worker thread —
-                        # without it, a StreamingQuery.stop() could no
-                        # longer cancel in-flight append jobs and a
-                        # FAIR pool would be silently dropped (r12
-                        # review); the session-form wrapper also
-                        # carries interrupt tags
-                        ex.submit(
-                            inheritable_thread_target(spark)(_timed_append),
-                            s,
-                            fn,
-                        )
+                        ex.submit(deco(_timed_append), s, fn)
                         for s, fn in appends
                     ]
                     # surface the FIRST failure after all settle (each
@@ -1450,10 +1457,10 @@ class CurationIngest:
         live = (
             [
                 e
-                for e in os.listdir(self.commits_path)
+                for e in self._io.listdir(self.commits_path)
                 if e != _COMMITTED_MANIFEST and ".tmp." not in e
             ]
-            if os.path.isdir(self.commits_path)
+            if self._io.isdir(self.commits_path)
             else []
         )
         committed = sorted(self._committed_manifest_set() | set(live))
@@ -1558,9 +1565,8 @@ class CurationIngest:
         folded: set[str] = set()
         for e in entries:
             mf = os.path.join(self.curated_path, e, _FOLDED_MANIFEST)
-            if os.path.exists(mf):
-                with open(mf) as fh:
-                    content = fh.read()
+            if self._io.exists(mf):
+                content = self._io.read_text(mf)
                 if content.lstrip().startswith("["):
                     # pre-r12 compactions wrote JSON arrays; the shared
                     # genstore manifest is one name per line
@@ -1660,10 +1666,10 @@ class CurationIngest:
 
     @staticmethod
     def _keyed_table_name(path: str) -> str | None:
-        ptr = os.path.join(path, _STORE_POINTER)
         try:
-            with open(ptr) as fh:
-                name = fh.read().strip()
+            name = storeio_for(path).read_text(
+                os.path.join(path, _STORE_POINTER)
+            ).strip()
             return name or None
         except OSError:
             return None
@@ -1764,7 +1770,7 @@ class CurationIngest:
         # pointer file: _STORE names a catalog table, not a gen dir
         swap_pointer(path, new_table, marker=_STORE_POINTER)
         for e in foldable:
-            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+            self._io.rmtree(os.path.join(path, e))
         if old_table is not None and old_table != new_table:
             spark.sql(f"DROP TABLE IF EXISTS {old_table}")
         return {
@@ -1831,6 +1837,44 @@ class CurationIngest:
         )
 
     # -- store lifecycle (maintenance jobs) -------------------------------
+    #
+    # CONCURRENCY CONTRACT (single writer, single maintainer): one
+    # CurationIngest stream owns a base_dir's per-batch appends, and at
+    # most one maintenance job runs against it at a time. The commit
+    # discipline makes VIOLATIONS safe but wasteful-or-loud, not silent:
+    # enforce_law's bootstrap is exclusive, compactions fold only
+    # marker-committed segments, and a second stream would collide on
+    # segment names — but two concurrent maintains would both stage
+    # rival folds of the same segments (the loser's full fold job is
+    # thrown away at its pointer swap, and marker retention racing
+    # _write_marker leans on the 1-hour tmp age gate). The lease below
+    # turns that contract into an explicit, testable guard.
+
+    def maintenance_lease(self, timeout_s: float | None = None):
+        """The store-level single-maintainer lease: a context manager
+        serializing maintenance jobs (compactions, rank recompute, log
+        fold) on this ``base_dir``. Reuses the state-table writer lock
+        (plans/tables.py::_WriterLock — exclusive create, atomic on
+        POSIX via the StoreIO seam) under ``.maintain_lock``.
+
+        Takeover rule (documented so operators can reason about a
+        crashed maintainer): a contender waits ``timeout_s`` (default
+        ``plans.tables._LOCK_TIMEOUT_S`` = 120 s), then breaks the lock
+        ONLY if its file is older than ``max(10 × timeout_s, 300 s)``
+        — presumed dead, not merely slow — and otherwise raises
+        ``TimeoutError`` loudly. The curate-maintain CLI wraps its
+        whole job sequence in this lease; programmatic callers running
+        maintenance concurrently with their own scheduler should do
+        the same (the lease is NOT re-entrant — take it once around
+        the sequence, not per compactor)."""
+        from ..plans.tables import _LOCK_TIMEOUT_S, _WriterLock
+
+        self._io.makedirs(self.base_dir)
+        return _WriterLock(
+            self.base_dir,
+            timeout_s=_LOCK_TIMEOUT_S if timeout_s is None else timeout_s,
+            name=".maintain_lock",
+        )
 
     def compact_fingerprints(
         self,

@@ -54,46 +54,39 @@ def _checkpoint_run_id(checkpoint_dir: str) -> str:
     globally unique share one lifetime: delete/replace the checkpoint and
     the next run gets fresh batch ids AND a fresh scope — batch 0 of the
     new run can neither overwrite nor be shadowed by batch 0 of the old
-    one. Written once with O_EXCL; concurrent creators converge on the
-    winner's id."""
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    marker = os.path.join(checkpoint_dir, "run_id")
-    try:
-        fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        try:
-            run_id = uuid.uuid4().hex[:12]
-            os.write(fd, run_id.encode())
-        finally:
-            os.close(fd)
-        return run_id
-    except FileExistsError:
-        with open(marker) as fh:
-            return fh.read().strip()
+    one. Written once exclusively (StoreIO.create_exclusive); concurrent
+    creators converge on the winner's id."""
+    from ..plans.storeio import storeio_for
+
+    io = storeio_for(checkpoint_dir)
+    io.makedirs(checkpoint_dir)
+    _won, run_id = io.create_exclusive(
+        os.path.join(checkpoint_dir, "run_id"), uuid.uuid4().hex[:12]
+    )
+    return run_id.strip()
 
 
 def _swap_generation(df: DataFrame, path: str) -> None:
     """Generational overwrite behind an atomic pointer (the
     fingerprint-store discipline): the new generation is fully written,
-    then one ``os.replace`` of the pointer, then old generations are
-    GC'd — a crash mid-refresh leaves the previous generation readable
-    and a replay converges."""
-    import shutil
+    then one atomic pointer publish, then old generations are GC'd — a
+    crash mid-refresh leaves the previous generation readable and a
+    replay converges."""
+    from ..plans.storeio import storeio_for
 
+    io = storeio_for(path)
     gen = f"gen-{uuid.uuid4().hex[:12]}"
     df.write.mode("overwrite").parquet(os.path.join(path, gen))
-    ptr = os.path.join(path, "_CURRENT")
-    tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        fh.write(gen)
-    os.replace(tmp, ptr)
-    for e in os.listdir(path):
+    io.write_atomic(os.path.join(path, "_CURRENT"), gen)
+    for e in io.listdir(path):
         if e.startswith("gen-") and e != gen:
-            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+            io.rmtree(os.path.join(path, e))
 
 
 def _read_generation(spark, path: str) -> DataFrame:
-    with open(os.path.join(path, "_CURRENT")) as fh:
-        gen = fh.read().strip()
+    from ..plans.storeio import storeio_for
+
+    gen = storeio_for(path).read_text(os.path.join(path, "_CURRENT")).strip()
     return spark.read.parquet(os.path.join(path, gen))
 
 

@@ -1,0 +1,68 @@
+"""The store-level single-maintainer lease (r12 verdict item 4): two
+concurrent maintains on one base_dir must not both stage rival folds —
+the second one blocks, then fails LOUDLY. Pure filesystem tests (the
+lease is StoreIO metadata, no Spark)."""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+
+from adsb_clickhouse_spark.streaming.curation import CurationIngest
+
+
+def test_second_maintainer_fails_loudly(tmp_path):
+    ing_a = CurationIngest(str(tmp_path))
+    ing_b = CurationIngest(str(tmp_path))  # a second driver, same store
+    with ing_a.maintenance_lease(timeout_s=0.3):
+        with pytest.raises(TimeoutError, match="lock held"):
+            with ing_b.maintenance_lease(timeout_s=0.3):
+                pass
+    # released: the second maintainer now acquires immediately
+    with ing_b.maintenance_lease(timeout_s=0.3):
+        assert os.path.exists(os.path.join(str(tmp_path), ".maintain_lock"))
+    assert not os.path.exists(os.path.join(str(tmp_path), ".maintain_lock"))
+
+
+def test_lease_serializes_concurrent_maintainers(tmp_path):
+    """Two threads racing the lease: their critical sections never
+    overlap (the 'rival fold' scenario the lease exists to prevent)."""
+    ing = CurationIngest(str(tmp_path))
+    active = []
+    overlaps = []
+
+    def maintainer(i: int) -> None:
+        with ing.maintenance_lease(timeout_s=5.0):
+            active.append(i)
+            if len(active) > 1:
+                overlaps.append(tuple(active))
+            time.sleep(0.05)
+            active.remove(i)
+
+    threads = [threading.Thread(target=maintainer, args=(i,)) for i in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert overlaps == []
+
+
+def test_stale_lock_takeover_rule(tmp_path):
+    """A lock whose file is older than max(10×timeout, 300 s) belongs
+    to a presumed-dead maintainer and is broken; a younger one is
+    honored with TimeoutError (the documented takeover rule)."""
+    ing = CurationIngest(str(tmp_path))
+    lock = os.path.join(str(tmp_path), ".maintain_lock")
+    with open(lock, "w") as fh:
+        fh.write("99999")  # a crashed maintainer's leftover
+    # young lock: honored — the contender times out loudly
+    with pytest.raises(TimeoutError):
+        with ing.maintenance_lease(timeout_s=0.2):
+            pass
+    # stale lock (older than the 300 s floor): broken and acquired
+    past = time.time() - 400.0
+    os.utime(lock, (past, past))
+    with ing.maintenance_lease(timeout_s=0.2):
+        pass  # acquired by takeover
+    assert not os.path.exists(lock)

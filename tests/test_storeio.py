@@ -1,0 +1,284 @@
+"""The commit-metadata seam (plans/storeio.py) tested against BOTH
+implementations: the POSIX default and the in-memory fake. The fake
+runs the genstore primitives end-to-end — proving the callers depend
+only on the StoreIO contract (atomic publish, exclusive create, atomic
+rename), not on the POSIX filesystem behind it — and the non-local-URI
+guard is the loud failure the 100 TB portability contract requires.
+No Spark session."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from adsb_clickhouse_spark.plans import genstore as G
+from adsb_clickhouse_spark.plans.storeio import (
+    LocalStoreIO,
+    MemStoreIO,
+    register_scheme,
+    storeio_for,
+    unregister_scheme,
+)
+
+
+@pytest.fixture()
+def mem():
+    io = MemStoreIO()
+    register_scheme("mem", io)
+    yield io
+    unregister_scheme("mem")
+
+
+def _both(tmp_path, mem):
+    return [
+        (LocalStoreIO(), str(tmp_path / "local")),
+        (mem, "mem://root"),
+    ]
+
+
+# -- interface contract, both implementations ---------------------------
+
+
+def test_write_atomic_read_roundtrip(tmp_path, mem):
+    for io, root in _both(tmp_path, mem):
+        io.makedirs(root)
+        p = os.path.join(root, "ptr")
+        io.write_atomic(p, "gen-1")
+        assert io.read_text(p) == "gen-1"
+        io.write_atomic(p, "gen-2")  # replace, not append
+        assert io.read_text(p) == "gen-2"
+        # no tmp litter from the atomic publishes
+        assert [e for e in io.listdir(root) if ".tmp." in e] == []
+
+
+def test_read_missing_raises_oserror(tmp_path, mem):
+    for io, root in _both(tmp_path, mem):
+        with pytest.raises(OSError):
+            io.read_text(os.path.join(root, "absent"))
+        with pytest.raises(OSError):
+            io.listdir(os.path.join(root, "absent-dir"))
+        with pytest.raises(OSError):
+            io.mtime(os.path.join(root, "absent"))
+        with pytest.raises(OSError):
+            io.unlink(os.path.join(root, "absent"))
+
+
+def test_create_exclusive_single_winner(tmp_path, mem):
+    for io, root in _both(tmp_path, mem):
+        io.makedirs(root)
+        p = os.path.join(root, "law")
+        won, content = io.create_exclusive(p, "first")
+        assert (won, content) == (True, "first")
+        won2, content2 = io.create_exclusive(p, "second")
+        assert (won2, content2) == (False, "first")  # loser reads winner
+        assert io.read_text(p) == "first"
+        assert [e for e in io.listdir(root) if ".tmp." in e] == []
+
+
+def test_create_exclusive_concurrent_exactly_one_winner(tmp_path, mem):
+    """N threads race the exclusive create: exactly one wins and every
+    loser reads the winner's content — the law-bootstrap/lock contract."""
+    for io, root in _both(tmp_path, mem):
+        io.makedirs(root)
+        p = os.path.join(root, "race")
+        results: list[tuple[bool, str]] = []
+        barrier = threading.Barrier(8)
+
+        def attempt(i: int) -> None:
+            barrier.wait()
+            results.append(io.create_exclusive(p, f"law-{i}"))
+
+        threads = [threading.Thread(target=attempt, args=(i,)) for i in range(8)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        winners = [c for won, c in results if won]
+        assert len(winners) == 1
+        assert all(c == winners[0] for _won, c in results)
+        assert io.read_text(p) == winners[0]
+
+
+def test_rename_publishes_whole_tree_and_refuses_existing(tmp_path, mem):
+    for io, root in _both(tmp_path, mem):
+        staging = os.path.join(root, ".staging")
+        io.makedirs(os.path.join(staging, "seg", "sub"))
+        io.write_atomic(os.path.join(staging, "seg", "sub", "f"), "x")
+        dst = os.path.join(root, "seg-final")
+        io.rename(os.path.join(staging, "seg"), dst)
+        assert io.read_text(os.path.join(dst, "sub", "f")) == "x"
+        assert not io.exists(os.path.join(staging, "seg"))
+        # a second staged dir cannot displace the committed one
+        io.makedirs(os.path.join(staging, "seg2"))
+        io.write_atomic(os.path.join(staging, "seg2", "f"), "y")
+        with pytest.raises(OSError):
+            io.rename(os.path.join(staging, "seg2"), dst)
+
+
+def test_listdir_isdir_rmtree_glob(tmp_path, mem):
+    for io, root in _both(tmp_path, mem):
+        io.makedirs(os.path.join(root, "segments", "b0"))
+        io.makedirs(os.path.join(root, "segments", "b1"))
+        io.write_atomic(os.path.join(root, "segments", "_marker"), "")
+        assert sorted(io.listdir(os.path.join(root, "segments"))) == [
+            "_marker", "b0", "b1",
+        ]
+        assert io.isdir(os.path.join(root, "segments", "b0"))
+        assert not io.isdir(os.path.join(root, "segments", "_marker"))
+        assert sorted(io.glob(os.path.join(root, "segments", "b*"))) == [
+            os.path.join(root, "segments", "b0"),
+            os.path.join(root, "segments", "b1"),
+        ]
+        io.rmtree(os.path.join(root, "segments", "b0"))
+        assert sorted(io.listdir(os.path.join(root, "segments"))) == [
+            "_marker", "b1",
+        ]
+        io.rmtree(os.path.join(root, "segments", "never-there"))  # ignore_errors
+
+
+def test_stat_token_changes_on_rewrite(tmp_path, mem):
+    """The cache-invalidation contract: same content or not, a rewrite
+    yields a different token (the (mtime_ns, size) r12-advice fix needs
+    at least size-or-time movement; MemStoreIO uses a sequence)."""
+    for io, root in _both(tmp_path, mem):
+        io.makedirs(root)
+        p = os.path.join(root, "manifest")
+        io.write_atomic(p, "a\n")
+        t1 = io.stat_token(p)
+        io.write_atomic(p, "a\nb\n")
+        assert io.stat_token(p) != t1
+
+
+def test_has_files_suffix(tmp_path, mem):
+    for io, root in _both(tmp_path, mem):
+        io.makedirs(os.path.join(root, "seg", "deep"))
+        assert not io.has_files(os.path.join(root, "seg"), ".parquet")
+        io.write_atomic(os.path.join(root, "seg", "deep", "part-0.parquet"), "")
+        assert io.has_files(os.path.join(root, "seg"), ".parquet")
+        assert not io.has_files(os.path.join(root, "absent"), ".parquet")
+
+
+# -- genstore primitives through the fake --------------------------------
+
+
+def test_genstore_fold_loop_on_mem(mem):
+    """The full generational fold loop (stage → manifest → swap → GC)
+    against the in-memory implementation: the crash-discipline logic is
+    pure StoreIO calls."""
+    path = "mem://stores/idx"
+    segs = os.path.join(path, "segments")
+    for name in ("b0", "b1"):
+        mem.makedirs(os.path.join(segs, name))
+    assert G.live_segments(path) == ["b0", "b1"]
+
+    built = {}
+
+    def build(out: str) -> None:
+        mem.makedirs(out)
+        mem.write_atomic(os.path.join(out, "data"), "folded-content")
+        built["dir"] = out
+
+    gen = G.fold_generation(
+        path, build, folded={"b0", "b1"},
+        gc_paths=[os.path.join(segs, "b0"), os.path.join(segs, "b1")],
+    )
+    assert G.gen_name(path) == gen
+    assert G.folded_set(path, gen) == {"b0", "b1"}
+    assert G.live_segments(path) == []
+    assert mem.read_text(os.path.join(built["dir"], "data")) == "folded-content"
+    # orphan-generation GC leaves only the pointed one
+    mem.makedirs(os.path.join(path, "gen-orphan"))
+    G.gc_orphan_generations(path, gen)
+    assert [e for e in mem.listdir(path) if e.startswith("gen-")] == [gen]
+
+
+def test_genstore_fold_into_segment_on_mem(mem):
+    path = "mem://stores/curated"
+    mem.makedirs(os.path.join(path, "batch_id=b0"))
+    mem.write_atomic(os.path.join(path, "batch_id=b0", "f"), "old")
+
+    def build(out: str) -> None:
+        mem.makedirs(out)
+        mem.write_atomic(os.path.join(out, "f"), "compacted")
+
+    G.fold_into_segment(
+        path, "batch_id=c0", build, folded={"b0"},
+        gc_paths=[os.path.join(path, "batch_id=b0")],
+    )
+    assert mem.read_text(os.path.join(path, "batch_id=c0", "f")) == "compacted"
+    assert mem.read_text(
+        os.path.join(path, "batch_id=c0", G.FOLDED_MANIFEST)
+    ).strip() == "b0"
+    assert not mem.exists(os.path.join(path, "batch_id=b0"))
+    # no staging litter
+    assert [e for e in mem.listdir(path) if e.startswith(".fold-staging")] == []
+
+
+def test_enforce_law_bootstrap_race_on_mem(mem):
+    """The law-bootstrap race on the fake: concurrent first-users with
+    DIFFERENT laws — exactly one law wins, every loser raises the loud
+    mismatch (the exclusive-create contract end-to-end, not simulated
+    by monkeypatching open)."""
+    path = "mem://stores/bands"
+    errors: list[str] = []
+    wins: list[str] = []
+    barrier = threading.Barrier(6)
+
+    def attempt(i: int) -> None:
+        law = f"minhash|k={16 * (1 + i % 2)}|bands=4|w=3"  # two rival laws
+        barrier.wait()
+        try:
+            G.enforce_law(path, law)
+            wins.append(law)
+        except RuntimeError as exc:
+            errors.append(str(exc))
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(6)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    recorded = mem.read_text(os.path.join(path, G.LAW_MARKER)).strip()
+    # every thread whose law matches the recorded one passed, every
+    # other raised the loud mismatch — nobody silently overwrote
+    assert wins and all(w == recorded for w in wins)
+    assert len(wins) + len(errors) == 6
+    assert all("written under law" in e for e in errors)
+    # same-law re-entry still passes, the rival still fails
+    G.enforce_law(path, recorded)
+    other = "minhash|k=16|bands=4|w=3"
+    if other == recorded:
+        other = "minhash|k=32|bands=4|w=3"
+    with pytest.raises(RuntimeError, match="written under law"):
+        G.enforce_law(path, other)
+
+
+# -- the loud guard -------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "uri",
+    ["s3://bucket/stores", "s3a://bucket/x", "hdfs://nn:8020/x",
+     "abfs://c@a.dfs.core.windows.net/x", "gs://b/x", "wasbs://c@a/x"],
+)
+def test_remote_uri_guard_raises_loudly(uri):
+    with pytest.raises(RuntimeError, match="atomic"):
+        storeio_for(uri)
+
+
+def test_unknown_scheme_raises_and_plain_paths_resolve_local(tmp_path):
+    with pytest.raises(RuntimeError, match="unrecognized scheme"):
+        storeio_for("weird://x/y")
+    assert isinstance(storeio_for(str(tmp_path)), LocalStoreIO)
+    assert isinstance(storeio_for("relative/path"), LocalStoreIO)
+
+
+def test_curation_ingest_guards_remote_base_dir():
+    """The guard fires at CONSTRUCTION — before any batch could run a
+    rename-based commit protocol on a namespace without renames."""
+    from adsb_clickhouse_spark.streaming.curation import CurationIngest
+
+    with pytest.raises(RuntimeError, match="crash-safety"):
+        CurationIngest("s3://bucket/curation")
+
+
+def test_registered_scheme_lifts_guard(mem):
+    assert storeio_for("mem://anything") is mem

@@ -34,12 +34,14 @@ import os
 import re
 import sys
 
-sys.path.insert(0, ".")
+# import the package from THIS repo regardless of the caller's cwd
+# (r12 advice: sys.path.insert(0, ".") made the import cwd-dependent)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 
 def main() -> int:
-    here = os.path.dirname(os.path.abspath(__file__))
-    repo = os.path.dirname(here)
+    repo = _REPO
     selftest = "--selftest" in sys.argv
     argv = [a for a in sys.argv[1:] if a != "--selftest"]
     sf_dir = (
