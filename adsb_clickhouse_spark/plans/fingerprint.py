@@ -38,11 +38,26 @@ _SUBS: list[tuple[re.Pattern[str], str]] = [
     # identical builds), so all three spellings must normalize:
     (re.compile(r"\[codegen id : \d+\]"), "[codegen id : _]"),
     (re.compile(r"WholeStageCodegen \(\d+\)"), "WholeStageCodegen (_)"),
-    # a WholeStageCodegen node's Arguments line is its bare stage id.
-    # (CollectLimit's bare-integer Arguments is normalized too — a
-    # pure LIMIT-literal change goes undetected, accepted over a
-    # false 'plan change' on codegen-counter drift every round.)
-    (re.compile(r"^Arguments: \d+$", re.MULTILINE), "Arguments: _"),
+    # bare-integer Arguments lines are handled by _normalize_bare_args
+    # below, ANCHORED to the node header: WholeStageCodegen / *QueryStage
+    # ids are run-varying counters and normalize; a CollectLimit (or any
+    # other literal-bearing node) keeps its integer so a genuine LIMIT
+    # change IS a detected plan change (r12 advice — the blanket
+    # ^Arguments: \d+$ sub hid every digit-only literal).
+    # generational catalog-table names (bucketed store folds) carry a
+    # fresh uuid suffix per fold — not a plan property (funnel plans)
+    (
+        re.compile(r"\b(curation_[a-z]+_[0-9a-f]{10}_g)[0-9a-f]{8}\b"),
+        r"\1_",
+    ),
+    # CollectMetrics observation names are fresh UUIDs per Observation()
+    # (the funnel's per-gate taps) — not a plan property
+    (
+        re.compile(
+            r"\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\b"
+        ),
+        "<uuid>",
+    ),
     # filesystem paths (testdata, tempdirs, checkpoint dirs, file: URIs)
     (re.compile(r"(file:)?/[^\s,\]\)]+"), "<path>"),
     # parallelism literals vary with SPARK_GRAFT_CPUS, not with the plan
@@ -66,6 +81,31 @@ _SUBS: list[tuple[re.Pattern[str], str]] = [
 ]
 
 
+_NODE_HEADER = re.compile(r"^\(\d+\) (\S+)")
+_BARE_ARGS = re.compile(r"^Arguments: \d+$")
+
+
+def _normalize_bare_args(text: str) -> str:
+    """Normalize a detail-section ``Arguments: <int>`` line ONLY when its
+    node header names a run-varying counter (WholeStageCodegen stage ids,
+    AQE ShuffleQueryStage/BroadcastQueryStage/ResultQueryStage ids).
+    Literal-bearing nodes (CollectLimit, GlobalLimit) keep their integer,
+    so a pure LIMIT change fingerprints as a plan change."""
+    out = []
+    counter_node = False
+    for line in text.splitlines():
+        m = _NODE_HEADER.match(line)
+        if m:
+            name = m.group(1)
+            counter_node = (
+                name == "WholeStageCodegen" or name.endswith("QueryStage")
+            )
+        if counter_node and _BARE_ARGS.match(line):
+            line = "Arguments: _"
+        out.append(line)
+    return "\n".join(out)
+
+
 def normalize_plan(text: str) -> str:
     """Strip run-varying tokens from an ``explain`` string.
 
@@ -73,7 +113,7 @@ def normalize_plan(text: str) -> str:
     unchanged logical+physical plan, and differs whenever the operator
     tree, join strategy, pushed filters, or read schema differ.
     """
-    out = text
+    out = _normalize_bare_args(text)
     for pat, repl in _SUBS:
         out = pat.sub(repl, out)
     # normalize trailing whitespace so editor/JVM differences don't leak in

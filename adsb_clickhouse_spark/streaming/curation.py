@@ -409,6 +409,14 @@ class CurationIngest:
         # (n_buckets, positional) of the text index, read once per
         # ingest object (immutable store law — see append_text_index)
         self._text_index_law: tuple[int, bool] | None = None
+        # optional plan probe: a callable(stage_name, DataFrame) invoked
+        # at every funnel stage boundary of process_batch — the plan-
+        # fingerprint machinery hooks here (tools/bench_ingest_floor.py
+        # funnel_fingerprints) so the per-stage physical plans the last
+        # three rounds' real bugs lived in (exponential analysis,
+        # recacheByPath loss, AQE tap pruning) are regression-diffed
+        # like the registry rows. None = zero overhead.
+        self.plan_probe = None
 
     def _seg(self, batch_id: int | None) -> str:
         if batch_id is None:
@@ -553,6 +561,8 @@ class CurationIngest:
         self.last_stage_wall = walls
 
         def _tap(df: DataFrame, stage: str) -> DataFrame:
+            if self.plan_probe is not None:
+                self.plan_probe(stage, df)
             if not self.ingest_stats:
                 return df
             ob = Observation()
@@ -898,6 +908,8 @@ class CurationIngest:
         # LogicalRDD — no path reference survives for recacheByPath to
         # find, so every downstream append reads the same materialized
         # blocks regardless of write order.
+        if self.plan_probe is not None:
+            self.plan_probe("final", fresh)
         fresh = fresh.localCheckpoint(eager=True)
         ckpts.append(fresh)
         _mark("materialize")

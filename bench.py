@@ -13,9 +13,13 @@ prune projection-only work — the round-1 advisor flagged exactly that).
 against the LATEST recorded BENCH_r*.json for the queries that existed
 then (negative = faster now).
 
-Drift adjudication (r11, anchor fixed r12): the environment canary is
-re-run every 10 registry rows; BENCH_DELTA.json records the track, each
-row's min/max run spread, and canary-normalized per-row timings.  r12
+Drift adjudication (r11, anchor fixed r12, py axis added r13): the
+environment canary is re-run every 10 registry rows; BENCH_DELTA.json
+records the track, each row's min/max run spread, and canary-normalized
+per-row timings. Two canaries since r13: the trivial JVM job (executor
+weather) AND a fixed pure-Python busy loop (driver-CPU weather — the
+axis the driver-heavy rows like text_lm_bpe actually track; r12's only
+open adjudication would have been closed by it).  r12
 change per the r11 verdict: the normalization is raw_median /
 nearest_canary — unitless "canary-times" with NO per-round anchor — so a
 cross-round per-row delta finally has a weather-free axis (the r11 form
@@ -64,6 +68,44 @@ HEADLINE = [
 ]
 
 
+def measure_ingest_rate(spark) -> dict:
+    """Ingest throughput through the full MV cascade (history + state +
+    combined) on a FIXED corpus (12k aircraft × 2 scrapes), warm-up run
+    excluded, median of 3 — comparable to the reference's ~550-830
+    rows/s envelope (BASELINE.md). Shared by bench.py (the per-round
+    headline) and tools/bench_ingest_floor.py (the clean-box anchor —
+    r12 verdict item 7: this was the one headline number with no
+    deterministic twin; the floor tool runs it solo so cross-round
+    comparisons have a quiet-box figure to cite)."""
+    import tempfile
+
+    from adsb_clickhouse_spark.config import GLOBAL_STREAM
+    from adsb_clickhouse_spark.sources.fixtures import raw_batch
+    from adsb_clickhouse_spark.streaming.pipeline import IngestPipeline
+
+    raw = raw_batch(
+        spark, GLOBAL_STREAM, n_aircraft=12000, n_scrapes=2, with_edges=False
+    ).persist()
+    n_rows = raw.count()
+    # steady-state like the query timings: one untimed warmup run JITs
+    # the cascade's plans, then median of 3 (single-shot measured ~2x
+    # low from first-evaluation codegen cost, not write throughput)
+    rates = []
+    for i in range(4):
+        with tempfile.TemporaryDirectory() as tmp:
+            pipe = IngestPipeline(GLOBAL_STREAM, tmp)
+            t0 = time.perf_counter()
+            pipe.process_batch(raw)
+            if i > 0:
+                rates.append(n_rows / (time.perf_counter() - t0))
+    raw.unpersist()
+    return {
+        "ingest_rows_per_sec": round(sorted(rates)[1], 1),
+        "ingest_rows": n_rows,
+        "ingest_rates_all": [round(r, 1) for r in sorted(rates)],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -92,7 +134,26 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return round(statistics.median(runs), 4), runs
 
+    # pure-PYTHON canary (r12 verdict item 2): the JVM canary cannot see
+    # driver-CPU weather — a loaded sandbox slows Python more than the
+    # JVM, and the driver-heavy rows (text_lm_bpe's per-round argmax
+    # collects, dedup_ngram_jaccard's plan builds) track THIS clock.
+    # Fixed busy work (md5 + int churn), no Spark, no I/O, ~0.1 s.
+    def _py_canary() -> float:
+        import hashlib as _h
+
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = 0
+            md5 = _h.md5
+            for i in range(200_000):
+                acc ^= int.from_bytes(md5(str(i).encode()).digest()[:4], "little")
+            runs.append(time.perf_counter() - t0)
+        return round(statistics.median(runs), 4)
+
     env_canary, canary_runs = _canary()
+    py_canary = _py_canary()
 
     N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
@@ -107,7 +168,9 @@ def main() -> None:
     from adsb_clickhouse_spark.plans.fingerprint import diff_plans, plan_fingerprint
 
     CANARY_EVERY = 10
-    canary_track: list[dict] = [{"row": 0, "sec": env_canary}]
+    canary_track: list[dict] = [
+        {"row": 0, "sec": env_canary, "py_sec": py_canary}
+    ]
     plan_fps: dict[str, dict] = {}
     for i, (name, spec) in enumerate(q.REGISTRY.items()):
         runs = []
@@ -131,15 +194,24 @@ def main() -> None:
                 "ops": [str(exc)[:200]],
             }
         if (i + 1) % CANARY_EVERY == 0:
-            canary_track.append({"row": i + 1, "sec": _canary()[0]})
+            canary_track.append(
+                {"row": i + 1, "sec": _canary()[0], "py_sec": _py_canary()}
+            )
 
-    def _nearest_canary(row_idx: int) -> float:
-        return min(canary_track, key=lambda c: abs(c["row"] - row_idx))["sec"]
+    def _nearest(row_idx: int, key: str) -> float:
+        return min(canary_track, key=lambda c: abs(c["row"] - row_idx))[key]
 
     # unitless canary-times: raw / nearest environment canary.  No anchor,
     # so r{N} vs r{N-1} norms share an axis (r11 verdict missing-item 1).
+    # Two axes since r13: JVM-normalized (executor weather) and
+    # py-normalized (driver-CPU weather) — a driver-heavy row's swing
+    # that tracks the py canary is weather, one that doesn't is real.
     norm_timings = {
-        n: round(t / _nearest_canary(i), 2)
+        n: round(t / _nearest(i, "sec"), 2)
+        for i, (n, t) in enumerate(timings.items())
+    }
+    py_norm_timings = {
+        n: round(t / _nearest(i, "py_sec"), 2)
         for i, (n, t) in enumerate(timings.items())
     }
     total = round(sum(timings.values()), 3)
@@ -245,6 +317,22 @@ def main() -> None:
         except (OSError, ValueError, AttributeError):
             pass
 
+    # streaming-funnel plan fingerprints (r12 verdict item 3): the
+    # CurationIngest per-stage plans — where the last three rounds'
+    # real bugs lived — join the registry rows in PLANS_r{N}.json under
+    # "funnel:" keys, so the same cross-round diff covers them. A tiny
+    # fixed-shape ingest (3 × 200-doc batches, all stores on) is enough:
+    # fingerprints hash the PLANS, not the data.
+    try:
+        from tools.bench_ingest_floor import funnel_fingerprints
+
+        plan_fps.update(funnel_fingerprints(spark))
+    except Exception as exc:  # diagnostics must never kill the bench
+        plan_fps["funnel:__error__"] = {
+            "hash": f"error:{type(exc).__name__}",
+            "ops": [str(exc)[:200]],
+        }
+
     # plan-fingerprint emission + cross-round diff (r11 verdict item 1b):
     # PLANS_r{N}.json is committed each round; the diff names any row whose
     # physical plan changed since the last committed round — deterministic
@@ -277,30 +365,11 @@ def main() -> None:
 
     # ingest throughput through the full MV cascade (history + state +
     # combined), comparable to the reference's ~550-830 rows/s envelope
-    # (BASELINE.md "Sustained ingest volume")
-    import tempfile
-
-    from adsb_clickhouse_spark.config import GLOBAL_STREAM
-    from adsb_clickhouse_spark.sources.fixtures import raw_batch
-    from adsb_clickhouse_spark.streaming.pipeline import IngestPipeline
-
-    raw = raw_batch(
-        spark, GLOBAL_STREAM, n_aircraft=12000, n_scrapes=2, with_edges=False
-    ).persist()
-    n_rows = raw.count()
-    # steady-state like the query timings: one untimed warmup run JITs the
-    # cascade's plans, then median of 3 (single-shot measured ~2x low from
-    # first-evaluation codegen cost, not write throughput)
-    rates = []
-    for i in range(4):
-        with tempfile.TemporaryDirectory() as tmp:
-            pipe = IngestPipeline(GLOBAL_STREAM, tmp)
-            t0 = time.perf_counter()
-            pipe.process_batch(raw)
-            if i > 0:
-                rates.append(n_rows / (time.perf_counter() - t0))
-    raw.unpersist()
-    ingest_rate = round(sorted(rates)[1], 1)
+    # (BASELINE.md "Sustained ingest volume"); shared measurement with
+    # the clean-box anchor in tools/bench_ingest_floor.py
+    ingest = measure_ingest_rate(spark)
+    ingest_rate = ingest["ingest_rows_per_sec"]
+    n_rows = ingest["ingest_rows"]
 
     # the driver keeps only the LAST 2000 chars of stdout and json-parses
     # them — r2's ~3.4 KB line (full per-query delta dict) overflowed that
@@ -324,6 +393,9 @@ def main() -> None:
         # benches); start/end bracketing lets the judge see whether a
         # row delta happened on stable ground
         "env_canary_end_sec": _canary()[0],
+        # driver-CPU axis: the pure-Python canary bracketing the run
+        "py_canary_sec": py_canary,
+        "py_canary_end_sec": _py_canary(),
         # rows whose normalized physical-plan hash changed vs the last
         # committed PLANS_r*.json ("+"/"-" prefixes = added/removed rows);
         # before/after operator trees are in BENCH_DELTA.json
@@ -335,6 +407,7 @@ def main() -> None:
             {
                 "queries": timings,
                 "queries_canary_norm": norm_timings,
+                "queries_py_canary_norm": py_norm_timings,
                 "plan_changes": plan_changes,
                 "query_spread": spreads,
                 "canary_track": canary_track,
@@ -344,7 +417,7 @@ def main() -> None:
                 "dashboard_max_sec": dashboard_max,
                 "dashboard_rows": dash_rows,
                 "ingest_rows_per_sec": ingest_rate,
-                "ingest_rates_all": [round(r, 1) for r in sorted(rates)],
+                "ingest_rates_all": ingest["ingest_rates_all"],
                 "env_canary_sec": env_canary,
                 "env_canary_runs": [round(r, 4) for r in sorted(canary_runs)],
             },

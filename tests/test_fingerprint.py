@@ -121,3 +121,53 @@ def test_codegen_counter_normalization():
     assert "\nArguments: _" in n
     # multi-valued Arguments lines are NOT digit-only and stay intact
     assert "Arguments: 100, [x#_ ASC]" in n
+
+
+def test_bare_arguments_anchored_to_counter_nodes():
+    # r12 advice: the blanket ^Arguments: \d+$ sub hid every digit-only
+    # literal. Normalization is now anchored to the node header —
+    # WholeStageCodegen / AQE *QueryStage ids (run-varying counters)
+    # normalize, while CollectLimit's LIMIT literal stays and a change
+    # to it fingerprints as a plan change.
+    text = ("(5) ShuffleQueryStage\n"
+            "Output [2]: [a#1, b#2]\n"
+            "Arguments: 0\n"
+            "(9) ResultQueryStage\n"
+            "Arguments: 2\n"
+            "(3) CollectLimit\n"
+            "Input [1]: [a#1]\n"
+            "Arguments: 21\n")
+    n = normalize_plan(text)
+    assert n.count("Arguments: _") == 2  # both QueryStage ids
+    assert "Arguments: 21" in n  # the LIMIT literal survives
+    changed = normalize_plan(text.replace("Arguments: 21", "Arguments: 99"))
+    assert changed != n  # a pure LIMIT change IS detected now
+
+
+def test_funnel_plan_probe_fires_and_is_deterministic(spark, tmp_path):
+    # the CurationIngest.plan_probe hook (r12 verdict item 3): every
+    # funnel stage boundary reports its frame, and two identical
+    # batches against identical store state fingerprint identically —
+    # the property the funnel rows in PLANS_r{N}.json depend on
+    from adsb_clickhouse_spark.streaming.curation import CurationIngest
+
+    docs = spark.range(20).selectExpr(
+        "id AS doc_id",
+        "concat('alpha beta gamma delta epsilon zeta ', md5(string(id))) AS text",
+    )
+
+    def run(base):
+        ing = CurationIngest(str(base), run_id="fp")
+        ing.process_batch(docs, batch_id=0)  # store state: one batch
+        fps = {}
+        ing.plan_probe = lambda stage, df: fps.setdefault(
+            stage, plan_fingerprint(df)["hash"]
+        )
+        ing.process_batch(docs, batch_id=1)
+        return fps
+
+    a = run(tmp_path / "a")
+    b = run(tmp_path / "b")
+    # the base-config funnel's stages, in order of the taps
+    assert set(a) == {"in", "policy", "exact_text", "store_dup", "final"}
+    assert a == b  # deterministic across independent store trees

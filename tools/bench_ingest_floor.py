@@ -55,25 +55,71 @@ def _batches(spark, lo: int, n: int):
     )
 
 
-def _run_size(spark, n: int, k: int, parallel: bool = True) -> dict:
+def _all_stores_ingest(base: str, parallel: bool = True):
     from adsb_clickhouse_spark.streaming.curation import CurationIngest
 
+    return CurationIngest(
+        base,
+        run_id="floor",
+        media_dedup=True,
+        media_near_dedup=True,
+        text_near_dedup=True,
+        text_index=True,
+        vector_index=True,
+        embed_dim=16,
+        vector_n_lists=4,
+        host_col="host",
+        host_links_col="out_links",
+        parallel_appends=parallel,
+    )
+
+
+def funnel_fingerprints(spark, *, n: int = 200, batches: int = 3) -> dict:
+    """Normalized plan fingerprints of every funnel stage of the
+    all-stores streaming ingest (r12 verdict item 3): the per-stage
+    plans the last three rounds' real bugs lived in (exponential
+    analysis, recacheByPath loss, AQE tap pruning) were timing/soak-
+    guarded but not fingerprint-diffed like the registry rows.
+
+    Runs ``batches-1`` warm-up batches so the store-probe plans exist
+    (fingerprint anti-join, band-store probes, host-rank broadcast —
+    ``recompute_host_ranks`` is run after batch 0 so the broadcast rank
+    gate is IN the fingerprinted plan), then installs the
+    ``CurationIngest.plan_probe`` hook for the last batch and records
+    each stage's pre-execution physical plan under ``funnel:<stage>``
+    keys. bench.py merges these into PLANS_r{N}.json so the same
+    cross-round diff covers them; deterministic because the batch
+    shape, store state, and configuration are fixed."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from adsb_clickhouse_spark.plans.fingerprint import plan_fingerprint
+
+    base = _tmp.mkdtemp(prefix="funnelfp_")
+    try:
+        ing = _all_stores_ingest(base)
+        for b in range(batches - 1):
+            ing.process_batch(_batches(spark, b * n, n), batch_id=b)
+            if b == 0:
+                # fold the rank dimension once so the host broadcast
+                # gate participates in the fingerprinted plans
+                ing.recompute_host_ranks(spark)
+        fps: dict = {}
+        ing.plan_probe = lambda stage, df: fps.setdefault(
+            f"funnel:{stage}", plan_fingerprint(df)
+        )
+        ing.process_batch(
+            _batches(spark, (batches - 1) * n, n), batch_id=batches - 1
+        )
+        return fps
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
+
+
+def _run_size(spark, n: int, k: int, parallel: bool = True) -> dict:
     base = tempfile.mkdtemp(prefix=f"floor_{n}_")
     try:
-        ing = CurationIngest(
-            base,
-            run_id="floor",
-            media_dedup=True,
-            media_near_dedup=True,
-            text_near_dedup=True,
-            text_index=True,
-            vector_index=True,
-            embed_dim=16,
-            vector_n_lists=4,
-            host_col="host",
-            host_links_col="out_links",
-            parallel_appends=parallel,
-        )
+        ing = _all_stores_ingest(base, parallel)
         total: list[float] = []
         stage_runs: dict[str, list[float]] = {}
         for b in range(k + 1):  # +1 untimed warmup batch (plan JIT)
@@ -116,6 +162,13 @@ def main() -> int:
             _run_size(spark, big, k, parallel),
         ],
     }
+    # clean-box anchor for the bench's MV-cascade ingest headline (r12
+    # verdict item 7): the exact measurement bench.py reports, run here
+    # solo so the figure has a quiet-box twin next to the stage
+    # decomposition (same fixed corpus, same stores)
+    from bench import measure_ingest_rate
+
+    out["mv_cascade_ingest"] = measure_ingest_rate(spark)
     # fixed-floor estimate per stage: the wall that did NOT move with a
     # 10x batch (min of the two medians is the floor upper bound)
     s_small = out["runs"][0]["stages"]

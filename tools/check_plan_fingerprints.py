@@ -43,7 +43,10 @@ sys.path.insert(0, _REPO)
 def main() -> int:
     repo = _REPO
     selftest = "--selftest" in sys.argv
-    argv = [a for a in sys.argv[1:] if a != "--selftest"]
+    selftest_funnel = "--selftest-funnel" in sys.argv
+    argv = [
+        a for a in sys.argv[1:] if a not in ("--selftest", "--selftest-funnel")
+    ]
     sf_dir = (
         argv[0]
         if argv
@@ -69,6 +72,38 @@ def main() -> int:
     q.load_all()
     spark = get_spark("plan-fingerprint-check")
     spark.sparkContext.setLogLevel("ERROR")
+    if selftest_funnel:
+        # negative control for the FUNNEL rows (r12 verdict item 3):
+        # fingerprint the streaming funnel clean, then degraded
+        # (auto-broadcast off), and require the diff to catch and NAME
+        # at least one stage whose join strategy regressed — proving
+        # the funnel detector fires on a real degradation. Runs
+        # in-process against itself, so it needs no committed funnel
+        # baseline.
+        from tools.bench_ingest_floor import funnel_fingerprints
+
+        clean = funnel_fingerprints(spark)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        degraded = funnel_fingerprints(spark)
+        fchanges = diff_plans(clean, degraded)
+        named = sorted(
+            k
+            for k, body in fchanges.items()
+            if body
+            and any("SortMergeJoin" in l for l in body.get("cur_ops", []))
+            and not any("SortMergeJoin" in l for l in body.get("prev_ops", []))
+        )
+        print(
+            json.dumps(
+                {
+                    "funnel_selftest_changed": sorted(
+                        k for k in fchanges if not k.startswith(("+", "-"))
+                    ),
+                    "degraded_to_smj": named,
+                }
+            )
+        )
+        return 0 if named else 1
     if selftest:
         # the deliberate regression: auto-broadcast off, every
         # broadcast-eligible join degrades to sort-merge
@@ -82,6 +117,20 @@ def main() -> int:
             fresh[name] = plan_fingerprint(df)
         except Exception as exc:
             fresh[name] = {"hash": f"error:{type(exc).__name__}", "ops": [str(exc)[:200]]}
+
+    # the streaming funnel's per-stage plans (r12 verdict item 3) are
+    # part of the committed baseline since r13 — rebuild them the same
+    # way the bench does (fixed-shape all-stores ingest, probe hook)
+    if any(k.startswith("funnel:") for k in committed) or selftest:
+        try:
+            from tools.bench_ingest_floor import funnel_fingerprints
+
+            fresh.update(funnel_fingerprints(spark))
+        except Exception as exc:
+            fresh["funnel:__error__"] = {
+                "hash": f"error:{type(exc).__name__}",
+                "ops": [str(exc)[:200]],
+            }
 
     changes = diff_plans(committed, fresh)
     out = {
