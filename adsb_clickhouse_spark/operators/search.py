@@ -87,6 +87,7 @@ def doc_term_freqs(
     id_col: str = "doc_id",
     terms: list[str] | None = None,
     with_positions: bool = False,
+    stats_obs=None,
 ) -> DataFrame:
     """(doc_id, term, tf, dl[, positions]): term frequencies per
     document, with the document token length denormalized onto every
@@ -94,13 +95,26 @@ def doc_term_freqs(
     shuffle (the search fast path); None keeps everything (the
     index-build path). ``with_positions`` adds the sorted 0-based token
     positions per (doc, term) — the positional-index payload for
-    phrase probes."""
+    phrase probes.
+
+    ``stats_obs`` (an ``Observation``) taps the pre-explode doc frame
+    with exactly the index-part stats — ``n_docs`` (token-bearing docs)
+    and ``sum_dl`` (total tokens) — so an index write's one job also
+    yields its stats row for free (r12 verdict floor item: the old
+    per-append stats job RE-READ the just-written postings). Placed
+    before the explode because ``observe`` forbids distinct aggregates
+    and post-explode rows repeat ``dl`` per term."""
     d = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     ).select("doc_id", "toks", F.size("toks").alias("dl"))
-    e = d.filter(F.col("dl") > 0).select(
-        "doc_id", "dl", F.posexplode("toks").alias("pos", "term")
-    )
+    d = d.filter(F.col("dl") > 0)
+    if stats_obs is not None:
+        d = d.observe(
+            stats_obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+        )
+    e = d.select("doc_id", "dl", F.posexplode("toks").alias("pos", "term"))
     if terms is not None:
         e = e.filter(F.col("term").isin(list(terms)))
     aggs = [F.count("*").alias("tf")]
@@ -202,36 +216,112 @@ def _has_postings(part: str) -> bool:
     return storeio_for(root).has_files(root, ".parquet")
 
 
-def _write_index_part(tfs: DataFrame, out: str, B: int, positional: bool) -> None:
-    """One index part: bucketed term-sorted postings + a one-row stats
-    table (n_docs, sum_dl, n_buckets, positional — sum_dl so parts
-    combine into exact global avgdl without rescanning postings, the
-    positional flag so appends match their generation's schema without
-    needing readable postings)."""
+def _write_postings(tfs: DataFrame, out: str, *, flat: bool = False) -> None:
+    """One index part's postings.
+
+    Default (generations): ``partitionBy(bucket)``, term-sorted within
+    files — probes prune whole bucket directories, the layout that
+    matters on the corpus-sized compacted index.
+
+    ``flat=True`` (segment APPENDS): bucket kept as a SORTED int column
+    in a handful of files. A per-batch 64-way partitionBy write paid a
+    shuffle + 64 directories of tiny files for a batch-sized segment —
+    measured 4× the flat write at 5k docs (r12 verdict item 5) — while
+    probe pruning on a segment that small is row-group stats on the
+    (bucket, term) sort, and the next compaction folds it into the
+    partitioned layout anyway. Bucket is cast to int to match what
+    partition discovery infers for the directory layout, so unions
+    across mixed parts stay type-stable."""
+    if flat:
+        (
+            tfs.withColumn("bucket", F.col("bucket").cast("int"))
+            .coalesce(8)
+            .sortWithinPartitions("bucket", "term")
+            .write.mode("overwrite")
+            .parquet(f"{out}/postings")
+        )
+        return
     (
-        tfs.repartition("bucket")
+        tfs.withColumn("bucket", F.col("bucket").cast("int"))
+        .repartition("bucket")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{out}/postings")
     )
+
+
+def _write_stats(out: str, n_docs: int, sum_dl: int, B: int, positional: bool) -> None:
+    """The part's one-row stats table (n_docs, sum_dl, n_buckets,
+    positional — sum_dl so parts combine into exact global avgdl
+    without rescanning postings, the positional flag so appends match
+    their generation's schema without needing readable postings).
+    Written DRIVER-SIDE with pyarrow in a byte-compatible schema — a
+    Spark job for one known row paid Python-RDD conversion + job
+    scheduling per append (the same floor cut as the curation ingest's
+    stats row, r12)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("n_docs", pa.int64(), nullable=True),
+            pa.field("sum_dl", pa.int64(), nullable=True),
+            pa.field("n_buckets", pa.int32(), nullable=True),
+            pa.field("positional", pa.bool_(), nullable=True),
+        ]
+    )
+    table = pa.table(
+        {
+            "n_docs": [int(n_docs)],
+            "sum_dl": [int(sum_dl)],
+            "n_buckets": [int(B)],
+            "positional": [bool(positional)],
+        },
+        schema=schema,
+    )
+    os.makedirs(f"{out}/stats", exist_ok=True)
+    pq.write_table(table, f"{out}/stats/part-00000.parquet", compression="snappy")
+
+
+def _write_index_part(
+    tfs: DataFrame,
+    out: str,
+    B: int,
+    positional: bool,
+    stats_obs=None,
+    flat: bool = False,
+) -> None:
+    """One index part: postings + stats. With ``stats_obs`` (an
+    ``Observation`` created by the caller and threaded through
+    ``doc_term_freqs``) the postings write's own job yields the stats —
+    one Spark job per part instead of three (write, re-read, stats
+    write). Without it, stats are computed by re-reading the written
+    postings (callers whose ``tfs`` is not a fresh ``doc_term_freqs``
+    plan, e.g. a postings union)."""
+    _write_postings(tfs, out, flat=flat)
+    if stats_obs is not None:
+        from ..functions.observe import observation_values
+
+        vals = observation_values(stats_obs, {"n_docs": 0, "sum_dl": 0})
+        _write_stats(out, int(vals["n_docs"]), int(vals["sum_dl"]), B, positional)
+        return
     spark = tfs.sparkSession
     if _has_postings(out):
-        stats_src = (
-            spark.read.parquet(f"{out}/postings").select("doc_id", "dl").distinct()
+        row = (
+            spark.read.parquet(f"{out}/postings")
+            .select("doc_id", "dl")
+            .distinct()
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+            )
+            .collect()[0]
         )
-    else:  # empty batch: an aggregate still yields the one stats row
-        stats_src = spark.createDataFrame([], "doc_id long, dl int")
-    (
-        stats_src.agg(
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
-            F.lit(B).alias("n_buckets"),
-            F.lit(bool(positional)).alias("positional"),
-        )
-        .write.mode("overwrite")
-        .parquet(f"{out}/stats")
-    )
+        n_docs, sum_dl = int(row["n_docs"]), int(row["sum_dl"])
+    else:  # empty batch: the stats row still exists, with zeros
+        n_docs, sum_dl = 0, 0
+    _write_stats(out, n_docs, sum_dl, B, positional)
 
 
 def init_text_index(
@@ -311,12 +401,19 @@ def write_text_index(
         if _sio.isdir(seg_root)
         else []
     )
+    from pyspark.sql import Observation
+
+    ob = Observation()
     tfs = doc_term_freqs(
-        docs, text_col=text_col, id_col=id_col, with_positions=with_positions
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        with_positions=with_positions,
+        stats_obs=ob,
     ).withColumn("bucket", md5_long(F.col("term")) % B)
     new_gen = _fold_generation(
         path,
-        lambda out: _write_index_part(tfs, out, B, with_positions),
+        lambda out: _write_index_part(tfs, out, B, with_positions, stats_obs=ob),
         folded=set(all_segments),
         gc_paths=[os.path.join(seg_root, e) for e in all_segments]
         + ([os.path.join(path, old_gen)] if old_gen is not None else []),
@@ -371,14 +468,28 @@ def append_text_index(
         # a segment's schema must match its generation's (positional or not)
         law = (int(s["n_buckets"]), bool(s["positional"]))
     B, positional = int(law[0]), bool(law[1])
+    from pyspark.sql import Observation
+
+    ob = Observation()
     tfs = doc_term_freqs(
-        docs, text_col=text_col, id_col=id_col, with_positions=positional
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        with_positions=positional,
+        stats_obs=ob,
     ).withColumn("bucket", md5_long(F.col("term")) % B)
     out = os.path.join(path, "segments", segment)
-    _write_index_part(tfs, out, B, positional)
+    # ONE Spark job per append: the postings write's observation yields
+    # the stats row, written driver-side (was: write + postings re-read
+    # + one-row stats job), and the segment layout is FLAT (bucket as a
+    # sorted column — a batch-sized segment gains nothing from a 64-way
+    # partitionBy; measured 4× on the write wall). This was the slowest
+    # concurrent store append in the all-stores per-batch floor (r12
+    # verdict item 5).
+    _write_index_part(tfs, out, B, positional, stats_obs=ob, flat=True)
     if not return_stats:
         return {"segment": segment, "n_buckets": B}
-    s = spark.read.parquet(f"{out}/stats").collect()[0]
+    s = docs.sparkSession.read.parquet(f"{out}/stats").collect()[0]
     return {"segment": segment, "n_docs": s["n_docs"], "n_buckets": B}
 
 
@@ -413,6 +524,17 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     # empty segments (and the stats-only bootstrap generation) carry no
     # readable postings — they contribute nothing and are folded away
     data_parts = [p for p in parts if _has_postings(p)]
+    # combined stats = the SUM of the parts' stats rows (exact by the
+    # disjoint-docs append contract) — one tiny scan instead of
+    # re-aggregating the merged postings (r12 verdict floor item)
+    srow = (
+        spark.read.parquet(*(f"{p}/stats" for p in parts))
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+        )
+        .collect()[0]
+    )
 
     def build(out: str) -> None:
         if data_parts:
@@ -422,18 +544,12 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
                     f"{p}/postings"
                 )
                 post = nxt if post is None else post.unionByName(nxt)
-            _write_index_part(post, out, B, positional)
+            _write_postings(post, out)
         else:
             os.makedirs(out, exist_ok=True)
-            (
-                spark.createDataFrame(
-                    [(0, 0, B, positional)],
-                    "n_docs long, sum_dl long, n_buckets int, positional boolean",
-                )
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(f"{out}/stats")
-            )
+        _write_stats(
+            out, int(srow["n_docs"]), int(srow["sum_dl"]), B, positional
+        )
 
     new_gen = _fold_generation(
         path,

@@ -189,6 +189,7 @@ def append_vector_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_cache: dict | None = None,
 ) -> dict:
     """Add a batch of NEW vectors as segment ``segments/<segment>`` —
     assigned under the CURRENT generation's centroids so every part of
@@ -217,22 +218,53 @@ def append_vector_index(
             "the layout before appends"
         )
     spark = vectors.sparkSession
-    cent = _read_centroids(spark, path, gen)
+    # ``centroid_cache`` (a caller-owned dict) skips the two-job
+    # centroid read on every append after the first: centroids change
+    # ONLY at a generation swap, and the cache is keyed by the
+    # generation name read fresh above, so a compaction between batches
+    # invalidates it exactly (r13 floor cut — a streaming ingest paid
+    # the read per batch for an immutable-within-generation table).
+    if centroid_cache is not None and centroid_cache.get("gen") == gen:
+        cent = centroid_cache["cent"]
+    else:
+        cent = _read_centroids(spark, path, gen)
+        if centroid_cache is not None:
+            centroid_cache.clear()
+            centroid_cache.update(gen=gen, cent=cent)
     seg_dir = os.path.join(path, "segments", segment)
     out = os.path.join(seg_dir, "vectors")
-    assigned = _assign(vectors, cent, id_col=id_col, vec_col=vec_col)
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(out)
-    # An all-filtered batch (every vector a cross-batch duplicate, NULL,
-    # or zero-norm) writes ZERO parquet files — only _SUCCESS — and
-    # spark.read.parquet on that dir throws UNABLE_TO_INFER_SCHEMA.
-    # Guard like the text index's _has_postings (search.py) so an empty
-    # batch is a 0-vector no-op, not a deterministic replay poison pill
-    # that fires before the caller's commit marker.
-    if not _has_vectors(seg_dir):
+    # ONE Spark job per append (r12 verdict item 5, the same cut as the
+    # text index): the write's observation yields the vector count that
+    # used to be a read-back job, and the segment layout is FLAT —
+    # list_id kept as a sorted int column instead of an n_lists-way
+    # partitionBy (a batch-sized segment gains nothing from directory
+    # pruning; probes push the isin on the sorted column, and the next
+    # compaction folds it into the partitioned generation layout).
+    from pyspark.sql import Observation
+
+    from ..functions.observe import observation_values
+
+    ob = Observation()
+    assigned = _assign(vectors, cent, id_col=id_col, vec_col=vec_col).observe(
+        ob, F.count(F.lit(1)).alias("n")
+    )
+    (
+        assigned.coalesce(4)
+        .sortWithinPartitions("list_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    # observation_values tolerates AQE pruning the tap on a provably-
+    # empty batch (every vector a cross-batch duplicate, NULL, or
+    # zero-norm): n = 0 exactly. Such a write leaves only _SUCCESS and
+    # spark.read.parquet on it throws UNABLE_TO_INFER_SCHEMA — return
+    # the 0-vector no-op instead of a replay poison pill that fires
+    # before the caller's commit marker.
+    n = int(observation_values(ob, {"n": 0})["n"])
+    if n == 0:
         return {"segment": segment, "n_vectors": 0, "generation": gen}
     _write_segment_gen(seg_dir, gen)
-    n = spark.read.option("basePath", out).parquet(out).count()
-    return {"segment": segment, "n_vectors": int(n), "generation": gen}
+    return {"segment": segment, "n_vectors": n, "generation": gen}
 
 
 def knn_probe_stored(

@@ -409,6 +409,9 @@ class CurationIngest:
         # (n_buckets, positional) of the text index, read once per
         # ingest object (immutable store law — see append_text_index)
         self._text_index_law: tuple[int, bool] | None = None
+        # vector-index centroids cached per generation (immutable
+        # within one — see append_vector_index's centroid_cache)
+        self._vec_centroid_cache: dict = {}
         # optional plan probe: a callable(stage_name, DataFrame) invoked
         # at every funnel stage boundary of process_batch — the plan-
         # fingerprint machinery hooks here (tools/bench_ingest_floor.py
@@ -1058,6 +1061,9 @@ class CurationIngest:
                             seg,
                             id_col="doc_id",
                             vec_col=self.vec_col,
+                            # generation-keyed: a compaction between
+                            # batches invalidates it exactly
+                            centroid_cache=self._vec_centroid_cache,
                         )
 
                 appends.append(("vector_index_append", _do_vector_index))
@@ -1260,34 +1266,13 @@ class CurationIngest:
     @staticmethod
     def _tap_count(ob) -> int:
         """An Observation tap's row count, tolerating AQE's
-        empty-relation pruning. When every row of a batch is dropped
-        upstream of a tap, AQE's ``PropagateEmptyRelation`` can prune
-        the ``CollectMetrics`` node from the physical plan; the
-        ObservationManager then completes the observation with a
-        SCHEMALESS empty row that ``Observation.get`` cannot decode
-        (``toPyRow`` asserts) — a fully-deduplicated micro-batch would
-        crash the stream. The node is pruned exactly because its input
-        is provably EMPTY, so the true count is 0: detect the
-        empty-row completion and substitute it; anything else
-        re-raises."""
-        try:
-            return int(ob.get["n"])
-        except Exception:
-            # the fallback peeks at the already-completed promise via
-            # the (non-public) JVM Observation; any surprise there must
-            # surface the ORIGINAL error, not its own
-            try:
-                jo = getattr(ob, "_jo", None)
-                empty = (
-                    jo is not None
-                    and jo.getRowOrEmpty().isDefined()
-                    and jo.getRowOrEmpty().get().length() == 0
-                )
-            except Exception:
-                empty = False
-            if empty:
-                return 0
-            raise
+        empty-relation pruning (a fully-deduplicated micro-batch's tap
+        is pruned with a provably-empty input, so 0 is exact — the r12
+        stream-killer; the shared fallback lives in
+        functions/observe.py)."""
+        from ..functions.observe import observation_values
+
+        return int(observation_values(ob, {"n": 0})["n"])
 
     def _ingest_stats_row(self, taps) -> tuple:
         """Fold the ordered tap counts into one fixed-schema stats tuple:

@@ -68,18 +68,28 @@ def test_replayed_segment_converges(spark, tmp_path):
 
 
 def test_probe_prunes_partitions(spark, tmp_path):
-    """The list_id isin filter reaches every part's scan as a
-    PartitionFilter — probe cost is nprobe/n_lists of the corpus."""
+    """The list_id isin filter reaches the COMPACTED generation's scan
+    as a PartitionFilter — probe cost is nprobe/n_lists of the corpus.
+    Uncompacted segments are FLAT (batch-sized; directory pruning buys
+    nothing there — r13 floor cut), so the same isin reaches their scan
+    as a parquet PushedFilter on the sorted list_id column instead."""
     path = str(tmp_path / "vidx")
     V.init_vector_index(spark, path, dim=8, n_lists=8)
     V.append_vector_index(_batch(spark, range(200), lambda i: i), path, "b0")
     q = spark.createDataFrame(
         [(0, _vec(3))], "vec_id long, embedding array<double>"
     )
+    # flat segment: the filter is pushed to the parquet scan
     df = V.knn_probe_stored(spark, path, q, k=3, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
-    assert "list_id" in plan.split("PartitionFilters")[1][:300]
+    assert "PushedFilters" in plan
+    assert "list_id" in plan.split("PushedFilters")[1][:300]
+    # compacted generation: the filter prunes whole list_id= directories
+    V.compact_vector_index(spark, path)
+    df2 = V.knn_probe_stored(spark, path, q, k=3, nprobe=2)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan2
+    assert "list_id" in plan2.split("PartitionFilters")[1][:300]
 
 
 def test_compaction_relearns_quantizer_narrow_probe(spark, tmp_path):
@@ -266,3 +276,33 @@ def test_compaction_skips_uncommitted_segments(spark, tmp_path):
     assert V.knn_probe_stored(spark, path, q, k=1, nprobe=4).collect()[0][
         "neighbor_id"
     ] == 105
+
+
+def test_append_centroid_cache_invalidated_by_compaction(spark, tmp_path):
+    """The caller-owned centroid cache is generation-keyed: a
+    compaction between appends swaps the generation, so the next append
+    must re-read the NEW centroids (assigning under stale ones would
+    mis-bucket the segment against the new quantizer's pruning)."""
+    path = str(tmp_path / "vidx")
+    V.init_vector_index(spark, path, dim=8, n_lists=4)
+    cache: dict = {}
+    V.append_vector_index(
+        _batch(spark, range(30), lambda i: i), path, "b0",
+        centroid_cache=cache,
+    )
+    gen0 = cache["gen"]
+    assert gen0 is not None and "cent" in cache
+    V.compact_vector_index(spark, path)
+    V.append_vector_index(
+        _batch(spark, range(30, 60), lambda i: i), path, "b1",
+        centroid_cache=cache,
+    )
+    assert cache["gen"] != gen0  # re-read under the new generation
+    q = spark.createDataFrame(
+        [(999, _vec(45))], "vec_id long, embedding array<double>"
+    )
+    ids = {
+        r["neighbor_id"]
+        for r in V.knn_probe_stored(spark, path, q, k=60, nprobe=4).collect()
+    }
+    assert set(range(60)) <= ids  # both parts fully probeable
