@@ -259,9 +259,17 @@ def _write_stats(out: str, n_docs: int, sum_dl: int, B: int, positional: bool) -
     Written DRIVER-SIDE with pyarrow in a byte-compatible schema — a
     Spark job for one known row paid Python-RDD conversion + job
     scheduling per append (the same floor cut as the curation ingest's
-    stats row, r12)."""
+    stats row, r12). The stats dir is CLEARED first: a replayed
+    pre-upgrade segment carries a Spark-named stats file this write's
+    fixed part-00000 name would sit NEXT TO instead of replacing, and
+    probes SUM all stats rows — the old mode('overwrite') semantics
+    must survive the writer change (r13 review)."""
+    import shutil
+
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    shutil.rmtree(f"{out}/stats", ignore_errors=True)
 
     schema = pa.schema(
         [
@@ -291,25 +299,24 @@ def _write_index_part(
     positional: bool,
     stats_obs=None,
     flat: bool = False,
-) -> None:
+) -> dict:
     """One index part: postings + stats. With ``stats_obs`` (an
     ``Observation`` created by the caller and threaded through
     ``doc_term_freqs``) the postings write's own job yields the stats —
     one Spark job per part instead of three (write, re-read, stats
     write). Without it, stats are computed by re-reading the written
     postings (callers whose ``tfs`` is not a fresh ``doc_term_freqs``
-    plan, e.g. a postings union)."""
+    plan, e.g. a postings union). Returns ``{"n_docs", "sum_dl"}`` so
+    callers never re-read what was just computed driver-side."""
     _write_postings(tfs, out, flat=flat)
     if stats_obs is not None:
         from ..functions.observe import observation_values
 
         vals = observation_values(stats_obs, {"n_docs": 0, "sum_dl": 0})
-        _write_stats(out, int(vals["n_docs"]), int(vals["sum_dl"]), B, positional)
-        return
-    spark = tfs.sparkSession
-    if _has_postings(out):
+        n_docs, sum_dl = int(vals["n_docs"]), int(vals["sum_dl"])
+    elif _has_postings(out):
         row = (
-            spark.read.parquet(f"{out}/postings")
+            tfs.sparkSession.read.parquet(f"{out}/postings")
             .select("doc_id", "dl")
             .distinct()
             .agg(
@@ -322,6 +329,7 @@ def _write_index_part(
     else:  # empty batch: the stats row still exists, with zeros
         n_docs, sum_dl = 0, 0
     _write_stats(out, n_docs, sum_dl, B, positional)
+    return {"n_docs": n_docs, "sum_dl": sum_dl}
 
 
 def init_text_index(
@@ -485,12 +493,12 @@ def append_text_index(
     # sorted column — a batch-sized segment gains nothing from a 64-way
     # partitionBy; measured 4× on the write wall). This was the slowest
     # concurrent store append in the all-stores per-batch floor (r12
-    # verdict item 5).
-    _write_index_part(tfs, out, B, positional, stats_obs=ob, flat=True)
+    # verdict item 5). The returned stats come from the same
+    # observation — no read-back job on either return_stats path.
+    stats = _write_index_part(tfs, out, B, positional, stats_obs=ob, flat=True)
     if not return_stats:
         return {"segment": segment, "n_buckets": B}
-    s = docs.sparkSession.read.parquet(f"{out}/stats").collect()[0]
-    return {"segment": segment, "n_docs": s["n_docs"], "n_buckets": B}
+    return {"segment": segment, "n_docs": stats["n_docs"], "n_buckets": B}
 
 
 def compact_text_index(spark: SparkSession, path: str) -> dict:

@@ -42,7 +42,6 @@ only the driver-side commit metadata needed a home.
 
 from __future__ import annotations
 
-import fnmatch
 import glob as _glob
 import os
 import re
@@ -120,6 +119,11 @@ class StoreIO:
         """Modification time (seconds); raises ``OSError`` if absent."""
         raise NotImplementedError
 
+    def touch(self, path: str) -> None:
+        """Refresh an existing file's mtime (lease heartbeats); raises
+        ``OSError`` if absent."""
+        raise NotImplementedError
+
     def stat_token(self, path: str):
         """An opaque token that changes whenever the file's content
         may have changed — cache-invalidation key (finer than a float
@@ -163,10 +167,19 @@ class LocalStoreIO(StoreIO):
         with open(tmp, "w") as fh:
             fh.write(text)
         try:
-            os.link(tmp, path)
-            return True, text
-        except FileExistsError:
-            return False, self.read_text(path)
+            while True:
+                try:
+                    os.link(tmp, path)
+                    return True, text
+                except FileExistsError:
+                    try:
+                        return False, self.read_text(path)
+                    except FileNotFoundError:
+                        # the existing file vanished between the failed
+                        # link and our read (a lock holder releasing) —
+                        # retry the exclusive create rather than crash
+                        # the contender (r13 review)
+                        continue
         finally:
             os.unlink(tmp)
 
@@ -193,6 +206,9 @@ class LocalStoreIO(StoreIO):
 
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
+
+    def touch(self, path: str) -> None:
+        os.utime(path, None)
 
     def stat_token(self, path: str):
         st = os.stat(path)
@@ -276,6 +292,13 @@ class MemStoreIO(StoreIO):
                 raise FileNotFoundError(path)
             return self._meta[path][0]
 
+    def touch(self, path: str) -> None:
+        path = self._norm(path)
+        with self._lock:
+            if path not in self._meta:
+                raise FileNotFoundError(path)
+            self._touch(path)
+
     def stat_token(self, path: str):
         path = self._norm(path)
         with self._lock:
@@ -283,11 +306,27 @@ class MemStoreIO(StoreIO):
                 raise FileNotFoundError(path)
             return self._meta[path]
 
+    @staticmethod
+    def _glob_regex(pattern: str):
+        # glob semantics, not fnmatch: '*'/'?' never cross a '/'
+        # (fnmatch's '*' is '.*', which made patterns like
+        # 'scrape_date=*/batch_id=b0' match nested paths LocalStoreIO's
+        # glob.glob would never return — r13 review)
+        out = []
+        for ch in pattern:
+            if ch == "*":
+                out.append("[^/]*")
+            elif ch == "?":
+                out.append("[^/]")
+            else:
+                out.append(re.escape(ch))
+        return re.compile("^" + "".join(out) + "$")
+
     def glob(self, pattern: str) -> list[str]:
-        pattern = self._norm(pattern)
+        rx = self._glob_regex(self._norm(pattern))
         with self._lock:
             names = set(self._files) | set(self._dirs)
-            return sorted(p for p in names if fnmatch.fnmatch(p, pattern))
+            return sorted(p for p in names if rx.match(p))
 
     def has_files(self, path: str, suffix: str) -> bool:
         prefix = self._norm(path) + "/"
@@ -339,6 +378,10 @@ class MemStoreIO(StoreIO):
                 self._meta.pop(p, None)
             for d in [k for k in self._dirs if k == path or k.startswith(prefix)]:
                 self._dirs.discard(d)
+                # dir meta must die with the dir, or mtime()/stat_token()
+                # keep answering for deleted paths — diverging from the
+                # POSIX implementation's OSError (r13 review)
+                self._meta.pop(d, None)
 
     def rename(self, src: str, dst: str) -> None:
         src, dst = self._norm(src), self._norm(dst)
@@ -360,6 +403,9 @@ class MemStoreIO(StoreIO):
             for d in [k for k in self._dirs if k == src or k.startswith(sp)]:
                 self._dirs.discard(d)
                 self._dirs.add(dst + d[len(src):])
+                meta = self._meta.pop(d, None)
+                if meta is not None:
+                    self._meta[dst + d[len(src):]] = meta
             self._touch(dst)
 
 

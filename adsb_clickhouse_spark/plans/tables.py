@@ -62,6 +62,7 @@ PARTITION_COL = "scrape_date"
 _POINTER = "_CURRENT"
 STATE_GC_GRACE_S = 300.0  # keep superseded snapshots this long for readers
 _LOCK_TIMEOUT_S = 120.0
+_LOCK_HEARTBEAT_S = 30.0  # live holders refresh the lock mtime this often
 
 
 def with_partition_col(df: DataFrame, ts: str = "scrape_time") -> DataFrame:
@@ -220,11 +221,20 @@ class _WriterLock:
     Takeover rule: a contender that has waited out ``timeout_s`` breaks
     the lock ONLY if the lock file is older than
     ``max(10 * timeout_s, 300 s)`` — i.e. presumed dead, not merely
-    slow; otherwise it raises ``TimeoutError``. Also serves as the
-    store-level MAINTENANCE lease (``CurationIngest.maintenance_lease``):
-    two concurrent maintainers on one base_dir would stage rival folds
-    of the same segments and the loser's work is wasted, so the second
-    one fails loudly instead."""
+    slow; otherwise it raises ``TimeoutError``. A live holder is never
+    "merely slow" for long: a daemon HEARTBEAT thread refreshes the
+    lock's mtime every ``_LOCK_HEARTBEAT_S`` while held, so a
+    long-running compaction keeps its lease no matter how long the job
+    takes, and the staleness age only accrues on a genuinely dead
+    holder. The break itself re-verifies identity: the lock is renamed
+    to a contender-unique claim path (atomic, exactly one breaker
+    wins) only if its stat token still matches the one whose age was
+    measured — a fresh lock created by a faster contender in between
+    is left alone. Also serves as the store-level MAINTENANCE lease
+    (``CurationIngest.maintenance_lease``): two concurrent maintainers
+    on one base_dir would stage rival folds of the same segments and
+    the loser's work is wasted, so the second one fails loudly
+    instead."""
 
     def __init__(
         self,
@@ -236,23 +246,48 @@ class _WriterLock:
         self._io = storeio_for(path)
         self.lock_path = os.path.join(path, name)
         self.timeout_s = timeout_s
+        self._hb_stop = None
+
+    def _heartbeat(self, stop) -> None:
+        while not stop.wait(_LOCK_HEARTBEAT_S):
+            try:
+                self._io.touch(self.lock_path)
+            except OSError:
+                return  # lock broken under us; stop quietly
 
     def __enter__(self):
+        import threading
+
         deadline = time.monotonic() + self.timeout_s
         while True:
             won, _ = self._io.create_exclusive(
                 self.lock_path, str(os.getpid())
             )
             if won:
+                self._hb_stop = threading.Event()
+                threading.Thread(
+                    target=self._heartbeat,
+                    args=(self._hb_stop,),
+                    daemon=True,
+                    name="writer-lock-heartbeat",
+                ).start()
                 return self
             if time.monotonic() > deadline:
                 try:  # stale lock from a crashed writer — break it
+                    token = self._io.stat_token(self.lock_path)
                     age = time.time() - self._io.mtime(self.lock_path)
                 except OSError:
-                    continue
+                    continue  # vanished: retry the create
                 if age > max(self.timeout_s * 10, 300.0):
+                    # claim-by-rename: atomic, so exactly one breaker
+                    # wins, and only if the lock is STILL the one whose
+                    # age we measured (a fresh lock from a contender
+                    # that broke-and-acquired first must survive)
+                    claim = self.lock_path + f".break.{uuid.uuid4().hex[:8]}"
                     try:
-                        self._io.unlink(self.lock_path)
+                        if self._io.stat_token(self.lock_path) == token:
+                            self._io.rename(self.lock_path, claim)
+                            self._io.unlink(claim)
                     except OSError:
                         pass  # another contender broke it first
                     continue
@@ -260,6 +295,9 @@ class _WriterLock:
             time.sleep(0.05)
 
     def __exit__(self, *exc):
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+            self._hb_stop = None
         try:
             self._io.unlink(self.lock_path)
         except OSError:

@@ -66,3 +66,37 @@ def test_stale_lock_takeover_rule(tmp_path):
     with ing.maintenance_lease(timeout_s=0.2):
         pass  # acquired by takeover
     assert not os.path.exists(lock)
+
+
+def test_heartbeat_keeps_long_held_lease_fresh(tmp_path, monkeypatch):
+    """A live holder refreshes the lock's mtime (daemon heartbeat), so
+    a long-running maintenance job can never be 'presumed dead' and
+    broken by a contender — staleness age only accrues on a real
+    crash (r13 review)."""
+    from adsb_clickhouse_spark.plans import tables as T
+
+    monkeypatch.setattr(T, "_LOCK_HEARTBEAT_S", 0.05)
+    ing = CurationIngest(str(tmp_path))
+    lock = os.path.join(str(tmp_path), ".maintain_lock")
+    with ing.maintenance_lease(timeout_s=5.0):
+        t1 = os.stat(lock).st_mtime_ns
+        time.sleep(0.4)
+        t2 = os.stat(lock).st_mtime_ns
+        assert t2 > t1  # heartbeat refreshed the lease
+    assert not os.path.exists(lock)
+
+
+def test_takeover_leaves_a_fresh_lock_alone(tmp_path):
+    """The break re-verifies identity: only the exact lock whose age
+    was measured as stale is broken. A lock that is NOT stale (here:
+    freshly planted) is honored with TimeoutError, never unlinked."""
+    ing = CurationIngest(str(tmp_path))
+    lock = os.path.join(str(tmp_path), ".maintain_lock")
+    with open(lock, "w") as fh:
+        fh.write("fresh-holder")
+    with pytest.raises(TimeoutError):
+        with ing.maintenance_lease(timeout_s=0.2):
+            pass
+    # the fresh lock survived the contender's failed takeover attempt
+    with open(lock) as fh:
+        assert fh.read() == "fresh-holder"

@@ -521,3 +521,43 @@ def test_retrieval_eval_two_stage_topk_plan(spark):
     row = df.collect()[0]
     assert row["n_rel"] == 20 and row["recall_at_k"] == 0.15
     assert 0.0 < row["ndcg"] <= 1.0 and row["mrr"] == 1.0
+
+
+def test_replayed_segment_with_legacy_stats_file_does_not_double_count(
+    spark, tmp_path
+):
+    """r13 review: the driver-side stats writer uses a FIXED file name;
+    a replayed segment whose previous attempt wrote stats under another
+    name (the pre-r13 Spark writer) must end up with ONE stats row —
+    probes SUM all rows, so a leftover would double n_docs/sum_dl."""
+    import os
+    import shutil
+
+    from adsb_clickhouse_spark.operators.search import (
+        append_text_index,
+        bm25_probe_stored,
+        init_text_index,
+    )
+
+    path = str(tmp_path / "idx")
+    info = init_text_index(spark, path, n_buckets=8)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma") for i in range(20)],
+        "doc_id long, text string",
+    )
+    law = (info["n_buckets"], info["positional"])
+    append_text_index(docs, path, "b0", law=law, return_stats=False)
+    stats_dir = os.path.join(path, "segments", "b0", "stats")
+    # plant a pre-upgrade leftover: same row, Spark-style unique name
+    shutil.copy(
+        os.path.join(stats_dir, "part-00000.parquet"),
+        os.path.join(stats_dir, "part-00000-deadbeef.snappy.parquet"),
+    )
+    assert spark.read.parquet(stats_dir).count() == 2  # the hazard
+    # the replay must clear the dir before writing its own stats
+    append_text_index(docs, path, "b0", law=law, return_stats=False)
+    rows = spark.read.parquet(stats_dir).collect()
+    assert len(rows) == 1 and rows[0]["n_docs"] == 20
+    # scores are sane (idf computed from N=20, not 40)
+    hits = bm25_probe_stored(spark, path, "alpha w3", k=1).collect()
+    assert hits and hits[0]["doc_id"] == 3

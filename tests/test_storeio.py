@@ -282,3 +282,62 @@ def test_curation_ingest_guards_remote_base_dir():
 
 def test_registered_scheme_lifts_guard(mem):
     assert storeio_for("mem://anything") is mem
+
+
+def test_create_exclusive_survives_concurrent_release(tmp_path):
+    """r13 review: the loser branch reads the winner's file — if the
+    holder unlinks it between the failed link and the read (a lock
+    release), create_exclusive must retry the create, not crash."""
+    io = LocalStoreIO()
+    root = str(tmp_path)
+    p = os.path.join(root, "lock")
+    with open(p, "w") as fh:
+        fh.write("holder")
+    real_read = io.read_text
+    state = {"raced": False}
+
+    def racing_read(path):
+        if not state["raced"] and path == p:
+            state["raced"] = True
+            os.unlink(p)  # the holder releases mid-read
+            raise FileNotFoundError(p)
+        return real_read(path)
+
+    io.read_text = racing_read
+    won, content = io.create_exclusive(p, "contender")
+    assert (won, content) == (True, "contender")  # retried and acquired
+    assert real_read(p) == "contender"
+
+
+def test_mem_glob_star_does_not_cross_separators(mem):
+    mem.makedirs("mem://t/scrape_date=a/batch_id=b0")
+    mem.makedirs("mem://t/scrape_date=a/extra/batch_id=b0")
+    got = mem.glob("mem://t/scrape_date=*/batch_id=b0")
+    assert got == ["mem://t/scrape_date=a/batch_id=b0"]  # not the nested one
+
+
+def test_mem_dir_meta_dies_with_rmtree_and_moves_with_rename(mem):
+    mem.makedirs("mem://t/gone")
+    mem.rmtree("mem://t/gone")
+    with pytest.raises(OSError):
+        mem.mtime("mem://t/gone")
+    mem.makedirs("mem://t/src/sub")
+    mem.rename("mem://t/src", "mem://t/dst")
+    with pytest.raises(OSError):
+        mem.stat_token("mem://t/src")
+    assert mem.stat_token("mem://t/dst/sub") is not None
+
+
+def test_touch_refreshes_stat_token(tmp_path, mem):
+    for io, root in _both(tmp_path, mem):
+        io.makedirs(root)
+        p = os.path.join(root, "lock")
+        io.write_atomic(p, "x")
+        t1 = io.stat_token(p)
+        import time as _t
+
+        _t.sleep(0.02)
+        io.touch(p)
+        assert io.stat_token(p) != t1
+        with pytest.raises(OSError):
+            io.touch(os.path.join(root, "absent"))

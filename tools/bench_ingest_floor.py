@@ -22,13 +22,16 @@ behavior table.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import statistics
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, ".")
+# import the package (and bench.py) from THIS repo regardless of the
+# caller's cwd — the same r12-advice fix as check_plan_fingerprints.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _batches(spark, lo: int, n: int):
