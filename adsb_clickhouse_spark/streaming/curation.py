@@ -1859,7 +1859,11 @@ class CurationIngest:
         ``plans.tables._LOCK_TIMEOUT_S`` = 120 s), then breaks the lock
         ONLY if its file is older than ``max(10 × timeout_s, 300 s)``
         — presumed dead, not merely slow — and otherwise raises
-        ``TimeoutError`` loudly. The curate-maintain CLI wraps its
+        ``TimeoutError`` loudly. A LIVE holder can never look dead: a
+        heartbeat refreshes the lock's mtime every 30 s while held, so
+        arbitrarily long maintenance jobs keep their lease, and the
+        break itself is an identity-verified atomic claim-rename (a
+        fresh lock from a faster contender survives). The curate-maintain CLI wraps its
         whole job sequence in this lease; programmatic callers running
         maintenance concurrently with their own scheduler should do
         the same (the lease is NOT re-entrant — take it once around
