@@ -126,9 +126,10 @@ def cmd_curate_maintain(args) -> int:
     # scheduler double-fire) on the same base_dir blocks, then fails
     # loudly with TimeoutError instead of staging a rival fold whose
     # work the pointer swap throws away (r12 verdict item 4)
-    with ing.maintenance_lease():
+    with ing.maintenance_lease() as lease:
         fps = ing.compact_fingerprints(
-            spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced
+            spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced,
+            lease=lease,
         )
         print(f"fingerprints: {fps}")
         if args.near_dedup:
@@ -136,10 +137,11 @@ def cmd_curate_maintain(args) -> int:
                 spark,
                 threshold=args.threshold,
                 assume_quiesced=args.assume_quiesced,
+                lease=lease,
             )
             print(f"curated: {cur}")
         if args.compact_index:
-            idx = ing.compact_text_index(spark)
+            idx = ing.compact_text_index(spark, lease=lease)
             print(f"text_index: {idx}")
         if args.compact_vectors:
             from .operators.search import _gen_name
@@ -147,25 +149,25 @@ def cmd_curate_maintain(args) -> int:
             if _gen_name(ing.vector_index_path) is not None:
                 print(
                     "vector_index: "
-                    f"{ing.compact_vector_index(spark, assume_quiesced=args.assume_quiesced)}"
+                    f"{ing.compact_vector_index(spark, assume_quiesced=args.assume_quiesced, lease=lease)}"
                 )
             else:
                 print("vector_index: none at this base dir")
         if args.compact_bands:
             print(
                 "phash_bands: "
-                f"{ing.compact_phash_bands(spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced)}"
+                f"{ing.compact_phash_bands(spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced, lease=lease)}"
             )
             print(
                 "text_bands: "
-                f"{ing.compact_text_bands(spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced)}"
+                f"{ing.compact_text_bands(spark, buckets=args.buckets, assume_quiesced=args.assume_quiesced, lease=lease)}"
             )
         if args.recompute_host_ranks:
-            print(f"host_ranks: {ing.recompute_host_ranks(spark)}")
+            print(f"host_ranks: {ing.recompute_host_ranks(spark, lease=lease)}")
         if args.fold_ingest_log:
             print(
                 "ingest_log: "
-                f"{ing.compact_ingest_log(spark, max_age_sec=args.max_log_age_sec, assume_quiesced=args.assume_quiesced)}"
+                f"{ing.compact_ingest_log(spark, max_age_sec=args.max_log_age_sec, assume_quiesced=args.assume_quiesced, lease=lease)}"
             )
     return 0
 

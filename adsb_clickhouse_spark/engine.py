@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from .config import SOURCES
 from .operators.latest import latest_view, stride_sample
 from .plans import tables
+from .plans.storeio import storeio_for
 from .streaming.pipeline import IngestPipeline
 
 
@@ -72,19 +73,19 @@ class AdsbEngine:
         now_col = F.lit(self.now).cast("timestamp") if self.now else None
         for name, pipe in self.pipelines.items():
             cfg = SOURCES[name]
-            if os.path.isdir(pipe.history_path):
+            if storeio_for(pipe.history_path).isdir(pipe.history_path):
                 hist = tables.read_history(self.spark, pipe.history_path)
                 hist.createOrReplaceTempView(f"positions_{name}")
                 hist.createOrReplaceTempView(f"positions_{name}_dist")
                 registered += [f"positions_{name}", f"positions_{name}_dist"]
-            if os.path.isdir(pipe.state_path):
+            if storeio_for(pipe.state_path).isdir(pipe.state_path):
                 state = tables.read_state(self.spark, pipe.state_path)
                 state.createOrReplaceTempView(f"positions_{name}_replacing")
                 lv = latest_view(state, freshness=cfg.freshness, now=now_col)
                 lv.createOrReplaceTempView(f"positions_{name}_latest")
                 registered += [f"positions_{name}_replacing", f"positions_{name}_latest"]
         combined_path = os.path.join(self.base_dir, "combined", "state")
-        if os.path.isdir(combined_path):
+        if storeio_for(combined_path).isdir(combined_path):
             comb = tables.read_state(self.spark, combined_path)
             comb.createOrReplaceTempView("positions_global_combined_test")
             latest_view(comb, freshness="5 minutes", now=now_col).createOrReplaceTempView(
@@ -177,42 +178,54 @@ class AdsbEngine:
                     # ones awaiting GC (versioned commit, plans/tables.py)
                     path = tables._current_snapshot_dir(path) or path
                 n_rows = n_parts = n_files = n_bytes = 0
-                if os.path.isdir(path):
+                io = storeio_for(path)
+                if io.isdir(path):
                     # row counts come from parquet FOOTER metadata, not a
                     # table scan — exact (footers record num_rows) and
                     # metadata-priced, like ClickHouse's system.parts. At
                     # 100 TB a df.count() per table per stats call is a
                     # full-corpus job; footers are a few KB per file.
+                    # The tree walk + sizes go through the StoreIO seam
+                    # (r13 verdict item 3 — a remote path hits the loud
+                    # guard instead of a silent zero); the footer read
+                    # itself is a data-plane byte read, like Spark's.
                     import pyarrow as pa
                     import pyarrow.parquet as pq_meta
 
-                    for root, dirs, files in os.walk(path):
+                    def _walk(d: str):
                         # skip Spark staging/metadata paths (_temporary,
                         # _SUCCESS, dot-files) exactly like Spark's own
                         # reader — a live writer's half-committed part
                         # has no footer and must not crash or inflate
                         # the stats
-                        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-                        pq = [
-                            f for f in files
-                            if f.endswith(".parquet") and not f.startswith(("_", "."))
-                        ]
-                        for f in pq:
-                            fp = os.path.join(root, f)
+                        subdirs, files = [], []
+                        for e in io.listdir(d):
+                            if e.startswith(("_", ".")):
+                                continue
+                            full = os.path.join(d, e)
+                            (subdirs if io.isdir(full) else files).append(full)
+                        yield files
+                        for sub in subdirs:
+                            yield from _walk(sub)
+
+                    for files in _walk(path):
+                        for fp in files:
+                            if not fp.endswith(".parquet"):
+                                continue
                             # a writer crashing between write and commit
                             # can leave a zero-length or torn file OUTSIDE
                             # _temporary; an unreadable footer is skipped
                             # (and excluded from every count), not fatal
                             try:
                                 meta = pq_meta.ParquetFile(fp).metadata
-                                size = os.path.getsize(fp)
+                                size = io.file_size(fp)
                             except (pa.ArrowInvalid, OSError):
                                 continue
                             n_files += 1
                             n_bytes += size
                             n_rows += meta.num_rows
                     n_parts = len(
-                        [e for e in os.listdir(path) if e.startswith(tables.PARTITION_COL + "=")]
+                        [e for e in io.listdir(path) if e.startswith(tables.PARTITION_COL + "=")]
                     )
                 rows.append((f"positions_{name}", kind, n_rows, n_parts, n_files, n_bytes))
         return self.spark.createDataFrame(
@@ -243,8 +256,9 @@ class AdsbEngine:
                 now=self.now.date() if self.now else None,
             )
             compacted = []
-            if os.path.isdir(pipe.history_path):
-                for entry in sorted(os.listdir(pipe.history_path)):
+            hio = storeio_for(pipe.history_path)
+            if hio.isdir(pipe.history_path):
+                for entry in sorted(hio.listdir(pipe.history_path)):
                     if not entry.startswith(tables.PARTITION_COL + "="):
                         continue
                     day = entry.split("=", 1)[1]
@@ -252,7 +266,7 @@ class AdsbEngine:
                         continue  # open day — a writer may be appending
                     day_dir = os.path.join(pipe.history_path, entry)
                     n_batch_dirs = sum(
-                        1 for e in os.listdir(day_dir) if e.startswith("batch_id=")
+                        1 for e in hio.listdir(day_dir) if e.startswith("batch_id=")
                     )
                     if n_batch_dirs >= compact_min_batch_dirs:
                         tables.compact_partition(self.spark, pipe.history_path, entry)

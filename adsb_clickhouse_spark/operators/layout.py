@@ -132,7 +132,13 @@ def compact_curated_layout(
     flight. Returns per-leaf before/after file counts."""
     import os
 
+    from ..plans.storeio import storeio_for
     from ..plans.tables import _atomic_swap
+
+    # the leaf walk goes through the StoreIO seam (r13 verdict item 3):
+    # a raw os.listdir on a remote data-plane path would silently no-op
+    # the leaf discovery; the seam's loud guard fires instead
+    io = storeio_for(path)
 
     cols = list(partition_cols)
     depth = len(cols)
@@ -144,14 +150,14 @@ def compact_curated_layout(
             return [d]
         out: list[str] = []
         prefix = cols[level] + "="
-        for e in sorted(os.listdir(d)):
-            if e.startswith(prefix) and os.path.isdir(os.path.join(d, e)):
+        for e in sorted(io.listdir(d)):
+            if e.startswith(prefix) and io.isdir(os.path.join(d, e)):
                 out += _leaves(os.path.join(d, e), level + 1)
         return out
 
     stats: dict[str, dict[str, int]] = {}
     for leaf in _leaves(path, 0):
-        before = [e for e in os.listdir(leaf) if e.endswith(".parquet")]
+        before = [e for e in io.listdir(leaf) if e.endswith(".parquet")]
         if len(before) <= target_files:
             continue
         df = spark.read.parquet(leaf)
@@ -164,7 +170,7 @@ def compact_curated_layout(
         )
         df.write.mode("overwrite").parquet(staging)
         _atomic_swap(staging, leaf)
-        after = [e for e in os.listdir(leaf) if e.endswith(".parquet")]
+        after = [e for e in io.listdir(leaf) if e.endswith(".parquet")]
         rel = os.path.relpath(leaf, path)
         stats[rel] = {"files_before": len(before), "files_after": len(after)}
     return stats

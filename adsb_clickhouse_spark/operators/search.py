@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.texttools import md5_long, tokens
+from ..plans.storeio import storeio_for
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -201,7 +202,9 @@ from ..plans.genstore import (
     GEN_POINTER as _GEN_POINTER,
     folded_set as _folded_set,
     gen_name as _gen_name,
+    gc_stale_staging as _gc_stale_staging,
     live_segments as _live_segments,
+    publish_segment as _publish_segment,
 )
 
 
@@ -259,17 +262,26 @@ def _write_stats(out: str, n_docs: int, sum_dl: int, B: int, positional: bool) -
     Written DRIVER-SIDE with pyarrow in a byte-compatible schema — a
     Spark job for one known row paid Python-RDD conversion + job
     scheduling per append (the same floor cut as the curation ingest's
-    stats row, r12). The stats dir is CLEARED first: a replayed
-    pre-upgrade segment carries a Spark-named stats file this write's
-    fixed part-00000 name would sit NEXT TO instead of replacing, and
-    probes SUM all stats rows — the old mode('overwrite') semantics
-    must survive the writer change (r13 review)."""
-    import shutil
+    stats row, r12).
 
+    Publish protocol (r13 advice — the old rmtree-then-write left a
+    transient NO-stats window a concurrent ``bm25_probe_stored``
+    reader of a live segment could hit, and bypassed the StoreIO
+    seam): pyarrow writes the row to a DOT-prefixed temp file (data
+    plane — a plain local/shared-POSIX write today, invisible to
+    Spark's reader), then ``StoreIO.rename`` replaces the fixed
+    ``part-00000.parquet`` name atomically — readers see the old
+    stats row or the new one, never an empty dir. Legacy Spark-named
+    stats files (pre-r13 segments being replayed) are unlinked via
+    the seam BEFORE the publish so probes never double-count; only
+    such a legacy replay — which has no committed readers — crosses
+    a (harmless) no-stats instant."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    shutil.rmtree(f"{out}/stats", ignore_errors=True)
+    from ..plans.storeio import storeio_for
+
+    io = storeio_for(out)
 
     schema = pa.schema(
         [
@@ -288,8 +300,19 @@ def _write_stats(out: str, n_docs: int, sum_dl: int, B: int, positional: bool) -
         },
         schema=schema,
     )
-    os.makedirs(f"{out}/stats", exist_ok=True)
-    pq.write_table(table, f"{out}/stats/part-00000.parquet", compression="snappy")
+    stats_dir = f"{out}/stats"
+    io.makedirs(stats_dir)
+    import uuid as _uuid
+
+    tmp = f"{stats_dir}/.tmp-{_uuid.uuid4().hex[:8]}.parquet"
+    pq.write_table(table, tmp, compression="snappy")
+    for e in io.listdir(stats_dir):
+        if not e.startswith((".", "_")) and e != "part-00000.parquet":
+            try:
+                io.unlink(os.path.join(stats_dir, e))
+            except OSError:
+                pass  # concurrent replay already cleared it
+    io.rename(tmp, f"{stats_dir}/part-00000.parquet")
 
 
 def _write_index_part(
@@ -486,7 +509,6 @@ def append_text_index(
         with_positions=positional,
         stats_obs=ob,
     ).withColumn("bucket", md5_long(F.col("term")) % B)
-    out = os.path.join(path, "segments", segment)
     # ONE Spark job per append: the postings write's observation yields
     # the stats row, written driver-side (was: write + postings re-read
     # + one-row stats job), and the segment layout is FLAT (bucket as a
@@ -495,7 +517,20 @@ def append_text_index(
     # concurrent store append in the all-stores per-batch floor (r12
     # verdict item 5). The returned stats come from the same
     # observation — no read-back job on either return_stats path.
-    stats = _write_index_part(tfs, out, B, positional, stats_obs=ob, flat=True)
+    #
+    # The segment is STAGED and published with one atomic rename
+    # (genstore.publish_segment — r14, found by the probe-under-
+    # maintenance soak: the old in-place write exposed the segment
+    # directory before its stats existed, and a concurrent probe's
+    # stats union hit PATH_NOT_FOUND mid-append).
+    stats: dict = {}
+
+    def build(staging: str) -> None:
+        stats.update(
+            _write_index_part(tfs, staging, B, positional, stats_obs=ob, flat=True)
+        )
+
+    _publish_segment(path, segment, build)
     if not return_stats:
         return {"segment": segment, "n_buckets": B}
     return {"segment": segment, "n_docs": stats["n_docs"], "n_buckets": B}
@@ -520,6 +555,7 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     if gen is None:
         raise RuntimeError(f"no text index at {path}")
     _gc_orphan_generations(path, gen)
+    _gc_stale_staging(path)  # crashed-append leftovers (age-gated)
     segs = _live_segments(path)
     if not segs:
         return {"folded_segments": 0, "generation": gen}
@@ -554,7 +590,7 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
                 post = nxt if post is None else post.unionByName(nxt)
             _write_postings(post, out)
         else:
-            os.makedirs(out, exist_ok=True)
+            storeio_for(out).makedirs(out)
         _write_stats(
             out, int(srow["n_docs"]), int(srow["sum_dl"]), B, positional
         )

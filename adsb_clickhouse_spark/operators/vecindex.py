@@ -60,9 +60,12 @@ from ..plans.genstore import (
     fold_generation as _fold_generation,
     folded_set as _folded_set,
     gc_orphan_generations as _gc_orphan_generations,
+    gc_stale_staging as _gc_stale_staging,
     gen_name as _gen_name,
     live_segments as _live_segments,
+    publish_segment as _publish_segment,
 )
+from ..plans.storeio import storeio_for
 from .similarity import _d2_fold, _id_as_long, _nonzero_norm, as_double, cosine
 
 VEC_SCHEMA = "id long, v array<double>, list_id int"
@@ -175,7 +178,7 @@ def init_vector_index(
             "existed": True,
         }
     def build(out: str) -> None:
-        os.makedirs(out, exist_ok=True)
+        storeio_for(out).makedirs(out)
         _write_centroids(spark, out, _seed_centroids(dim, n_lists, seed))
 
     new_gen = _fold_generation(path, build, folded=set())
@@ -231,8 +234,6 @@ def append_vector_index(
         if centroid_cache is not None:
             centroid_cache.clear()
             centroid_cache.update(gen=gen, cent=cent)
-    seg_dir = os.path.join(path, "segments", segment)
-    out = os.path.join(seg_dir, "vectors")
     # ONE Spark job per append (r12 verdict item 5, the same cut as the
     # text index): the write's observation yields the vector count that
     # used to be a read-back job, and the segment layout is FLAT —
@@ -240,6 +241,14 @@ def append_vector_index(
     # partitionBy (a batch-sized segment gains nothing from directory
     # pruning; probes push the isin on the sorted column, and the next
     # compaction folds it into the partitioned generation layout).
+    #
+    # Staged + published with one atomic rename (genstore.
+    # publish_segment — r14 probe-under-maintenance soak: an in-place
+    # write exposed the segment before its _GEN_AT_APPEND marker and
+    # vector files were complete). An EMPTY batch (every vector a
+    # cross-batch duplicate, NULL, or zero-norm) publishes NOTHING —
+    # strictly cleaner than the old _SUCCESS-only directory every
+    # reader had to special-case.
     from pyspark.sql import Observation
 
     from ..functions.observe import observation_values
@@ -248,23 +257,25 @@ def append_vector_index(
     assigned = _assign(vectors, cent, id_col=id_col, vec_col=vec_col).observe(
         ob, F.count(F.lit(1)).alias("n")
     )
-    (
-        assigned.coalesce(4)
-        .sortWithinPartitions("list_id")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
-    # observation_values tolerates AQE pruning the tap on a provably-
-    # empty batch (every vector a cross-batch duplicate, NULL, or
-    # zero-norm): n = 0 exactly. Such a write leaves only _SUCCESS and
-    # spark.read.parquet on it throws UNABLE_TO_INFER_SCHEMA — return
-    # the 0-vector no-op instead of a replay poison pill that fires
-    # before the caller's commit marker.
-    n = int(observation_values(ob, {"n": 0})["n"])
-    if n == 0:
-        return {"segment": segment, "n_vectors": 0, "generation": gen}
-    _write_segment_gen(seg_dir, gen)
-    return {"segment": segment, "n_vectors": n, "generation": gen}
+    state = {"n": 0}
+
+    def build(staging: str):
+        (
+            assigned.coalesce(4)
+            .sortWithinPartitions("list_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(staging, "vectors"))
+        )
+        # observation_values tolerates AQE pruning the tap on a
+        # provably-empty batch: n = 0 exactly
+        state["n"] = int(observation_values(ob, {"n": 0})["n"])
+        if state["n"] == 0:
+            return False  # skip the publish: nothing becomes visible
+        _write_segment_gen(staging, gen)
+        return None
+
+    _publish_segment(path, segment, build)
+    return {"segment": segment, "n_vectors": state["n"], "generation": gen}
 
 
 def knn_probe_stored(
@@ -395,6 +406,7 @@ def compact_vector_index(
     if gen is None:
         raise RuntimeError(f"no vector index at {path}")
     _gc_orphan_generations(path, gen)
+    _gc_stale_staging(path)  # crashed-append leftovers (age-gated)
     all_segs = _live_segments(path)
     segs = (
         all_segs if committed is None
@@ -433,7 +445,7 @@ def compact_vector_index(
             )
             _write_centroids(spark, out, new_cent)
         else:
-            os.makedirs(out, exist_ok=True)
+            storeio_for(out).makedirs(out)
             _write_centroids(spark, out, cent)
 
     new_gen = _fold_generation(

@@ -48,6 +48,7 @@ stores whose namespaces don't have them.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 from .storeio import StoreIO, storeio_for
@@ -55,6 +56,13 @@ from .storeio import StoreIO, storeio_for
 GEN_POINTER = "_GEN"
 FOLDED_MANIFEST = "_FOLDED"
 LAW_MARKER = "_BAND_LAW"
+RETIRE_MANIFEST = "_RETIRED_PATHS"
+#: how long a superseded generation / folded segment stays on disk after
+#: its fold commits — the reader grace window (r13 verdict item 4: a
+#: probe that resolved the OLD pointer and is mid-scan when the fold
+#: commits must finish against intact files; the old immediate rmtree
+#: was a torn-read window). Mirrors plans/tables.STATE_GC_GRACE_S.
+GEN_GC_GRACE_S = 300.0
 
 
 def gen_name(path: str, *, io: StoreIO | None = None) -> str | None:
@@ -109,7 +117,8 @@ def write_manifest(
 
 def live_segments(path: str, *, io: StoreIO | None = None) -> list[str]:
     """Named segment appends not yet folded by the current generation
-    (underscore entries are markers, never segments)."""
+    (underscore entries are markers, dot entries are in-flight append
+    staging — never segments)."""
     io = io or storeio_for(path)
     seg_root = os.path.join(path, "segments")
     if not io.isdir(seg_root):
@@ -118,8 +127,135 @@ def live_segments(path: str, *, io: StoreIO | None = None) -> list[str]:
     return sorted(
         e
         for e in io.listdir(seg_root)
-        if not e.startswith("_") and e not in folded
+        if not e.startswith(("_", ".")) and e not in folded
     )
+
+
+def publish_segment(
+    path: str, segment: str, build, *, io: StoreIO | None = None
+) -> str:
+    """Atomic segment APPEND (r14, found by the probe-under-maintenance
+    soak): ``build(staging_dir)`` writes the full segment content into
+    a dot-prefixed staging name — invisible to ``live_segments`` and to
+    Spark's own listing — and ONE atomic rename publishes it as
+    ``segments/<segment>``. Probes therefore never see a segment whose
+    postings/stats/marker files are still being written (the old
+    in-place write exposed the directory from its first file: a
+    concurrent probe unioning ``<part>/stats`` across live segments hit
+    PATH_NOT_FOUND mid-append). Replays (name-keyed overwrite contract)
+    rmtree the committed segment before the rename — a probe mid-scan
+    of a segment being REPLAYED can fail transiently, but a replay only
+    follows a crash, where the batch's commit marker never landed.
+    Crashed staging dirs are GC'd by ``gc_stale_staging`` at the next
+    compaction. ``build`` returning ``False`` skips the publish (an
+    empty batch: nothing becomes visible at all — cleaner than the old
+    in-place _SUCCESS-only directory every reader had to special-case).
+    Returns the committed segment path, or None when skipped."""
+    io = io or storeio_for(path)
+    seg_root = os.path.join(path, "segments")
+    staging = os.path.join(
+        seg_root, f".staging-{segment}-{uuid.uuid4().hex[:8]}"
+    )
+    final = os.path.join(seg_root, segment)
+    try:
+        if build(staging) is False:
+            return None
+        if io.exists(final):
+            io.rmtree(final)  # replay overwrite (name-keyed contract)
+        io.rename(staging, final)
+    finally:
+        io.rmtree(staging)
+    return final
+
+
+def gc_stale_staging(
+    path: str, *, max_age_s: float = 3600.0, io: StoreIO | None = None
+) -> None:
+    """Delete ``.staging-*`` leftovers of CRASHED appends under
+    ``segments/``. Age-gated (like the marker tmp sweep): a live
+    append's staging dir is at most seconds old, so anything older
+    than ``max_age_s`` belongs to a dead writer. Run from the
+    compactors (single-maintainer slot)."""
+    io = io or storeio_for(path)
+    seg_root = os.path.join(path, "segments")
+    if not io.isdir(seg_root):
+        return
+    now = time.time()
+    for e in io.listdir(seg_root):
+        if not e.startswith(".staging-"):
+            continue
+        full = os.path.join(seg_root, e)
+        try:
+            if now - io.mtime(full) > max_age_s:
+                io.rmtree(full)
+        except OSError:
+            pass  # vanished under us (its append just published)
+
+
+def read_retire_manifest(gen_dir: str, io: StoreIO) -> list[tuple[float, str]]:
+    """``(retired_at_epoch, path)`` entries of a part's retire
+    manifest; empty when absent (pre-grace-window stores, bootstrap
+    generations)."""
+    try:
+        text = io.read_text(os.path.join(gen_dir, RETIRE_MANIFEST))
+    except OSError:
+        return []
+    out: list[tuple[float, str]] = []
+    for ln in text.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        ts, p = ln.split("|", 1)
+        out.append((float(ts), p))
+    return out
+
+
+def write_retire_manifest(
+    gen_dir: str, entries: list[tuple[float, str]], io: StoreIO
+) -> None:
+    io.write_atomic(
+        os.path.join(gen_dir, RETIRE_MANIFEST),
+        "".join(f"{ts!r}|{p}\n" for ts, p in entries),
+    )
+
+
+def sweep_retired(
+    path: str,
+    *,
+    grace_s: float | None = None,
+    io: StoreIO | None = None,
+    part_dir: str | None = None,
+) -> list[str]:
+    """Delete retire-manifest entries older than the grace window and
+    rewrite the manifest without them (r13 verdict item 4 — the reader
+    grace window). Only entries of the POINTED generation (or of the
+    explicitly named committed ``part_dir``) are eligible: their
+    presence in a committed part PROVES the fold that superseded those
+    paths committed, so no new reader can resolve them — only a probe
+    already mid-scan, which the grace period protects. Returns the
+    deleted paths."""
+    io = io or storeio_for(path)
+    if part_dir is None:
+        gen = gen_name(path, io=io)
+        if gen is None:
+            return []
+        part_dir = os.path.join(path, gen)
+    entries = read_retire_manifest(part_dir, io)
+    if not entries:
+        return []
+    grace = GEN_GC_GRACE_S if grace_s is None else grace_s
+    now = time.time()
+    keep: list[tuple[float, str]] = []
+    swept: list[str] = []
+    for ts, p in entries:
+        if now - ts > grace:
+            io.rmtree(p)
+            swept.append(p)
+        else:
+            keep.append((ts, p))
+    if swept:
+        write_retire_manifest(part_dir, keep, io)
+    return swept
 
 
 def gc_orphan_generations(
@@ -129,13 +265,25 @@ def gc_orphan_generations(
     leftovers of a compaction that crashed BEFORE its pointer swap.
     Safe under the single-concurrent-maintainer contract (probes only
     resolve the pointed generation, so an unpointed dir has no readers
-    to race)."""
+    to race) — EXCEPT superseded generations inside their reader grace
+    window, which the pointed generation's retire manifest lists and
+    this sweep therefore skips (r13 verdict item 4: a probe that
+    resolved the old pointer just before the swap must finish its scan
+    against intact files; ``sweep_retired`` deletes them once the
+    grace expires)."""
     io = io or storeio_for(path)
     if not io.isdir(path):
         return
+    graced: set[str] = set()
+    gen = keep if keep is not None else gen_name(path, io=io)
+    if gen is not None:
+        graced = {
+            p for _ts, p in read_retire_manifest(os.path.join(path, gen), io)
+        }
     for e in io.listdir(path):
-        if e.startswith("gen-") and e != keep:
-            io.rmtree(os.path.join(path, e))
+        full = os.path.join(path, e)
+        if e.startswith("gen-") and e != keep and full not in graced:
+            io.rmtree(full)
 
 
 def fold_generation(
@@ -146,32 +294,49 @@ def fold_generation(
     gc_paths: tuple | list = (),
     manifest: bool = True,
     io: StoreIO | None = None,
+    grace_s: float | None = None,
 ) -> str:
-    """THE generational fold loop (stage → manifest → swap → GC) every
-    compactor shares — text index, vector index, host ranks are each
-    one ``build`` callback plus this commit discipline.
+    """THE generational fold loop (stage → manifest → swap → deferred
+    GC) every compactor shares — text index, vector index, host ranks
+    are each one ``build`` callback plus this commit discipline.
 
     ``build(new_gen_dir)`` fully writes the new generation's content
     before returning (the stage). Then the transitive ``folded`` set is
     recorded inside the new generation (unless ``manifest=False`` for
     stores whose inputs live elsewhere and dedupe by value), the
-    pointer swaps atomically (the commit), and only then are
-    ``gc_paths`` — folded segment dirs, the superseded generation —
-    deleted. Interruption at any point leaves a readable, correct
-    store: before the swap the old generation is still pointed (the
-    orphan new dir is GC'd by the next run); after it, a lagging GC
-    only leaves supersets the manifest already excludes. Returns the
-    new generation name."""
+    pointer swaps atomically (the commit), and ``gc_paths`` — folded
+    segment dirs, the superseded generation — are RETIRED, not
+    deleted: they are appended (with the prior generation's unswept
+    retirees carried forward) to the new generation's retire manifest,
+    and ``sweep_retired`` deletes them only once their entry is older
+    than the grace window (r13 verdict item 4 — a probe that resolved
+    the OLD pointer just before the swap finishes its scan against
+    intact files; new probes resolve the new pointer and the folded
+    manifest already excludes the retirees). Interruption at any point
+    leaves a readable, correct store: before the swap the old
+    generation is still pointed (the orphan new dir is GC'd by the
+    next run, which skips grace-window retirees); after it, the
+    retirees are harmless supersets the manifest already excludes.
+    Returns the new generation name."""
     io = io or storeio_for(path)
     new_gen = f"gen-{uuid.uuid4().hex[:8]}"
     out = os.path.join(path, new_gen)
     build(out)
+    io.makedirs(out)  # no-op when build wrote content (exist_ok)
     if manifest:
-        io.makedirs(out)
         write_manifest(out, folded or set(), io=io)
+    old_gen = gen_name(path, io=io)
+    inherited = (
+        read_retire_manifest(os.path.join(path, old_gen), io)
+        if old_gen is not None
+        else []
+    )
+    now = time.time()
+    write_retire_manifest(
+        out, inherited + [(now, p) for p in gc_paths], io
+    )
     swap_pointer(path, new_gen, io=io)
-    for p in gc_paths:
-        io.rmtree(p)
+    sweep_retired(path, grace_s=grace_s, io=io)
     return new_gen
 
 
@@ -183,6 +348,7 @@ def fold_into_segment(
     folded: set[str],
     gc_paths: tuple | list = (),
     io: StoreIO | None = None,
+    grace_s: float | None = None,
 ) -> None:
     """The fold loop's second commit flavor: for stores whose readers
     resolve SEGMENTS + manifests directly (no generation pointer — the
@@ -190,8 +356,12 @@ def fold_into_segment(
     fully staged segment into the store. ``build(staging_seg_dir)``
     writes the segment's content; the transitive ``folded`` manifest
     lands inside it BEFORE the rename, so from the commit instant
-    readers exclude the folded inputs; ``gc_paths`` are deleted after
-    (a crash mid-GC leaves dirs the manifest already excludes)."""
+    readers exclude the folded inputs; ``gc_paths`` are RETIRED after
+    (recorded in the committed segment's retire manifest, inheriting
+    the unswept retirees of the inputs being folded) and deleted by
+    ``sweep_retired`` once older than the grace window — a reader that
+    resolved the live-entry list just before the commit finishes its
+    scan against intact files (r13 verdict item 4)."""
     io = io or storeio_for(dir_path)
     # GC staging leftovers of a prior CRASHED fold first (a finally
     # block can't cover kill -9): unpointed, unreferenced by any
@@ -200,16 +370,25 @@ def fold_into_segment(
         for e in io.listdir(dir_path):
             if e.startswith(".fold-staging."):
                 io.rmtree(os.path.join(dir_path, e))
+    # inherit the unswept retirees of the inputs this fold consumes
+    # (their manifests die with them when the grace window closes)
+    inherited: list[tuple[float, str]] = []
+    for p in gc_paths:
+        inherited += read_retire_manifest(p, io)
     staging = os.path.join(dir_path, f".fold-staging.{uuid.uuid4().hex[:8]}")
     out = os.path.join(staging, seg_entry)
+    committed = os.path.join(dir_path, seg_entry)
     try:
         build(out)
         write_manifest(out, folded, io=io)
-        io.rename(out, os.path.join(dir_path, seg_entry))
+        now = time.time()
+        write_retire_manifest(
+            out, inherited + [(now, p) for p in gc_paths], io
+        )
+        io.rename(out, committed)
     finally:
         io.rmtree(staging)
-    for p in gc_paths:
-        io.rmtree(p)
+    sweep_retired(dir_path, grace_s=grace_s, io=io, part_dir=committed)
 
 
 def enforce_law(

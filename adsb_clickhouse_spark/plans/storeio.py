@@ -30,6 +30,13 @@ void every crash-safety argument. So the seam is explicit:
   behind the same five-method surface, which is exactly the role
   ClickHouse Keeper plays for the reference's EKS deployment
   (manifests/adsb-clickhouse/30-clickhouse-eks.yaml.example);
+- :class:`CASStoreIO` (r13 verdict item 1) IS that port: the whole
+  commit protocol implemented on conditional-put primitives only
+  (:class:`CASBackend` — no rename, no hard link, by construction),
+  with the method-by-method mapping to S3 conditional writes and
+  DynamoDB in its docstrings. Register it for a scheme
+  (:func:`register_scheme`) or, for hybrid local-data/CAS-metadata
+  runs, a path prefix (:func:`register_prefix`);
 - :class:`MemStoreIO` is the in-process fake the contract tests run
   against (register it under a scheme with :func:`register_scheme`),
   proving the callers depend only on the interface semantics, not on
@@ -89,6 +96,22 @@ class StoreIO:
 
     def unlink(self, path: str) -> None:
         """Remove a file; raises ``OSError`` if absent."""
+        raise NotImplementedError
+
+    def unlink_if(self, path: str, token) -> bool:
+        """Remove ``path`` iff its :meth:`stat_token` still equals
+        ``token`` — the conditional delete a stale-lock takeover needs
+        (r13 advice: a plain break could steal a FRESH lock created
+        between the staleness check and the removal). Returns True iff
+        THIS caller removed that exact file version; False when the
+        file vanished, was replaced, or another breaker won.
+        Implementations with a native compare-and-swap delete do this
+        in one atomic step; POSIX approximates it with a claim-rename
+        + token verify + non-clobbering restore (see LocalStoreIO)."""
+        raise NotImplementedError
+
+    def file_size(self, path: str) -> int:
+        """Size in bytes of a file; raises ``OSError`` if absent."""
         raise NotImplementedError
 
     def listdir(self, path: str) -> list[str]:
@@ -160,7 +183,31 @@ class LocalStoreIO(StoreIO):
         tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             fh.write(text)
+            # POWER-loss safety, not just process-crash safety (r13
+            # advice): without the fsync, os.replace can commit a
+            # rename whose data blocks never hit disk, leaving a
+            # zero-length pointer after a crash — torn, which the
+            # module contract forbids. These are tiny files at batch
+            # cadence; the fsync cost is noise.
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, path)
+        self._fsync_dir(os.path.dirname(path))
+
+    @staticmethod
+    def _fsync_dir(dirpath: str) -> None:
+        # persist the rename itself; some filesystems refuse directory
+        # fsync (it is then redundant there), hence best-effort
+        try:
+            fd = os.open(dirpath or ".", os.O_RDONLY)
+        except OSError:
+            return
+        try:
+            os.fsync(fd)
+        except OSError:
+            pass
+        finally:
+            os.close(fd)
 
     def create_exclusive(self, path: str, text: str) -> tuple[bool, str]:
         tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
@@ -185,6 +232,46 @@ class LocalStoreIO(StoreIO):
 
     def unlink(self, path: str) -> None:
         os.unlink(path)
+
+    def unlink_if(self, path: str, token) -> bool:
+        """Conditional delete on POSIX: claim-rename to a caller-unique
+        path (atomic — exactly one concurrent breaker gets the inode),
+        then verify the claimed inode's token. (mtime_ns, size) are
+        inode properties, preserved by rename, so the token still
+        identifies the exact file version measured earlier. On
+        mismatch — the path held a FRESH file by the time we claimed
+        it — restore it via ``os.link`` (refuses an existing target,
+        so a contender's even-fresher lock is never clobbered).
+        Residual hazard, documented: between our rename and the
+        restoring link, the path is briefly absent; a contender that
+        exclusive-creates in that microsecond window orphans the fresh
+        holder's file (its heartbeat then stops quietly). That needs
+        the breaker to misfire on a lock that turned fresh within the
+        same staleness check AND a third racer in the same window —
+        strictly narrower than the unconditional-steal this method
+        replaces."""
+        claim = path + f".claim.{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(path, claim)
+        except OSError:
+            return False  # vanished or already claimed by another breaker
+        try:
+            st = os.stat(claim)
+            if (st.st_mtime_ns, st.st_size) == token:
+                os.unlink(claim)
+                return True
+            # fresh file stolen — put it back without clobbering
+            try:
+                os.link(claim, path)
+            except OSError:
+                pass  # a contender re-created the path first; see docstring
+            os.unlink(claim)
+            return False
+        except OSError:
+            return False
+
+    def file_size(self, path: str) -> int:
+        return os.path.getsize(path)
 
     def listdir(self, path: str) -> list[str]:
         return os.listdir(path)
@@ -226,6 +313,22 @@ class LocalStoreIO(StoreIO):
         return False
 
 
+def _glob_regex(pattern: str):
+    # glob semantics, not fnmatch: '*'/'?' never cross a '/'
+    # (fnmatch's '*' is '.*', which made patterns like
+    # 'scrape_date=*/batch_id=b0' match nested paths LocalStoreIO's
+    # glob.glob would never return — r13 review)
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("[^/]*")
+        elif ch == "?":
+            out.append("[^/]")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("^" + "".join(out) + "$")
+
+
 class MemStoreIO(StoreIO):
     """In-memory fake for contract tests — same atomicity semantics
     (a per-instance lock makes every namespace mutation one indivisible
@@ -255,6 +358,17 @@ class MemStoreIO(StoreIO):
             if "/" not in parent:
                 break
             parent = parent.rsplit("/", 1)[0]
+
+    def _require_parent(self, path: str) -> None:
+        # POSIX parity (r13 advice): open() under a nonexistent parent
+        # raises FileNotFoundError on LocalStoreIO; the fake must not
+        # silently auto-create what the real filesystem refuses, or
+        # callers proven against it still fail on POSIX.
+        parent = path.rsplit("/", 1)[0] if "/" in path else ""
+        if not parent or parent.endswith(":/"):
+            return  # scheme root — always "exists"
+        if parent not in self._dirs:
+            raise FileNotFoundError(parent)
 
     # -- reads ----------------------------------------------------------
     def read_text(self, path: str) -> str:
@@ -308,19 +422,7 @@ class MemStoreIO(StoreIO):
 
     @staticmethod
     def _glob_regex(pattern: str):
-        # glob semantics, not fnmatch: '*'/'?' never cross a '/'
-        # (fnmatch's '*' is '.*', which made patterns like
-        # 'scrape_date=*/batch_id=b0' match nested paths LocalStoreIO's
-        # glob.glob would never return — r13 review)
-        out = []
-        for ch in pattern:
-            if ch == "*":
-                out.append("[^/]*")
-            elif ch == "?":
-                out.append("[^/]")
-            else:
-                out.append(re.escape(ch))
-        return re.compile("^" + "".join(out) + "$")
+        return _glob_regex(pattern)
 
     def glob(self, pattern: str) -> list[str]:
         rx = self._glob_regex(self._norm(pattern))
@@ -340,7 +442,7 @@ class MemStoreIO(StoreIO):
     def write_atomic(self, path: str, text: str) -> None:
         path = self._norm(path)
         with self._lock:
-            self._add_parents(path)
+            self._require_parent(path)
             self._files[path] = text
             self._touch(path)
 
@@ -349,7 +451,7 @@ class MemStoreIO(StoreIO):
         with self._lock:
             if path in self._files:
                 return False, self._files[path]
-            self._add_parents(path)
+            self._require_parent(path)
             self._files[path] = text
             self._touch(path)
             return True, text
@@ -361,6 +463,22 @@ class MemStoreIO(StoreIO):
                 raise FileNotFoundError(path)
             del self._files[path]
             self._meta.pop(path, None)
+
+    def unlink_if(self, path: str, token) -> bool:
+        path = self._norm(path)
+        with self._lock:  # one indivisible compare-and-delete
+            if self._meta.get(path) != token or path not in self._files:
+                return False
+            del self._files[path]
+            del self._meta[path]
+            return True
+
+    def file_size(self, path: str) -> int:
+        path = self._norm(path)
+        with self._lock:
+            if path not in self._files:
+                raise FileNotFoundError(path)
+            return len(self._files[path])
 
     def makedirs(self, path: str) -> None:
         path = self._norm(path)
@@ -391,6 +509,10 @@ class MemStoreIO(StoreIO):
                 raise FileNotFoundError(src)
             if src in self._dirs and (dst in self._dirs or dst in self._files):
                 raise OSError(f"rename target exists: {dst}")
+            if src in self._files and dst in self._dirs:
+                # POSIX parity (r13 advice): os.rename(file, existing
+                # dir) raises; silently clobbering the dir diverged
+                raise IsADirectoryError(dst)
             self._add_parents(dst)
             if src in self._files:
                 self._files[dst] = self._files.pop(src)
@@ -409,19 +531,526 @@ class MemStoreIO(StoreIO):
             self._touch(dst)
 
 
+# --------------------------------------------------------------------------
+# CAS-backed StoreIO (r13 verdict item 1): the commit-metadata protocol on
+# conditional-put primitives ONLY — what an object-store deployment has.
+# --------------------------------------------------------------------------
+
+
+#: put_if/delete_if precondition: the key must be absent
+ABSENT = object()
+#: put_if/delete_if precondition: unconditional (a plain PUT / DELETE)
+ANY = object()
+
+
+class CASBackend:
+    """The ONLY primitives a CAS StoreIO may use — by construction there
+    is no rename and no hard link on this interface, so any protocol
+    built on it runs unchanged on a real conditional-put service:
+
+    - ``get``           → S3 GetObject / DynamoDB GetItem
+    - ``put_if(ABSENT)`` → S3 conditional write ``If-None-Match: *``
+      (GA since 2024) / DynamoDB ``attribute_not_exists`` condition /
+      etcd ``Txn(create_revision == 0)``
+    - ``put_if(token)``  → S3 ``If-Match: <etag>`` / DynamoDB
+      ``ConditionExpression: version = :tok`` / etcd mod-revision Txn
+    - ``delete_if``      → same conditions on DeleteObject/DeleteItem
+    - ``list_prefix``    → S3 ListObjectsV2 (strongly consistent since
+      2020) / DynamoDB Query on a prefix key
+
+    Tokens are backend-assigned versions (ETag / version attribute /
+    mod_revision): every successful put yields a NEW token, and a
+    conditional op succeeds only against the exact version it names."""
+
+    def get(self, key: str):
+        """``(value, token)`` or ``None`` if absent."""
+        raise NotImplementedError
+
+    def put_if(self, key: str, value: str, expected) -> object | None:
+        """Write ``value`` iff the precondition holds: ``expected`` is
+        ``ABSENT`` (key must not exist), ``ANY`` (unconditional), or a
+        token from a prior get/put (key must still be that version).
+        Returns the new token, or ``None`` if the precondition failed.
+        The check-and-write is ONE atomic step."""
+        raise NotImplementedError
+
+    def delete_if(self, key: str, expected) -> bool:
+        """Delete ``key`` iff the precondition holds (``ANY`` or a
+        token). Returns True iff this call removed the key."""
+        raise NotImplementedError
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        """All keys starting with ``prefix`` (consistent listing)."""
+        raise NotImplementedError
+
+
+class MemCASBackend(CASBackend):
+    """In-memory CAS service for tests: a lock makes each conditional
+    op one indivisible step — exactly the atomicity DynamoDB/etcd/S3
+    conditional writes provide, and nothing more."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._kv: dict[str, tuple[str, int]] = {}
+        self._seq = 0
+
+    def get(self, key: str):
+        with self._lock:
+            return self._kv.get(key)
+
+    def put_if(self, key: str, value: str, expected):
+        with self._lock:
+            cur = self._kv.get(key)
+            if expected is ABSENT and cur is not None:
+                return None
+            if expected is not ABSENT and expected is not ANY:
+                if cur is None or cur[1] != expected:
+                    return None
+            self._seq += 1
+            self._kv[key] = (value, self._seq)
+            return self._seq
+
+    def delete_if(self, key: str, expected) -> bool:
+        with self._lock:
+            cur = self._kv.get(key)
+            if cur is None:
+                return False
+            if expected is not ANY and cur[1] != expected:
+                return False
+            del self._kv[key]
+            return True
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        with self._lock:
+            return sorted(k for k in self._kv if k.startswith(prefix))
+
+
+import json as _json
+
+
+class CASStoreIO(StoreIO):
+    """The five-method commit surface on conditional-put primitives —
+    the object-store port the loud guard in :func:`storeio_for` names.
+    NO rename, NO hard link, NO os.replace anywhere in this class (the
+    backend has none by construction; the physical plane below uses
+    only GET/PUT/DELETE/LIST-shaped calls) — grep-auditable, and
+    tests/test_storeio.py poisons the POSIX primitives process-wide
+    during a full curate-maintain cycle to prove it.
+
+    Architecture (how a real S3+DynamoDB deployment would look):
+
+    - The CATALOG (the CAS backend) is the namespace authority for all
+      commit metadata: pointer files, commit markers, manifests, laws,
+      locks live as catalog entries keyed by path. ``write_atomic`` is
+      one unconditional PUT (readers see the old or the new object —
+      object-store PUT semantics); ``create_exclusive`` is a
+      put-if-absent; ``unlink_if`` is a token-conditional delete
+      (NATIVE here — the POSIX claim-rename dance disappears).
+    - The PHYSICAL plane (Spark-written parquet) stays where Spark put
+      it; the catalog only governs VISIBILITY. ``listdir``/``exists``/
+      ``glob`` answer from catalog ∪ physical listing, minus anything
+      under a PENDING marker.
+    - Directory ``rename`` — the staged-segment publish — is the one
+      primitive object stores lack, so it becomes: set a pending
+      marker on dst (PUT), copy payloads (GET+PUT per object; a real
+      port uses server-side CopyObject), move the catalog subtree,
+      delete src, then DELETE THE PENDING MARKER — that delete is the
+      atomic commit: until it, every seam reader un-sees dst
+      (engine readers discover segments/generations through the seam
+      before Spark-reading them, so a half-copied dst is invisible);
+      after it, dst is fully populated. A crash mid-copy leaves the
+      marker, and the next rename attempt GCs the garbage first —
+      same crash discipline as the genstore fold loop.
+
+    Scheme paths (``cas-test://…``) run catalog-only; plain local
+    paths registered via :func:`register_prefix` run hybrid (catalog
+    authority + local payloads) so a full Spark pipeline can execute
+    against it in tests."""
+
+    _PENDING = "x:"  # pending-rename markers
+    _PATH = "p:"  # path records: JSON {"k": "f"|"d", "t": text, "m": mtime}
+
+    def __init__(self, backend: CASBackend) -> None:
+        self._kv = backend
+
+    # -- key/record helpers ----------------------------------------------
+    @staticmethod
+    def _norm(path: str) -> str:
+        return path.rstrip("/")
+
+    def _rec(self, path: str):
+        """(record_dict, token) or None — catalog lookup, mask-blind."""
+        got = self._kv.get(self._PATH + path)
+        if got is None:
+            return None
+        return _json.loads(got[0]), got[1]
+
+    def _put_rec(self, path: str, rec: dict, expected):
+        return self._kv.put_if(self._PATH + path, _json.dumps(rec), expected)
+
+    def _masked(self, path: str) -> bool:
+        """True iff ``path`` or any ancestor has a pending-rename
+        marker — mid-publish trees are invisible to every reader."""
+        parts = path.split("/")
+        for i in range(1, len(parts) + 1):
+            pre = "/".join(parts[:i])
+            if pre and self._kv.get(self._PENDING + pre) is not None:
+                return True
+        return False
+
+    @staticmethod
+    def _phys(path: str) -> bool:
+        # physical payload plane exists only for plain local paths
+        # (prefix registration); scheme paths are catalog-only
+        return _SCHEME_RE.match(path) is None
+
+    def _children(self, path: str) -> set[str]:
+        out: set[str] = set()
+        prefix = self._PATH + path + "/"
+        for key in self._kv.list_prefix(prefix):
+            out.add(key[len(prefix):].split("/", 1)[0])
+        return out
+
+    def _now(self) -> float:
+        return time.time()
+
+    # -- reads -------------------------------------------------------------
+    def read_text(self, path: str) -> str:
+        path = self._norm(path)
+        got = self._rec(path)
+        if got is not None and not self._masked(path):
+            rec, _tok = got
+            if rec["k"] == "f":
+                return rec["t"]
+            raise IsADirectoryError(path)
+        if self._phys(path) and os.path.isfile(path):
+            with open(path) as fh:  # data-plane GET
+                return fh.read()
+        raise FileNotFoundError(path)
+
+    def listdir(self, path: str) -> list[str]:
+        path = self._norm(path)
+        if self._masked(path):
+            raise FileNotFoundError(path)
+        names: set[str] = set()
+        exists = False
+        got = self._rec(path)
+        if got is not None and got[0]["k"] == "d":
+            exists = True
+        kids = self._children(path)
+        if kids:
+            exists = True
+            names |= kids
+        if self._phys(path) and os.path.isdir(path):
+            exists = True
+            names |= set(os.listdir(path))
+        if not exists:
+            raise FileNotFoundError(path)
+        return sorted(
+            n for n in names if not self._masked(path + "/" + n)
+        )
+
+    def isdir(self, path: str) -> bool:
+        path = self._norm(path)
+        if self._masked(path):
+            return False
+        got = self._rec(path)
+        if got is not None:
+            return got[0]["k"] == "d"
+        if self._children(path):
+            return True
+        return self._phys(path) and os.path.isdir(path)
+
+    def exists(self, path: str) -> bool:
+        path = self._norm(path)
+        if self._masked(path):
+            return False
+        if self._rec(path) is not None or self._children(path):
+            return True
+        return self._phys(path) and os.path.exists(path)
+
+    def mtime(self, path: str) -> float:
+        path = self._norm(path)
+        got = self._rec(path)
+        if got is not None and not self._masked(path):
+            return float(got[0]["m"])
+        if self._phys(path) and os.path.exists(path):
+            return os.path.getmtime(path)
+        raise FileNotFoundError(path)
+
+    def stat_token(self, path: str):
+        path = self._norm(path)
+        got = self._rec(path)
+        if got is not None and not self._masked(path):
+            return got[1]  # the backend version IS the token (ETag)
+        if self._phys(path) and os.path.exists(path):
+            st = os.stat(path)
+            return (st.st_mtime_ns, st.st_size)
+        raise FileNotFoundError(path)
+
+    def file_size(self, path: str) -> int:
+        path = self._norm(path)
+        got = self._rec(path)
+        if got is not None and not self._masked(path):
+            if got[0]["k"] != "f":
+                raise IsADirectoryError(path)
+            return len(got[0]["t"])
+        if self._phys(path) and os.path.isfile(path):
+            return os.path.getsize(path)
+        raise FileNotFoundError(path)
+
+    def glob(self, pattern: str) -> list[str]:
+        rx = _glob_regex(self._norm(pattern))
+        names: set[str] = set()
+        for key in self._kv.list_prefix(self._PATH):
+            names.add(key[len(self._PATH):])
+        if self._phys(pattern):
+            names |= set(_glob.glob(pattern))
+        return sorted(
+            p for p in names if rx.match(p) and not self._masked(p)
+        )
+
+    def has_files(self, path: str, suffix: str) -> bool:
+        path = self._norm(path)
+        if self._masked(path):
+            return False
+        prefix = self._PATH + path + "/"
+        for key in self._kv.list_prefix(prefix):
+            p = key[len(self._PATH):]
+            if p.endswith(suffix) and not self._masked(p):
+                got = self._rec(p)
+                if got is not None and got[0]["k"] == "f":
+                    return True
+        if self._phys(path) and os.path.isdir(path):
+            for _root, _dirs, files in os.walk(path):
+                if any(f.endswith(suffix) for f in files):
+                    return True
+        return False
+
+    # -- writes --------------------------------------------------------------
+    def _require_parent(self, path: str) -> None:
+        parent = path.rsplit("/", 1)[0] if "/" in path else ""
+        if not parent or parent.endswith(":/"):
+            return
+        if not self.isdir(parent):
+            raise FileNotFoundError(parent)
+
+    def write_atomic(self, path: str, text: str) -> None:
+        path = self._norm(path)
+        got = self._rec(path)
+        if got is not None and got[0]["k"] == "d":
+            raise IsADirectoryError(path)
+        if got is None:
+            self._require_parent(path)
+        # one unconditional PUT — object-store PUT is atomic for readers
+        self._put_rec(path, {"k": "f", "t": text, "m": self._now()}, ANY)
+
+    def create_exclusive(self, path: str, text: str) -> tuple[bool, str]:
+        path = self._norm(path)
+        while True:
+            got = self._rec(path)
+            if got is not None:
+                if got[0]["k"] == "d":
+                    raise IsADirectoryError(path)
+                return False, got[0]["t"]
+            self._require_parent(path)
+            tok = self._put_rec(
+                path, {"k": "f", "t": text, "m": self._now()}, ABSENT
+            )
+            if tok is not None:
+                return True, text
+            # lost the put-if-absent race: loop to read the winner
+            # (or retry if the winner already released)
+
+    def unlink(self, path: str) -> None:
+        path = self._norm(path)
+        got = self._rec(path)
+        if got is not None:
+            if got[0]["k"] == "d":
+                raise IsADirectoryError(path)
+            if self._kv.delete_if(self._PATH + path, ANY):
+                return
+            raise FileNotFoundError(path)
+        if self._phys(path) and os.path.isfile(path):
+            os.unlink(path)  # data-plane DELETE
+            return
+        raise FileNotFoundError(path)
+
+    def unlink_if(self, path: str, token) -> bool:
+        path = self._norm(path)
+        got = self._rec(path)
+        if got is not None:
+            # NATIVE conditional delete — the whole POSIX claim-rename
+            # dance collapses into the backend's one atomic step
+            return self._kv.delete_if(self._PATH + path, token)
+        if self._phys(path) and os.path.isfile(path):
+            try:
+                st = os.stat(path)
+                if (st.st_mtime_ns, st.st_size) != token:
+                    return False
+                os.unlink(path)
+                return True
+            except OSError:
+                return False
+        return False
+
+    def makedirs(self, path: str) -> None:
+        path = self._norm(path)
+        parts = path.split("/")
+        for i in range(1, len(parts) + 1):
+            pre = "/".join(parts[:i])
+            if not pre or pre.endswith(":") or pre.endswith(":/"):
+                continue  # scheme-root components ("cas-test:", "…:/")
+            if self._rec(pre) is None:
+                # put-if-absent so a concurrent mkdir keeps the original
+                # mtime (exist_ok semantics)
+                self._put_rec(pre, {"k": "d", "m": self._now()}, ABSENT)
+        if self._phys(path):
+            os.makedirs(path, exist_ok=True)
+
+    def rmtree(self, path: str) -> None:
+        path = self._norm(path)
+        for key in self._kv.list_prefix(self._PATH + path + "/"):
+            self._kv.delete_if(key, ANY)
+        self._kv.delete_if(self._PATH + path, ANY)
+        for key in self._kv.list_prefix(self._PENDING + path + "/"):
+            self._kv.delete_if(key, ANY)
+        if self._phys(path):
+            shutil.rmtree(path, ignore_errors=True)
+
+    def touch(self, path: str) -> None:
+        path = self._norm(path)
+        got = self._rec(path)
+        if got is not None:
+            rec, _tok = got
+            rec["m"] = self._now()
+            # unconditional: heartbeats must refresh even if the content
+            # was concurrently re-put (matches os.utime semantics)
+            self._put_rec(path, rec, ANY)
+            return
+        if self._phys(path) and os.path.exists(path):
+            os.utime(path, None)
+            return
+        raise FileNotFoundError(path)
+
+    def _copy_payloads(self, src: str, dst: str) -> None:
+        """Physical tree copy with GET/PUT-shaped calls only (a real
+        port would use server-side CopyObject). Local writes go direct
+        to the final name — standing in for an atomic object PUT; the
+        pending marker on ``dst`` keeps the half-copied tree invisible
+        to every seam reader until the commit."""
+        os.makedirs(dst, exist_ok=True)
+        for root, dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            target = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(target, exist_ok=True)
+            for f in files:
+                with open(os.path.join(root, f), "rb") as rf:
+                    data = rf.read()
+                with open(os.path.join(target, f), "wb") as wf:
+                    wf.write(data)
+
+    def rename(self, src: str, dst: str) -> None:
+        src, dst = self._norm(src), self._norm(dst)
+        src_got = self._rec(src)
+        src_phys_file = self._phys(src) and os.path.isfile(src)
+        src_is_file = (
+            src_got[0]["k"] == "f" if src_got is not None else src_phys_file
+        )
+        src_exists = (
+            src_got is not None
+            or src_phys_file
+            or bool(self._children(src))
+            or (self._phys(src) and os.path.isdir(src))
+        )
+        if not src_exists:
+            raise FileNotFoundError(src)
+
+        if src_is_file:
+            if self.isdir(dst):
+                raise IsADirectoryError(dst)
+            if src_got is not None:
+                rec, tok = src_got
+                # exactly-one-winner: the conditional delete claims the
+                # exact version; a raced rename loses cleanly
+                if not self._kv.delete_if(self._PATH + src, tok):
+                    raise FileNotFoundError(src)
+                self._put_rec(dst, rec, ANY)  # replace-if-exists (POSIX)
+            else:
+                with open(src, "rb") as rf:
+                    data = rf.read()
+                with open(dst, "wb") as wf:  # atomic-PUT stand-in
+                    wf.write(data)
+                os.unlink(src)
+            return
+
+        # directory publish
+        if self._kv.get(self._PENDING + dst) is not None:
+            # garbage from a CRASHED prior publish attempt: the marker
+            # proves no reader ever saw dst, so clearing it is safe
+            if self._phys(dst):
+                shutil.rmtree(dst, ignore_errors=True)
+            for key in self._kv.list_prefix(self._PATH + dst + "/"):
+                self._kv.delete_if(key, ANY)
+            self._kv.delete_if(self._PATH + dst, ANY)
+        elif self.exists(dst):
+            raise OSError(f"rename target exists: {dst}")
+        self._kv.put_if(self._PENDING + dst, "pending", ANY)
+        try:
+            if self._phys(src) and os.path.isdir(src):
+                self._copy_payloads(src, dst)
+            # catalog subtree: copy then delete (src first has no
+            # readers by the single-maintainer contract; dst is masked)
+            moves = [(src, dst)]
+            for key in self._kv.list_prefix(self._PATH + src + "/"):
+                p = key[len(self._PATH):]
+                moves.append((p, dst + p[len(src):]))
+            for sp, dp in moves:
+                got = self._rec(sp)
+                if got is not None:
+                    self._put_rec(dp, got[0], ANY)
+            if self._rec(dst) is None:
+                self._put_rec(dst, {"k": "d", "m": self._now()}, ANY)
+            for sp, _dp in moves:
+                self._kv.delete_if(self._PATH + sp, ANY)
+            if self._phys(src):
+                shutil.rmtree(src, ignore_errors=True)
+        finally:
+            # THE COMMIT: dropping the pending marker makes dst visible
+            # to every seam reader in one atomic step
+            self._kv.delete_if(self._PENDING + dst, ANY)
+
+
 _LOCAL = LocalStoreIO()
 _SCHEMES: dict[str, StoreIO] = {}
+_PREFIXES: dict[str, StoreIO] = {}
 
 
 def register_scheme(scheme: str, io: StoreIO) -> None:
     """Bind a URI scheme to a StoreIO implementation (tests register
-    ``mem``; a real object-store port would register ``s3`` with a
-    CAS-backed implementation and thereby lift the guard)."""
+    ``mem`` and ``cas-test``; a real object-store port would register
+    ``s3`` with :class:`CASStoreIO` over a DynamoDB/etcd backend and
+    thereby lift the guard)."""
     _SCHEMES[scheme.lower()] = io
 
 
 def unregister_scheme(scheme: str) -> None:
     _SCHEMES.pop(scheme.lower(), None)
+
+
+def register_prefix(prefix: str, io: StoreIO) -> None:
+    """Bind a PLAIN-path prefix to a StoreIO implementation. This is
+    how the CAS port runs under a full Spark pipeline in tests: the
+    data plane keeps plain local paths (Spark reads/writes them
+    directly), while every commit-metadata call under the prefix
+    resolves to the registered implementation — the same split a real
+    S3 deployment has (parquet on s3://, commit metadata in the
+    conditional-put catalog)."""
+    _PREFIXES[prefix.rstrip("/")] = io
+
+
+def unregister_prefix(prefix: str) -> None:
+    _PREFIXES.pop(prefix.rstrip("/"), None)
 
 
 def storeio_for(path: str) -> StoreIO:
@@ -432,6 +1061,10 @@ def storeio_for(path: str) -> StoreIO:
     commits on a filesystem that has no atomic rename."""
     m = _SCHEME_RE.match(path)
     if m is None:
+        if _PREFIXES:  # rare: only tests/ports register prefixes
+            for pre in sorted(_PREFIXES, key=len, reverse=True):
+                if path == pre or path.startswith(pre + "/"):
+                    return _PREFIXES[pre]
         return _LOCAL
     scheme = m.group(1).lower()
     if scheme in _SCHEMES:

@@ -129,8 +129,9 @@ def _history_layout_groups(path: str) -> list[list[str]] | None:
     and batch subdirs) would make Spark's partition discovery fail with
     'Conflicting directory structures'; grouping by depth and reading
     each group with ``basePath`` sidesteps that."""
+    io = storeio_for(path)
     try:
-        top = sorted(os.listdir(path))
+        top = sorted(io.listdir(path))
     except OSError:
         return None  # let spark.read surface the standard missing-path error
     sd_dirs = [e for e in top if e.startswith(PARTITION_COL + "=")]
@@ -139,7 +140,7 @@ def _history_layout_groups(path: str) -> list[list[str]] | None:
     nested: list[str] = []
     for entry in sd_dirs:
         full = os.path.join(path, entry)
-        children = os.listdir(full)
+        children = io.listdir(full)
         files = [c for c in children if c.endswith(".parquet")]
         subs = [c for c in children if c.startswith("batch_id=")]
         if files:
@@ -226,11 +227,19 @@ class _WriterLock:
     lock's mtime every ``_LOCK_HEARTBEAT_S`` while held, so a
     long-running compaction keeps its lease no matter how long the job
     takes, and the staleness age only accrues on a genuinely dead
-    holder. The break itself re-verifies identity: the lock is renamed
-    to a contender-unique claim path (atomic, exactly one breaker
-    wins) only if its stat token still matches the one whose age was
-    measured — a fresh lock created by a faster contender in between
-    is left alone. Also serves as the store-level MAINTENANCE lease
+    holder. The break itself is a CONDITIONAL delete
+    (``StoreIO.unlink_if``): the lock is removed only if its stat
+    token still matches the one whose staleness age was measured, so
+    a fresh lock created by a faster contender — even one that slips
+    in between the staleness check and the break (the r13-advice
+    TOCTOU) — is never stolen. Implementations with a native
+    compare-and-swap delete make this one atomic step; POSIX
+    approximates it with a claim-rename + token verify +
+    non-clobbering restore (see LocalStoreIO.unlink_if for the
+    microsecond residual window, which is strictly narrower than the
+    unconditional claim it replaces). Lock content is
+    holder-unique (pid + uuid) so operators can attribute a stuck
+    lock. Also serves as the store-level MAINTENANCE lease
     (``CurationIngest.maintenance_lease``): two concurrent maintainers
     on one base_dir would stage rival folds of the same segments and
     the loser's work is wasted, so the second one fails loudly
@@ -261,7 +270,7 @@ class _WriterLock:
         deadline = time.monotonic() + self.timeout_s
         while True:
             won, _ = self._io.create_exclusive(
-                self.lock_path, str(os.getpid())
+                self.lock_path, f"{os.getpid()}|{uuid.uuid4().hex}"
             )
             if won:
                 self._hb_stop = threading.Event()
@@ -279,17 +288,13 @@ class _WriterLock:
                 except OSError:
                     continue  # vanished: retry the create
                 if age > max(self.timeout_s * 10, 300.0):
-                    # claim-by-rename: atomic, so exactly one breaker
-                    # wins, and only if the lock is STILL the one whose
-                    # age we measured (a fresh lock from a contender
-                    # that broke-and-acquired first must survive)
-                    claim = self.lock_path + f".break.{uuid.uuid4().hex[:8]}"
-                    try:
-                        if self._io.stat_token(self.lock_path) == token:
-                            self._io.rename(self.lock_path, claim)
-                            self._io.unlink(claim)
-                    except OSError:
-                        pass  # another contender broke it first
+                    # conditional delete: removes the lock only if it
+                    # is STILL the exact file whose age we measured —
+                    # a fresh lock from any faster contender survives,
+                    # including one created between the staleness
+                    # check and this call (r13-advice TOCTOU fix).
+                    # False = vanished/replaced/raced: just retry.
+                    self._io.unlink_if(self.lock_path, token)
                     continue
                 raise TimeoutError(f"writer lock held: {self.lock_path}")
             time.sleep(0.05)
@@ -435,7 +440,7 @@ def compact_partition(spark: SparkSession, path: str, partition: str, *, key: st
     the swap races a concurrent writer appending new batch dirs to the
     same day."""
     part_path = os.path.join(path, partition)
-    if not os.path.isdir(part_path):
+    if not storeio_for(path).isdir(part_path):
         raise FileNotFoundError(part_path)
     day = partition.split("=", 1)[1]
     df = (

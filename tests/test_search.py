@@ -203,7 +203,12 @@ def test_compact_folds_segments_and_preserves_scores(spark, tmp_path):
     assert res["folded_segments"] == 3
     after = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20).collect()
     assert [tuple(r) for r in before] == [tuple(r) for r in after]
-    # folded segments are gone from disk; one generation remains
+    # folded segments retired (r14 reader grace window): invisible to
+    # the live listing at once, physically GC'd once the grace expires
+    from adsb_clickhouse_spark.plans import genstore as G
+
+    assert G.live_segments(str(tmp_path)) == []
+    G.sweep_retired(str(tmp_path), grace_s=0.0)
     assert os.listdir(str(tmp_path / "segments")) == []
     gens = [e for e in os.listdir(str(tmp_path)) if e.startswith("gen-")]
     assert len(gens) == 1
@@ -212,31 +217,34 @@ def test_compact_folds_segments_and_preserves_scores(spark, tmp_path):
 
 
 def test_interrupted_compact_never_double_counts(spark, tmp_path):
-    """Crash window: new generation written + pointer swapped, but the
-    folded segment's delete never ran. The _FOLDED manifest must keep
-    the stale segment invisible to probes."""
+    """A folded segment still on disk after the pointer swap must stay
+    invisible to probes — the _FOLDED manifest, not the GC, carries
+    correctness. Since r14 this is the DEFAULT post-compaction state
+    (the reader grace window defers the segment's delete), so the test
+    simply probes across it; the expired-grace sweep is covered too."""
     import os
 
     from adsb_clickhouse_spark.operators.search import (
-        _GEN_POINTER,
         append_text_index,
         compact_text_index,
     )
+    from adsb_clickhouse_spark.plans import genstore as G
 
     write_text_index(_all_docs(spark, CORPUS[:5]), str(tmp_path), n_buckets=8)
     seg_rows = [(50, "join merge hash window")]
     append_text_index(_all_docs(spark, seg_rows), str(tmp_path), "b0001")
     want = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20).collect()
-    # preserve the segment dir across the compaction (simulate failed GC)
-    import shutil
-
-    seg = str(tmp_path / "segments" / "b0001")
-    saved = str(tmp_path / "_saved_seg")
-    shutil.copytree(seg, saved)
     compact_text_index(spark, str(tmp_path))
-    shutil.copytree(saved, seg)  # resurrect: GC "never happened"
+    # the folded segment is STILL on disk (grace window) — and must not
+    # double-count: the manifest excludes it from the probe's parts
+    assert os.path.isdir(str(tmp_path / "segments" / "b0001"))
     got = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20).collect()
     assert [tuple(r) for r in want] == [tuple(r) for r in got]
+    # after the grace expires the sweep removes it; scores unchanged
+    G.sweep_retired(str(tmp_path), grace_s=0.0)
+    assert not os.path.isdir(str(tmp_path / "segments" / "b0001"))
+    got2 = bm25_probe_stored(spark, str(tmp_path), QUERY, k=20).collect()
+    assert [tuple(r) for r in want] == [tuple(r) for r in got2]
 
 
 def _ref_phrase(corpus, phrase):

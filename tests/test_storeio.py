@@ -15,7 +15,10 @@ import pytest
 
 from adsb_clickhouse_spark.plans import genstore as G
 from adsb_clickhouse_spark.plans.storeio import (
+    ANY,
+    CASStoreIO,
     LocalStoreIO,
+    MemCASBackend,
     MemStoreIO,
     register_scheme,
     storeio_for,
@@ -31,10 +34,27 @@ def mem():
     unregister_scheme("mem")
 
 
+@pytest.fixture()
+def cas():
+    """Pure-catalog CAS StoreIO (r14 verdict item 1): the whole commit
+    protocol on conditional-put primitives only — registered under a
+    scheme so genstore call sites resolve it through storeio_for."""
+    io = CASStoreIO(MemCASBackend())
+    register_scheme("cas-test", io)
+    yield io
+    unregister_scheme("cas-test")
+
+
 def _both(tmp_path, mem):
+    """Every implementation, every contract test: POSIX, the in-memory
+    fake, the CAS port in hybrid mode (catalog authority + local
+    payload plane under a plain path), and the CAS port catalog-only
+    (scheme path — what a pure object-store namespace looks like)."""
     return [
         (LocalStoreIO(), str(tmp_path / "local")),
         (mem, "mem://root"),
+        (CASStoreIO(MemCASBackend()), str(tmp_path / "cas")),
+        (CASStoreIO(MemCASBackend()), "cas-test://root"),
     ]
 
 
@@ -158,24 +178,35 @@ def test_has_files_suffix(tmp_path, mem):
         assert not io.has_files(os.path.join(root, "absent"), ".parquet")
 
 
-# -- genstore primitives through the fake --------------------------------
+# -- genstore primitives through the fakes --------------------------------
+# (parametrized over the in-memory POSIX-shaped fake AND the CAS port:
+# the crash-discipline logic is pure StoreIO calls, and must hold on a
+# namespace whose only atomic primitive is a conditional put)
 
 
-def test_genstore_fold_loop_on_mem(mem):
+@pytest.fixture(params=["mem", "cas"])
+def fake(request, mem, cas):
+    if request.param == "mem":
+        return mem, "mem://stores"
+    return cas, "cas-test://stores"
+
+
+def test_genstore_fold_loop_on_fake(fake):
     """The full generational fold loop (stage → manifest → swap → GC)
-    against the in-memory implementation: the crash-discipline logic is
-    pure StoreIO calls."""
-    path = "mem://stores/idx"
+    against the fakes: the crash-discipline logic is pure StoreIO
+    calls."""
+    io, root = fake
+    path = os.path.join(root, "idx")
     segs = os.path.join(path, "segments")
     for name in ("b0", "b1"):
-        mem.makedirs(os.path.join(segs, name))
+        io.makedirs(os.path.join(segs, name))
     assert G.live_segments(path) == ["b0", "b1"]
 
     built = {}
 
     def build(out: str) -> None:
-        mem.makedirs(out)
-        mem.write_atomic(os.path.join(out, "data"), "folded-content")
+        io.makedirs(out)
+        io.write_atomic(os.path.join(out, "data"), "folded-content")
         built["dir"] = out
 
     gen = G.fold_generation(
@@ -185,41 +216,50 @@ def test_genstore_fold_loop_on_mem(mem):
     assert G.gen_name(path) == gen
     assert G.folded_set(path, gen) == {"b0", "b1"}
     assert G.live_segments(path) == []
-    assert mem.read_text(os.path.join(built["dir"], "data")) == "folded-content"
+    assert io.read_text(os.path.join(built["dir"], "data")) == "folded-content"
     # orphan-generation GC leaves only the pointed one
-    mem.makedirs(os.path.join(path, "gen-orphan"))
+    io.makedirs(os.path.join(path, "gen-orphan"))
     G.gc_orphan_generations(path, gen)
-    assert [e for e in mem.listdir(path) if e.startswith("gen-")] == [gen]
+    assert [e for e in io.listdir(path) if e.startswith("gen-")] == [gen]
 
 
-def test_genstore_fold_into_segment_on_mem(mem):
-    path = "mem://stores/curated"
-    mem.makedirs(os.path.join(path, "batch_id=b0"))
-    mem.write_atomic(os.path.join(path, "batch_id=b0", "f"), "old")
+def test_genstore_fold_into_segment_on_fake(fake):
+    io, root = fake
+    path = os.path.join(root, "curated")
+    io.makedirs(os.path.join(path, "batch_id=b0"))
+    io.write_atomic(os.path.join(path, "batch_id=b0", "f"), "old")
 
     def build(out: str) -> None:
-        mem.makedirs(out)
-        mem.write_atomic(os.path.join(out, "f"), "compacted")
+        io.makedirs(out)
+        io.write_atomic(os.path.join(out, "f"), "compacted")
 
     G.fold_into_segment(
         path, "batch_id=c0", build, folded={"b0"},
         gc_paths=[os.path.join(path, "batch_id=b0")],
     )
-    assert mem.read_text(os.path.join(path, "batch_id=c0", "f")) == "compacted"
-    assert mem.read_text(
+    assert io.read_text(os.path.join(path, "batch_id=c0", "f")) == "compacted"
+    assert io.read_text(
         os.path.join(path, "batch_id=c0", G.FOLDED_MANIFEST)
     ).strip() == "b0"
-    assert not mem.exists(os.path.join(path, "batch_id=b0"))
+    # reader grace window (r14): the folded input is retired, not yet
+    # deleted; the sweep with an expired grace removes it
+    assert io.exists(os.path.join(path, "batch_id=b0"))
+    G.sweep_retired(
+        path, grace_s=0.0, part_dir=os.path.join(path, "batch_id=c0")
+    )
+    assert not io.exists(os.path.join(path, "batch_id=b0"))
     # no staging litter
-    assert [e for e in mem.listdir(path) if e.startswith(".fold-staging")] == []
+    assert [e for e in io.listdir(path) if e.startswith(".fold-staging")] == []
 
 
-def test_enforce_law_bootstrap_race_on_mem(mem):
-    """The law-bootstrap race on the fake: concurrent first-users with
+def test_enforce_law_bootstrap_race_on_fake(fake):
+    """The law-bootstrap race on the fakes: concurrent first-users with
     DIFFERENT laws — exactly one law wins, every loser raises the loud
     mismatch (the exclusive-create contract end-to-end, not simulated
-    by monkeypatching open)."""
-    path = "mem://stores/bands"
+    by monkeypatching open). On the CAS port the exclusive create is a
+    put-if-absent — the same race must resolve identically."""
+    io, root = fake
+    path = os.path.join(root, "bands")
     errors: list[str] = []
     wins: list[str] = []
     barrier = threading.Barrier(6)
@@ -236,7 +276,7 @@ def test_enforce_law_bootstrap_race_on_mem(mem):
     threads = [threading.Thread(target=attempt, args=(i,)) for i in range(6)]
     [t.start() for t in threads]
     [t.join() for t in threads]
-    recorded = mem.read_text(os.path.join(path, G.LAW_MARKER)).strip()
+    recorded = io.read_text(os.path.join(path, G.LAW_MARKER)).strip()
     # every thread whose law matches the recorded one passed, every
     # other raised the loud mismatch — nobody silently overwrote
     assert wins and all(w == recorded for w in wins)
@@ -326,6 +366,171 @@ def test_mem_dir_meta_dies_with_rmtree_and_moves_with_rename(mem):
     with pytest.raises(OSError):
         mem.stat_token("mem://t/src")
     assert mem.stat_token("mem://t/dst/sub") is not None
+
+
+# -- the CAS port's own contract ------------------------------------------
+
+
+def test_cas_backend_has_no_rename_or_link_by_construction():
+    """The port's whole point (r13 verdict item 1): the backend surface
+    a CAS StoreIO may touch has NO rename and NO hard link — so the
+    protocol provably runs on conditional-put semantics alone. Checked
+    both on the interface (no such methods exist) and on the source
+    (no POSIX escape hatches inside the implementation)."""
+    import inspect
+
+    from adsb_clickhouse_spark.plans.storeio import CASBackend
+
+    for name in ("rename", "replace", "link", "move", "symlink"):
+        assert not hasattr(CASBackend, name)
+        assert not hasattr(MemCASBackend(), name)
+    import ast
+    import textwrap
+
+    banned = {
+        ("os", "rename"), ("os", "replace"), ("os", "link"),
+        ("os", "symlink"), ("shutil", "move"), ("shutil", "copytree"),
+    }
+    for cls in (CASStoreIO, MemCASBackend):
+        tree = ast.parse(textwrap.dedent(inspect.getsource(cls)))
+        for node in ast.walk(tree):  # actual CALLS, not docstring words
+            if isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute):
+                base = node.func.value
+                if isinstance(base, ast.Name):
+                    assert (base.id, node.func.attr) not in banned, (
+                        f"{cls.__name__} calls {base.id}.{node.func.attr}"
+                    )
+
+
+def test_cas_crashed_rename_leaves_dst_invisible_then_recovers():
+    """Crash discipline of the catalog-flip publish: a rename that
+    dies mid-copy (pending marker set, payload half-written) must
+    leave dst INVISIBLE to every seam reader, and the next publish
+    attempt must GC the garbage and succeed."""
+    io = CASStoreIO(MemCASBackend())
+    root = "cas-test://store"
+    io.makedirs(os.path.join(root, ".staging", "seg"))
+    io.write_atomic(os.path.join(root, ".staging", "seg", "f"), "v1")
+    dst = os.path.join(root, "seg-final")
+
+    # simulate the crash: pending marker set + partial catalog copy,
+    # no commit (exactly the state an interrupted rename leaves)
+    io._kv.put_if(io._PENDING + dst, "pending", ANY)
+    io._put_rec(dst + "/f", {"k": "f", "t": "torn", "m": 0.0}, ANY)
+
+    # every reader un-sees the masked tree
+    assert not io.exists(dst)
+    assert not io.isdir(dst)
+    with pytest.raises(OSError):
+        io.listdir(dst)
+    assert "seg-final" not in io.listdir(root)
+    assert not io.has_files(dst, "f")
+    assert io.glob(os.path.join(root, "seg-*")) == []
+
+    # the retried publish GCs the garbage and commits atomically
+    io.rename(os.path.join(root, ".staging", "seg"), dst)
+    assert io.read_text(os.path.join(dst, "f")) == "v1"
+    assert "seg-final" in io.listdir(root)
+
+
+def test_cas_hybrid_unions_catalog_and_physical(tmp_path):
+    """Hybrid mode (register_prefix): Spark-written physical entries
+    and catalog-written markers appear in ONE namespace — the split a
+    real S3 deployment has (parquet on the object store, commit
+    metadata in the conditional-put catalog)."""
+    io = CASStoreIO(MemCASBackend())
+    root = str(tmp_path / "store")
+    io.makedirs(root)
+    # 'Spark' writes a physical segment dir + file
+    os.makedirs(os.path.join(root, "batch_id=b0"))
+    with open(os.path.join(root, "batch_id=b0", "part-0.parquet"), "w") as fh:
+        fh.write("data")
+    # the seam writes a commit marker (catalog-only)
+    io.write_atomic(os.path.join(root, "_commit_b0"), "b0")
+    assert sorted(io.listdir(root)) == ["_commit_b0", "batch_id=b0"]
+    assert io.isdir(os.path.join(root, "batch_id=b0"))
+    assert io.has_files(os.path.join(root, "batch_id=b0"), ".parquet")
+    assert io.read_text(os.path.join(root, "_commit_b0")) == "b0"
+    # rmtree clears both planes
+    io.rmtree(root)
+    assert not io.exists(root)
+    assert not os.path.isdir(os.path.join(root, "batch_id=b0"))
+
+
+def test_unlink_if_conditional_delete(tmp_path, mem):
+    """The takeover primitive (r13 advice): removes the file only if
+    its stat token still matches — a rewrite in between must survive."""
+    for io, root in _both(tmp_path, mem):
+        io.makedirs(root)
+        p = os.path.join(root, "lock")
+        io.write_atomic(p, "stale-holder")
+        token = io.stat_token(p)
+        # fresh content replaces the measured file: the conditional
+        # delete must refuse and leave the fresh file intact
+        io.write_atomic(p, "fresh-holder")
+        assert io.unlink_if(p, token) is False
+        assert io.read_text(p) == "fresh-holder"
+        # matching token: exactly this version is removed
+        t2 = io.stat_token(p)
+        assert io.unlink_if(p, t2) is True
+        assert not io.exists(p)
+        # absent file: False, never an exception
+        assert io.unlink_if(p, t2) is False
+
+
+def test_file_size(tmp_path, mem):
+    for io, root in _both(tmp_path, mem):
+        io.makedirs(root)
+        p = os.path.join(root, "f")
+        io.write_atomic(p, "abcd")
+        assert io.file_size(p) == 4
+        with pytest.raises(OSError):
+            io.file_size(os.path.join(root, "absent"))
+
+
+def test_write_under_missing_parent_raises(tmp_path, mem):
+    """POSIX parity (r13 advice): LocalStoreIO's open() refuses a
+    nonexistent parent; the fakes must too, or callers proven against
+    them still fail on the real filesystem."""
+    for io, root in _both(tmp_path, mem):
+        missing = os.path.join(root, "never-made", "f")
+        with pytest.raises(OSError):
+            io.write_atomic(missing, "x")
+        with pytest.raises(OSError):
+            io.create_exclusive(missing, "x")
+
+
+def test_mem_file_rename_onto_dir_raises(mem):
+    """POSIX parity (r13 advice): os.rename(file, existing dir) raises
+    IsADirectoryError; the fake used to clobber the dir silently."""
+    mem.makedirs("mem://t")
+    mem.write_atomic("mem://t/f", "x")
+    mem.makedirs("mem://t/d")
+    with pytest.raises(OSError):
+        mem.rename("mem://t/f", "mem://t/d")
+    assert mem.isdir("mem://t/d")
+    assert mem.read_text("mem://t/f") == "x"
+
+
+def test_writer_lock_break_never_steals_fresh_lock(tmp_path):
+    """r13 advice (tables.py TOCTOU): a breaker that measured a stale
+    lock must not remove a FRESH lock that replaced it between the
+    staleness check and the break. Simulated deterministically: the
+    stale file is measured, then swapped for a fresh one, then the
+    conditional delete fires — exactly the interleaving the advice
+    named."""
+    io = LocalStoreIO()
+    root = str(tmp_path)
+    p = os.path.join(root, ".maintain_lock")
+    io.write_atomic(p, "dead-holder|aaaa")
+    stale_token = io.stat_token(p)
+    # rival contender breaks + a new holder acquires, in the window
+    io.unlink(p)
+    won, _ = io.create_exclusive(p, "live-holder|bbbb")
+    assert won
+    # the slow breaker now fires its conditional delete with the OLD token
+    assert io.unlink_if(p, stale_token) is False
+    assert io.read_text(p) == "live-holder|bbbb"  # live holder survives
 
 
 def test_touch_refreshes_stat_token(tmp_path, mem):

@@ -13,6 +13,18 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def _age_and_sweep_keyed(ing, spark, path):
+    """r14 reader grace window: folded keyed-store segments are RETIRED
+    (present on disk, excluded from probes/folds) for GEN_GC_GRACE_S.
+    Tests that assert the physical delete age the manifest out and
+    sweep explicitly."""
+    from adsb_clickhouse_spark.plans import genstore as G
+
+    entries = G.read_retire_manifest(path, ing._io)
+    G.write_retire_manifest(path, [(0.0, p) for _t, p in entries], ing._io)
+    ing._sweep_keyed_retired(spark, path)
+
+
 def test_within_and_cross_batch_exact_dedup(spark, tmp_path):
     ing = CurationIngest(str(tmp_path), run_id="r1")
     a = "the quick brown fox jumps over the lazy dog near the river bank today"
@@ -174,6 +186,15 @@ def test_fingerprint_compaction_bucketed_store(spark, tmp_path):
     stats = ing.compact_fingerprints(spark, buckets=8)
     try:
         assert stats["folded_segments"] == 2
+        # folded segments are retired-in-grace (r14): excluded from the
+        # store parts at once, physically deleted once aged
+        retired = ing._retired_paths(ing.fps_path)
+        assert all(
+            os.path.join(ing.fps_path, e) in retired
+            for e in os.listdir(ing.fps_path)
+            if e.startswith("batch_id=")
+        )
+        _age_and_sweep_keyed(ing, spark, ing.fps_path)
         assert not [
             e for e in os.listdir(ing.fps_path) if e.startswith("batch_id=")
         ]
@@ -250,6 +271,7 @@ def test_compaction_skips_uncommitted_segments(spark, tmp_path):
     try:
         assert stats["folded_segments"] == 1
         assert stats["skipped_uncommitted"] == 1
+        _age_and_sweep_keyed(ing, spark, ing.fps_path)
         left = [e for e in os.listdir(ing.fps_path) if e.startswith("batch_id=")]
         assert left == ["batch_id=br1-1"]
         # the replay of the uncommitted batch still clears-and-rewrites
@@ -294,7 +316,19 @@ def test_near_dup_compaction_collapses_cross_batch_boilerplate(spark, tmp_path):
     assert stats["dropped_docs"] == 2  # docs 10 and 20; doc 0 survives
     kept = sorted(r["doc_id"] for r in ing.curated(spark).select("doc_id").collect())
     assert kept == [0, 1, 11, 21]
-    # folded segment dirs are gone; exactly one nearcompact segment lives
+    # r14 (reader grace window): folded segment dirs survive the fold
+    # on disk for in-flight readers, but exactly one nearcompact
+    # segment is LIVE (the manifests exclude the retirees); an aged
+    # sweep then removes them physically too
+    live = ing._live_curated_entries()
+    assert len(live) == 1 and "nearcompact-" in live[0]
+    from adsb_clickhouse_spark.plans import genstore as G
+
+    G.sweep_retired(
+        ing.curated_path,
+        grace_s=0.0,
+        part_dir=os.path.join(ing.curated_path, live[0]),
+    )
     segs = [e for e in os.listdir(ing.curated_path) if e.startswith("batch_id=")]
     assert len(segs) == 1 and "nearcompact-" in segs[0]
     # a byte-identical copy of a DROPPED doc is still suppressed: its
@@ -661,6 +695,7 @@ def test_media_near_dedup_replay_and_compaction(spark, tmp_path):
     assert {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()} == {0}
     stats = ing.compact_phash_bands(spark, assume_quiesced=True)
     assert stats["folded_segments"] == 1
+    _age_and_sweep_keyed(ing, spark, ing.phash_bands_path)
     assert not [e for e in os.listdir(ing.phash_bands_path) if e.startswith("batch_id=")]
     # post-compaction probe: a near-copy in a later batch still falls
     ing.process_batch(
@@ -707,6 +742,7 @@ def test_phash_band_store_bucketed_join_colocates(spark, tmp_path):
     stats = ing.compact_phash_bands(spark, buckets=8)
     try:
         assert stats["folded_segments"] == 1
+        _age_and_sweep_keyed(ing, spark, ing.phash_bands_path)
         assert not [
             e for e in os.listdir(ing.phash_bands_path)
             if e.startswith("batch_id=")
@@ -886,6 +922,7 @@ def test_text_band_store_replay_compaction_and_pointer(spark, tmp_path):
     stats = ing.compact_text_bands(spark, assume_quiesced=True)
     try:
         assert stats["folded_segments"] == 1
+        _age_and_sweep_keyed(ing, spark, ing.text_bands_path)
         assert not [
             e for e in os.listdir(ing.text_bands_path)
             if e.startswith("batch_id=")
@@ -1216,8 +1253,14 @@ def test_all_stores_soak_flat_latency(spark, tmp_path):
         assert ing._store_table_name() is not None
         assert ing._band_table_name() is not None
         assert ing._text_band_table_name() is not None
-        fps_segs = [e for e in os.listdir(ing.fps_path) if e.startswith("batch_id=")]
-        assert len(fps_segs) == N // 2  # only post-maintain segments remain
+        retired = ing._retired_paths(ing.fps_path)
+        fps_segs = [
+            e
+            for e in os.listdir(ing.fps_path)
+            if e.startswith("batch_id=")
+            and os.path.join(ing.fps_path, e) not in retired
+        ]
+        assert len(fps_segs) == N // 2  # only post-maintain segments live
         # suppression correctness across the whole run: each batch-0
         # text is curated exactly once; each near-copy TEXT is admitted
         # at most once ever (LSH recall is an S-curve — a near-copy the

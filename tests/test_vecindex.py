@@ -48,7 +48,12 @@ def test_lifecycle_append_probe_compact_parity(spark, tmp_path):
     assert [(r["neighbor_id"], r["cos_sim"]) for r in res2] == [
         (r["neighbor_id"], r["cos_sim"]) for r in res
     ]
-    # folded segments GC'd; exactly one generation remains
+    # folded segments retired (reader grace window, r14): invisible to
+    # the live-segment listing at once, physically GC'd once aged
+    from adsb_clickhouse_spark.plans import genstore as G
+
+    assert V._live_segments(path) == []
+    G.sweep_retired(path, grace_s=0.0)
     assert not os.listdir(os.path.join(path, "segments"))
     assert len([e for e in os.listdir(path) if e.startswith("gen-")]) == 1
 
@@ -272,6 +277,10 @@ def test_compaction_skips_uncommitted_segments(spark, tmp_path):
     # marker lands -> the next fold takes it
     stats2 = V.compact_vector_index(spark, path, committed=lambda s: True)
     assert stats2["folded_segments"] == 1 and stats2["skipped_uncommitted"] == 0
+    from adsb_clickhouse_spark.plans import genstore as G
+
+    assert V._live_segments(path) == []
+    G.sweep_retired(path, grace_s=0.0)
     assert not os.listdir(os.path.join(path, "segments"))
     assert V.knn_probe_stored(spark, path, q, k=1, nprobe=4).collect()[0][
         "neighbor_id"
