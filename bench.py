@@ -156,64 +156,92 @@ def main() -> None:
     py_canary = _py_canary()
 
     N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    spreads: dict[str, list[float]] = {}
-    # drift instrumentation (r10 verdict #2): the canary re-measured
-    # every CANARY_EVERY rows gives each row a NEARBY environment
-    # reference — a row delta that tracks its nearest canary is sandbox
-    # weather, one that doesn't is a plan change. BENCH_DELTA.json gets
-    # the track, per-row min/max spread, and canary-normalized timings;
-    # the headline per-row numbers stay raw medians for cross-round
-    # comparability.
+    # drift instrumentation (r10 verdict #2, interleaved since r14): the
+    # canary re-measured every CANARY_EVERY rows gives each run a NEARBY
+    # environment reference — a row delta that tracks its nearest canary
+    # is sandbox weather, one that doesn't is a plan change.
+    #
+    # r14 (verdict item 2): the N_RUNS of a row are taken in N_RUNS
+    # INTERLEAVED PASSES over the whole registry, not back-to-back — r13
+    # showed identical-plan rows swinging up to 5.5x because one
+    # transient sandbox stall inflated all three consecutive runs and
+    # the median with them. With the passes minutes apart, a stall
+    # inflates at most one run per row and the median shrugs it off.
+    # The headline estimator stays the raw per-row median (cross-round
+    # comparable); BENCH_DELTA.json additionally records per-row min
+    # (the classic one-sided-noise estimator) and the canary track.
     from adsb_clickhouse_spark.plans.fingerprint import diff_plans, plan_fingerprint
 
     CANARY_EVERY = 10
     canary_track: list[dict] = [
-        {"row": 0, "sec": env_canary, "py_sec": py_canary}
+        {"step": 0, "sec": env_canary, "py_sec": py_canary}
     ]
     plan_fps: dict[str, dict] = {}
-    for i, (name, spec) in enumerate(q.REGISTRY.items()):
-        runs = []
-        for _ in range(N_RUNS):
+    names = list(q.REGISTRY)
+    all_runs: dict[str, list[float]] = {n: [] for n in names}
+    run_steps: dict[str, list[int]] = {n: [] for n in names}
+    step = 0
+    for pass_no in range(N_RUNS):
+        for name in names:
+            spec = q.REGISTRY[name]
             t0 = time.perf_counter()
             df = spec.spark(spark, sf_dir)
             len(df.collect())
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
-        spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
-        # fingerprint the LAST timed build (zero extra plan-build cost —
-        # several rows do driver-side work like BPE learning at build time)
-        try:
-            plan_fps[name] = plan_fingerprint(df)
-        except Exception as exc:  # never let diagnostics kill the bench
-            # stable hash: exception TEXT carries run-varying tokens
-            # (temp paths, object ids) that would flag a spurious "plan
-            # change" every round; the TYPE is the stable part
-            plan_fps[name] = {
-                "hash": f"error:{type(exc).__name__}",
-                "ops": [str(exc)[:200]],
-            }
-        if (i + 1) % CANARY_EVERY == 0:
-            canary_track.append(
-                {"row": i + 1, "sec": _canary()[0], "py_sec": _py_canary()}
-            )
+            all_runs[name].append(time.perf_counter() - t0)
+            run_steps[name].append(step)
+            if pass_no == N_RUNS - 1:
+                # fingerprint the LAST timed build (zero extra plan-build
+                # cost — several rows do driver-side work like BPE
+                # learning at build time)
+                try:
+                    plan_fps[name] = plan_fingerprint(df)
+                except Exception as exc:  # diagnostics never kill the bench
+                    # stable hash: exception TEXT carries run-varying
+                    # tokens (temp paths, object ids) that would flag a
+                    # spurious "plan change" every round; the TYPE is the
+                    # stable part
+                    plan_fps[name] = {
+                        "hash": f"error:{type(exc).__name__}",
+                        "ops": [str(exc)[:200]],
+                    }
+            step += 1
+            if step % CANARY_EVERY == 0:
+                canary_track.append(
+                    {"step": step, "sec": _canary()[0], "py_sec": _py_canary()}
+                )
 
-    def _nearest(row_idx: int, key: str) -> float:
-        return min(canary_track, key=lambda c: abs(c["row"] - row_idx))[key]
+    timings = {
+        n: round(statistics.median(all_runs[n]), 3) for n in names
+    }
+    spreads = {
+        n: [round(min(all_runs[n]), 3), round(max(all_runs[n]), 3)]
+        for n in names
+    }
+    min_timings = {n: round(min(all_runs[n]), 3) for n in names}
 
-    # unitless canary-times: raw / nearest environment canary.  No anchor,
-    # so r{N} vs r{N-1} norms share an axis (r11 verdict missing-item 1).
+    def _nearest(step_idx: int, key: str) -> float:
+        return min(canary_track, key=lambda c: abs(c["step"] - step_idx))[key]
+
+    # unitless canary-times: each RUN divided by its nearest-in-time
+    # environment canary, then the median of the normalized runs.  No
+    # anchor, so r{N} vs r{N-1} norms share an axis (r11 verdict item 1).
     # Two axes since r13: JVM-normalized (executor weather) and
     # py-normalized (driver-CPU weather) — a driver-heavy row's swing
     # that tracks the py canary is weather, one that doesn't is real.
-    norm_timings = {
-        n: round(t / _nearest(i, "sec"), 2)
-        for i, (n, t) in enumerate(timings.items())
-    }
-    py_norm_timings = {
-        n: round(t / _nearest(i, "py_sec"), 2)
-        for i, (n, t) in enumerate(timings.items())
-    }
+    def _norm(key: str) -> dict[str, float]:
+        return {
+            n: round(
+                statistics.median(
+                    r / _nearest(s, key)
+                    for r, s in zip(all_runs[n], run_steps[n])
+                ),
+                2,
+            )
+            for n in names
+        }
+
+    norm_timings = _norm("sec")
+    py_norm_timings = _norm("py_sec")
     total = round(sum(timings.values()), 3)
     headline_total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
 

@@ -58,11 +58,10 @@ def _batches(spark, lo: int, n: int):
     )
 
 
-def _all_stores_ingest(base: str, parallel: bool = True):
+def _all_stores_ingest(base: str, parallel: bool = True, **overrides):
     from adsb_clickhouse_spark.streaming.curation import CurationIngest
 
-    return CurationIngest(
-        base,
+    kwargs = dict(
         run_id="floor",
         media_dedup=True,
         media_near_dedup=True,
@@ -75,9 +74,43 @@ def _all_stores_ingest(base: str, parallel: bool = True):
         host_links_col="out_links",
         parallel_appends=parallel,
     )
+    kwargs.update(overrides)
+    return CurationIngest(base, **kwargs)
 
 
-def funnel_fingerprints(spark, *, n: int = 200, batches: int = 3) -> dict:
+def _funnel_fp_run(spark, prefix: str, *, n: int, batches: int, **overrides) -> dict:
+    """One fixed-shape all-stores ingest with the ``plan_probe`` hook
+    installed for the last batch; per-stage fingerprints under
+    ``<prefix>:<stage>`` keys."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from adsb_clickhouse_spark.plans.fingerprint import plan_fingerprint
+
+    base = _tmp.mkdtemp(prefix="funnelfp_")
+    try:
+        ing = _all_stores_ingest(base, **overrides)
+        for b in range(batches - 1):
+            ing.process_batch(_batches(spark, b * n, n), batch_id=b)
+            if b == 0:
+                # fold the rank dimension once so the host broadcast
+                # gate participates in the fingerprinted plans
+                ing.recompute_host_ranks(spark)
+        fps: dict = {}
+        ing.plan_probe = lambda stage, df: fps.setdefault(
+            f"{prefix}:{stage}", plan_fingerprint(df)
+        )
+        ing.process_batch(
+            _batches(spark, (batches - 1) * n, n), batch_id=batches - 1
+        )
+        return fps
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
+
+
+def funnel_fingerprints(
+    spark, *, n: int = 200, batches: int = 3, variants: bool = True
+) -> dict:
     """Normalized plan fingerprints of every funnel stage of the
     all-stores streaming ingest (r12 verdict item 3): the per-stage
     plans the last three rounds' real bugs lived in (exponential
@@ -92,31 +125,31 @@ def funnel_fingerprints(spark, *, n: int = 200, batches: int = 3) -> dict:
     each stage's pre-execution physical plan under ``funnel:<stage>``
     keys. bench.py merges these into PLANS_r{N}.json so the same
     cross-round diff covers them; deterministic because the batch
-    shape, store state, and configuration are fixed."""
-    import shutil as _sh
-    import tempfile as _tmp
+    shape, store state, and configuration are fixed.
 
-    from adsb_clickhouse_spark.plans.fingerprint import plan_fingerprint
+    ``variants`` (r13 verdict item 6) additionally pins the two
+    CONFIG-variant plan families the default run cannot see:
 
-    base = _tmp.mkdtemp(prefix="funnelfp_")
-    try:
-        ing = _all_stores_ingest(base)
-        for b in range(batches - 1):
-            ing.process_batch(_batches(spark, b * n, n), batch_id=b)
-            if b == 0:
-                # fold the rank dimension once so the host broadcast
-                # gate participates in the fingerprinted plans
-                ing.recompute_host_ranks(spark)
-        fps: dict = {}
-        ing.plan_probe = lambda stage, df: fps.setdefault(
-            f"funnel:{stage}", plan_fingerprint(df)
+    - ``funnel_k32:<stage>`` — the tighter text band law (k=32 /
+      bands=8, the operating point tools/bench_text_bands.py --k32
+      measures): the band count shapes the near-dedup stages' plans
+      structurally (8 band columns instead of 4);
+    - ``funnel_media8:<stage>`` — media_bands=8: the same for the
+      phash banding stages."""
+    fps = _funnel_fp_run(spark, "funnel", n=n, batches=batches)
+    if variants:
+        fps.update(
+            _funnel_fp_run(
+                spark, "funnel_k32", n=n, batches=batches,
+                text_minhash_k=32, text_bands=8,
+            )
         )
-        ing.process_batch(
-            _batches(spark, (batches - 1) * n, n), batch_id=batches - 1
+        fps.update(
+            _funnel_fp_run(
+                spark, "funnel_media8", n=n, batches=batches, media_bands=8,
+            )
         )
-        return fps
-    finally:
-        _sh.rmtree(base, ignore_errors=True)
+    return fps
 
 
 def _run_size(spark, n: int, k: int, parallel: bool = True) -> dict:

@@ -93,6 +93,13 @@ def main() -> int:
             and any("SortMergeJoin" in l for l in body.get("cur_ops", []))
             and not any("SortMergeJoin" in l for l in body.get("prev_ops", []))
         )
+        # r13 verdict item 6: the config-variant rows (k=32/b=8 band
+        # law, media_bands=8) are fingerprinted too — the negative
+        # control must name a degraded VARIANT stage, proving a
+        # regression in the variant plans is caught deterministically
+        variant_named = [
+            k for k in named if k.startswith(("funnel_k32:", "funnel_media8:"))
+        ]
         print(
             json.dumps(
                 {
@@ -100,10 +107,11 @@ def main() -> int:
                         k for k in fchanges if not k.startswith(("+", "-"))
                     ),
                     "degraded_to_smj": named,
+                    "degraded_variant_stages": variant_named,
                 }
             )
         )
-        return 0 if named else 1
+        return 0 if named and variant_named else 1
     if selftest:
         # the deliberate regression: auto-broadcast off, every
         # broadcast-eligible join degrades to sort-merge
