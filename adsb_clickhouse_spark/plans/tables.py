@@ -438,7 +438,13 @@ def compact_partition(spark: SparkSession, path: str, partition: str, *, key: st
     trigger cadence creates ~43k batch dirs/day, and compacting each
     closed day collapses them to one. Run on CLOSED (past) days only —
     the swap races a concurrent writer appending new batch dirs to the
-    same day."""
+    same day. Reader caveat (documented, unlike the generational
+    stores' r14 grace window): the swap renames the day directory in
+    place, so a query mid-scan of exactly that closed day can fail
+    transiently and should retry — the generational stores avoid this
+    with pointer indirection, which the history table deliberately
+    lacks (its readers resolve plain ``scrape_date=`` paths so
+    partition pruning stays Spark-native)."""
     part_path = os.path.join(path, partition)
     if not storeio_for(path).isdir(part_path):
         raise FileNotFoundError(part_path)

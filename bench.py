@@ -434,6 +434,7 @@ def main() -> None:
         json.dump(
             {
                 "queries": timings,
+                "queries_min": min_timings,
                 "queries_canary_norm": norm_timings,
                 "queries_py_canary_norm": py_norm_timings,
                 "plan_changes": plan_changes,
