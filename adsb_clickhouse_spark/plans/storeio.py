@@ -996,29 +996,31 @@ class CASStoreIO(StoreIO):
         elif self.exists(dst):
             raise OSError(f"rename target exists: {dst}")
         self._kv.put_if(self._PENDING + dst, "pending", ANY)
-        try:
-            if self._phys(src) and os.path.isdir(src):
-                self._copy_payloads(src, dst)
-            # catalog subtree: copy then delete (src first has no
-            # readers by the single-maintainer contract; dst is masked)
-            moves = [(src, dst)]
-            for key in self._kv.list_prefix(self._PATH + src + "/"):
-                p = key[len(self._PATH):]
-                moves.append((p, dst + p[len(src):]))
-            for sp, dp in moves:
-                got = self._rec(sp)
-                if got is not None:
-                    self._put_rec(dp, got[0], ANY)
-            if self._rec(dst) is None:
-                self._put_rec(dst, {"k": "d", "m": self._now()}, ANY)
-            for sp, _dp in moves:
-                self._kv.delete_if(self._PATH + sp, ANY)
-            if self._phys(src):
-                shutil.rmtree(src, ignore_errors=True)
-        finally:
-            # THE COMMIT: dropping the pending marker makes dst visible
-            # to every seam reader in one atomic step
-            self._kv.delete_if(self._PENDING + dst, ANY)
+        if self._phys(src) and os.path.isdir(src):
+            self._copy_payloads(src, dst)
+        # catalog subtree: copy then delete (src first has no
+        # readers by the single-maintainer contract; dst is masked)
+        moves = [(src, dst)]
+        for key in self._kv.list_prefix(self._PATH + src + "/"):
+            p = key[len(self._PATH):]
+            moves.append((p, dst + p[len(src):]))
+        for sp, dp in moves:
+            got = self._rec(sp)
+            if got is not None:
+                self._put_rec(dp, got[0], ANY)
+        if self._rec(dst) is None:
+            self._put_rec(dst, {"k": "d", "m": self._now()}, ANY)
+        for sp, _dp in moves:
+            self._kv.delete_if(self._PATH + sp, ANY)
+        if self._phys(src):
+            shutil.rmtree(src, ignore_errors=True)
+        # THE COMMIT — deliberately NOT in a finally: an exception
+        # anywhere above must leave the pending marker in place, so the
+        # half-published dst stays invisible and the next rename
+        # attempt GCs it (a finally here would unmask a TORN dst on the
+        # very failure the marker exists to cover — caught by the
+        # crash-injection test before it could ship)
+        self._kv.delete_if(self._PENDING + dst, ANY)
 
 
 _LOCAL = LocalStoreIO()

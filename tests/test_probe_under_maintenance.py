@@ -105,6 +105,73 @@ def test_probes_survive_concurrent_folds(spark, store, tmp_path):
     assert len(probe_counts) >= 6
 
 
+def test_batches_during_keyed_store_compaction(spark, tmp_path):
+    """The OTHER concurrency the lambda split promises: micro-batches
+    keep flowing while the keyed stores (fingerprints, band stores)
+    compact underneath them. The committed-marker discipline keeps the
+    folds off in-flight segments; the r14 retire-in-grace path keeps
+    the folds' deletes off segments a concurrent batch's store probe
+    resolved. Assertions: zero errors on either side, and exact-dup
+    suppression is airtight across the whole interleaving."""
+    import threading
+
+    import hashlib
+
+    ing = CurationIngest(str(tmp_path), run_id="soak2", text_near_dedup=True)
+
+    def text(j: int) -> str:
+        # pairwise-distinct word soup: unique under BOTH the exact
+        # fingerprint and the shingle bands (a shared template would
+        # make every doc a legitimate near-dup of doc 0)
+        return " ".join(
+            hashlib.md5(f"{j}|{w}".encode()).hexdigest() for w in range(12)
+        )
+
+    # batch i admits one fresh doc and re-sends EVERY prior doc as an
+    # exact dup — any store torn-read during compaction that loses a
+    # fingerprint re-admits a dup and the final count gives it away
+    def batch(i: int):
+        rows = [(j, text(j)) for j in range(i + 1)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    errors: list[BaseException] = []
+    done = threading.Event()
+
+    def maintainer() -> None:
+        try:
+            while not done.is_set():
+                with ing.maintenance_lease(timeout_s=60.0) as lease:
+                    ing.compact_fingerprints(spark, lease=lease)
+                    ing.compact_text_bands(
+                        spark, assume_quiesced=False, lease=lease
+                    )
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    t = threading.Thread(target=maintainer)
+    t.start()
+    try:
+        for i in range(8):
+            ing.process_batch(batch(i), batch_id=i)
+    except BaseException as exc:  # noqa: BLE001
+        errors.append(exc)
+    finally:
+        done.set()
+        t.join(timeout=300)
+    try:
+        assert not errors, errors[:3]
+        kept = sorted(
+            r["doc_id"]
+            for r in ing.curated(spark).select("doc_id").collect()
+        )
+        # every doc admitted exactly once, no dup ever re-admitted
+        assert kept == list(range(8)), kept
+    finally:
+        for tbl in (ing._store_table_name(), ing._text_band_table_name()):
+            if tbl:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_retirees_swept_only_after_grace(spark, store, tmp_path, monkeypatch):
     """The other half of the contract: retirees DO get deleted once the
     grace expires — the store does not grow one superseded generation

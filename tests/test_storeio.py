@@ -433,6 +433,85 @@ def test_cas_crashed_rename_leaves_dst_invisible_then_recovers():
     assert "seg-final" in io.listdir(root)
 
 
+class _FlakyCASBackend(MemCASBackend):
+    """Crash injection: raises after ``countdown`` MUTATING backend
+    ops (a CAS service outage / process kill mid-protocol). Reads never
+    crash — a dead writer can't corrupt by reading."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.countdown: int | None = None
+        self.mutations = 0
+
+    def _tick(self) -> None:
+        self.mutations += 1
+        if self.countdown is not None:
+            if self.countdown == 0:
+                raise OSError("injected CAS outage")
+            self.countdown -= 1
+
+    def put_if(self, key, value, expected):
+        self._tick()
+        return super().put_if(key, value, expected)
+
+    def delete_if(self, key, expected):
+        self._tick()
+        return super().delete_if(key, expected)
+
+
+def test_cas_rename_crash_at_every_step_is_atomic_and_recoverable():
+    """Kill the directory-publish protocol after EVERY mutating backend
+    op: at every crash point the destination is either fully visible
+    with complete content or completely invisible — never torn — and a
+    retried publish converges. This is the crash discipline the
+    pending-marker commit claims; the test drives it exhaustively.
+    (Writing it found a real bug: the marker delete sat in a
+    ``finally``, unmasking a torn dst on the exact failure it covers.)"""
+
+    def stage(io):
+        io.makedirs("cas-test://s/.staging/seg/sub")
+        io.write_atomic("cas-test://s/.staging/seg/f1", "one")
+        io.write_atomic("cas-test://s/.staging/seg/sub/f2", "two")
+
+    def dst_complete(io) -> bool:
+        return (
+            io.exists("cas-test://s/final")
+            and io.read_text("cas-test://s/final/f1") == "one"
+            and io.read_text("cas-test://s/final/sub/f2") == "two"
+        )
+
+    crash_step = 0
+    completed_without_crash = False
+    while not completed_without_crash:
+        kv = _FlakyCASBackend()
+        io = CASStoreIO(kv)
+        stage(io)
+        kv.countdown = crash_step
+        try:
+            io.rename("cas-test://s/.staging/seg", "cas-test://s/final")
+            completed_without_crash = True
+        except OSError:
+            pass
+        kv.countdown = None
+        # INVARIANT: all-or-nothing visibility at this crash point
+        if io.exists("cas-test://s/final"):
+            assert dst_complete(io), f"torn dst at crash step {crash_step}"
+        else:
+            with pytest.raises(OSError):
+                io.listdir("cas-test://s/final")
+        # RECOVERY: a fresh attempt (re-staged, as a fold retry would)
+        # converges regardless of where the previous one died
+        if not completed_without_crash:
+            io.rmtree("cas-test://s/.staging")
+            stage(io)
+            if io.exists("cas-test://s/final"):
+                io.rmtree("cas-test://s/final")
+            io.rename("cas-test://s/.staging/seg", "cas-test://s/final")
+        assert dst_complete(io)
+        crash_step += 1
+    assert crash_step >= 5  # the protocol really has multiple steps
+
+
 def test_cas_hybrid_unions_catalog_and_physical(tmp_path):
     """Hybrid mode (register_prefix): Spark-written physical entries
     and catalog-written markers appear in ONE namespace — the split a
