@@ -512,6 +512,72 @@ def test_cas_rename_crash_at_every_step_is_atomic_and_recoverable():
     assert crash_step >= 5  # the protocol really has multiple steps
 
 
+def test_cas_fold_generation_crash_at_every_step_converges():
+    """The genstore fold loop (stage → manifest → swap → deferred GC)
+    killed after every mutating CAS op: at every crash point the store
+    stays readable and consistent — the pointer resolves to a COMPLETE
+    generation (old until the swap lands, new after), live_segments
+    never lies — and the standard recovery (orphan GC + retry fold)
+    converges."""
+    crash_step = 0
+    completed = False
+    while not completed:
+        kv = _FlakyCASBackend()
+        io = CASStoreIO(kv)
+        register_scheme("cas-crash", io)
+        try:
+            path = "cas-crash://stores/idx"
+            for name in ("b0", "b1"):
+                io.makedirs(os.path.join(path, "segments", name))
+                io.write_atomic(
+                    os.path.join(path, "segments", name, "data"), name
+                )
+
+            def build(out):
+                io.makedirs(out)
+                io.write_atomic(os.path.join(out, "data"), "folded")
+
+            kv.countdown = crash_step
+            try:
+                G.fold_generation(
+                    path, build, folded={"b0", "b1"},
+                    gc_paths=[
+                        os.path.join(path, "segments", "b0"),
+                        os.path.join(path, "segments", "b1"),
+                    ],
+                )
+                completed = True
+            except OSError:
+                pass
+            kv.countdown = None
+            # INVARIANT: whatever the pointer resolves is complete
+            gen = G.gen_name(path)
+            if gen is not None:
+                assert io.read_text(os.path.join(path, gen, "data")) == "folded"
+                assert G.folded_set(path, gen) == {"b0", "b1"}
+                assert G.live_segments(path) == []
+            else:
+                # crash before the swap: bootstrap state, segments live
+                assert G.live_segments(path) == ["b0", "b1"]
+            # RECOVERY: orphan GC + retry converges from any crash point
+            if not completed:
+                G.gc_orphan_generations(path, gen)
+                G.fold_generation(
+                    path, build, folded={"b0", "b1"},
+                    gc_paths=[
+                        os.path.join(path, "segments", "b0"),
+                        os.path.join(path, "segments", "b1"),
+                    ],
+                )
+            gen = G.gen_name(path)
+            assert io.read_text(os.path.join(path, gen, "data")) == "folded"
+            assert G.live_segments(path) == []
+        finally:
+            unregister_scheme("cas-crash")
+        crash_step += 1
+    assert crash_step >= 5
+
+
 def test_cas_hybrid_unions_catalog_and_physical(tmp_path):
     """Hybrid mode (register_prefix): Spark-written physical entries
     and catalog-written markers appear in ONE namespace — the split a
