@@ -271,6 +271,11 @@ class LocalStoreIO(StoreIO):
             return False
 
     def file_size(self, path: str) -> int:
+        if os.path.isdir(path):
+            # getsize on a dir returns the inode size (4096) — a
+            # meaningless answer for the contract's "size of a file";
+            # raising matches the fakes (r14 differential test)
+            raise IsADirectoryError(path)
         return os.path.getsize(path)
 
     def listdir(self, path: str) -> list[str]:
@@ -442,6 +447,11 @@ class MemStoreIO(StoreIO):
     def write_atomic(self, path: str, text: str) -> None:
         path = self._norm(path)
         with self._lock:
+            if path in self._dirs:
+                # POSIX parity (r14 differential property test):
+                # os.replace onto an existing dir raises; the fake
+                # silently shadowed the dir with a file
+                raise IsADirectoryError(path)
             self._require_parent(path)
             self._files[path] = text
             self._touch(path)
@@ -449,6 +459,8 @@ class MemStoreIO(StoreIO):
     def create_exclusive(self, path: str, text: str) -> tuple[bool, str]:
         path = self._norm(path)
         with self._lock:
+            if path in self._dirs:
+                raise IsADirectoryError(path)
             if path in self._files:
                 return False, self._files[path]
             self._require_parent(path)
@@ -483,6 +495,15 @@ class MemStoreIO(StoreIO):
     def makedirs(self, path: str) -> None:
         path = self._norm(path)
         with self._lock:
+            # POSIX parity (r14 differential property test): a FILE at
+            # the path or any ancestor makes os.makedirs raise
+            probe = path
+            while probe and not probe.endswith(":/"):
+                if probe in self._files:
+                    raise FileExistsError(probe)
+                if "/" not in probe:
+                    break
+                probe = probe.rsplit("/", 1)[0]
             self._dirs.add(path)
             self._add_parents(path)
             self._touch(path)
@@ -491,7 +512,12 @@ class MemStoreIO(StoreIO):
         path = self._norm(path)
         prefix = path + "/"
         with self._lock:
-            for p in [k for k in self._files if k == path or k.startswith(prefix)]:
+            if path in self._files:
+                # POSIX parity (r14 differential property test):
+                # shutil.rmtree on a FILE is a no-op under
+                # ignore_errors — the fake used to delete it
+                return
+            for p in [k for k in self._files if k.startswith(prefix)]:
                 del self._files[p]
                 self._meta.pop(p, None)
             for d in [k for k in self._dirs if k == path or k.startswith(prefix)]:
@@ -507,6 +533,17 @@ class MemStoreIO(StoreIO):
         with self._lock:
             if src not in self._files and src not in self._dirs:
                 raise FileNotFoundError(src)
+            if src == dst:
+                return  # POSIX: same-path rename is a successful no-op
+            if dst.startswith(sp):
+                # POSIX EINVAL: cannot move a directory into itself
+                raise OSError(f"rename into own subtree: {src} -> {dst}")
+            dparent = dst.rsplit("/", 1)[0] if "/" in dst else ""
+            if dparent and not dparent.endswith(":/"):
+                if dparent in self._files:
+                    raise NotADirectoryError(dparent)
+                if dparent not in self._dirs:
+                    raise FileNotFoundError(dparent)
             if src in self._dirs and (dst in self._dirs or dst in self._files):
                 raise OSError(f"rename target exists: {dst}")
             if src in self._files and dst in self._dirs:
@@ -901,7 +938,11 @@ class CASStoreIO(StoreIO):
             pre = "/".join(parts[:i])
             if not pre or pre.endswith(":") or pre.endswith(":/"):
                 continue  # scheme-root components ("cas-test:", "…:/")
-            if self._rec(pre) is None:
+            got = self._rec(pre)
+            if got is not None and got[0]["k"] == "f":
+                # POSIX parity: a file on the path makes makedirs raise
+                raise FileExistsError(pre)
+            if got is None:
                 # put-if-absent so a concurrent mkdir keeps the original
                 # mtime (exist_ok semantics)
                 self._put_rec(pre, {"k": "d", "m": self._now()}, ABSENT)
@@ -910,6 +951,11 @@ class CASStoreIO(StoreIO):
 
     def rmtree(self, path: str) -> None:
         path = self._norm(path)
+        got = self._rec(path)
+        if got is not None and got[0]["k"] == "f":
+            # POSIX parity: shutil.rmtree on a FILE is a no-op under
+            # ignore_errors semantics
+            return
         for key in self._kv.list_prefix(self._PATH + path + "/"):
             self._kv.delete_if(key, ANY)
         self._kv.delete_if(self._PATH + path, ANY)
@@ -965,6 +1011,18 @@ class CASStoreIO(StoreIO):
         )
         if not src_exists:
             raise FileNotFoundError(src)
+        if src == dst:
+            return  # POSIX: same-path rename is a successful no-op
+        if dst.startswith(src + "/"):
+            # POSIX EINVAL: cannot move a directory into itself
+            raise OSError(f"rename into own subtree: {src} -> {dst}")
+        dparent = dst.rsplit("/", 1)[0] if "/" in dst else ""
+        if dparent and not dparent.endswith(":/"):
+            pgot = self._rec(dparent)
+            if pgot is not None and pgot[0]["k"] == "f":
+                raise NotADirectoryError(dparent)
+            if not self.isdir(dparent):
+                raise FileNotFoundError(dparent)
 
         if src_is_file:
             if self.isdir(dst):
