@@ -241,15 +241,22 @@ class LocalStoreIO(StoreIO):
         identifies the exact file version measured earlier. On
         mismatch — the path held a FRESH file by the time we claimed
         it — restore it via ``os.link`` (refuses an existing target,
-        so a contender's even-fresher lock is never clobbered).
-        Residual hazard, documented: between our rename and the
+        so a contender's even-fresher lock is never clobbered), falling
+        back to an ``O_EXCL`` create-and-copy on filesystems without
+        hard-link support (some NFS/FUSE mounts — r14 advice: the old
+        bare ``pass`` silently DISCARDED the fresh holder's lock
+        there).
+        Residual hazards, documented: between our rename and the
         restoring link, the path is briefly absent; a contender that
         exclusive-creates in that microsecond window orphans the fresh
-        holder's file (its heartbeat then stops quietly). That needs
+        holder's file (its heartbeat then stops quietly) — that needs
         the breaker to misfire on a lock that turned fresh within the
-        same staleness check AND a third racer in the same window —
+        same staleness check AND a third racer in the same window,
         strictly narrower than the unconditional-steal this method
-        replaces."""
+        replaces. And a crash between the claim-rename and the unlink
+        leaks the claim under its dot name; :func:`sweep_stale_claims`
+        (called from the lock-acquisition wait loop) age-gates those
+        away like every other tmp sweep (r14 advice)."""
         claim = path + f".claim.{uuid.uuid4().hex[:8]}"
         try:
             os.rename(path, claim)
@@ -264,11 +271,29 @@ class LocalStoreIO(StoreIO):
             try:
                 os.link(claim, path)
             except OSError:
-                pass  # a contender re-created the path first; see docstring
+                self._restore_without_link(claim, path)
             os.unlink(claim)
             return False
         except OSError:
             return False
+
+    @staticmethod
+    def _restore_without_link(claim: str, path: str) -> None:
+        """No hard links on this filesystem: restore the claimed file's
+        content through a non-clobbering ``O_EXCL`` create. A contender
+        that re-created the path first wins (its lock is fresher); the
+        restored copy is a new inode, so the fresh holder's token
+        changes — its next conditional op re-reads, same as after any
+        legitimate concurrent re-put."""
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except OSError:
+            return  # a contender re-created the path first
+        try:
+            with open(claim, "rb") as rf:
+                os.write(fd, rf.read())
+        finally:
+            os.close(fd)
 
     def file_size(self, path: str) -> int:
         if os.path.isdir(path):
@@ -316,6 +341,36 @@ class LocalStoreIO(StoreIO):
             if any(f.endswith(suffix) for f in files):
                 return True
         return False
+
+
+def sweep_stale_claims(
+    lock_path: str, *, max_age_s: float = 3600.0, io: StoreIO | None = None
+) -> None:
+    """GC ``<lock>.claim.*`` leftovers of a breaker that CRASHED between
+    :meth:`LocalStoreIO.unlink_if`'s claim-rename and its unlink (r14
+    advice: the displaced lock lived on forever under a dot name no
+    sweep covered). Age-gated like every other tmp sweep: a live
+    breaker holds its claim for microseconds, so anything older belongs
+    to a dead process. Run from the lock acquisition path — the only
+    place claims are born. Best-effort: claims are a namespace leak,
+    never a correctness hazard (the lock path itself was already freed
+    by the claim-rename)."""
+    io = io or storeio_for(lock_path)
+    parent, name = os.path.split(lock_path)
+    now = time.time()
+    try:
+        entries = io.listdir(parent)
+    except OSError:
+        return
+    for e in entries:
+        if not e.startswith(name + ".claim."):
+            continue
+        full = os.path.join(parent, e)
+        try:
+            if now - io.mtime(full) > max_age_s:
+                io.unlink(full)
+        except OSError:
+            pass  # another sweeper won the race
 
 
 def _glob_regex(pattern: str):
@@ -783,9 +838,11 @@ class CASStoreIO(StoreIO):
             names |= set(os.listdir(path))
         if not exists:
             raise FileNotFoundError(path)
-        return sorted(
-            n for n in names if not self._masked(path + "/" + n)
-        )
+        # one marker listing instead of one get per ancestor per child
+        # (r14 verdict: O(N·depth) backend round-trips per listdir);
+        # ``path``'s own ancestor chain was already cleared above
+        markers = self._pending_under(path + "/")
+        return sorted(n for n in names if path + "/" + n not in markers)
 
     def isdir(self, path: str) -> bool:
         path = self._norm(path)
@@ -836,25 +893,82 @@ class CASStoreIO(StoreIO):
             return os.path.getsize(path)
         raise FileNotFoundError(path)
 
+    @staticmethod
+    def _fixed_prefix(pattern: str) -> str:
+        """Longest wildcard-free prefix of a glob pattern — the listing
+        bound (r14 verdict item 1: the old full-catalog
+        ``list_prefix(self._PATH)`` ran on EVERY history micro-batch
+        append via the replay-leftover GC, O(total catalog keys) and
+        one full ListObjects per batch on a real backend)."""
+        cut = len(pattern)
+        for ch in "*?":
+            i = pattern.find(ch)
+            if i != -1:
+                cut = min(cut, i)
+        return pattern[:cut]
+
+    def _pending_under(self, prefix: str) -> set[str]:
+        """All paths carrying a pending-rename marker at or under the
+        given string prefix — ONE backend listing, so per-candidate
+        mask checks become set lookups instead of one ``get`` per
+        ancestor per name (the r14-verdict ``_masked`` round-trip
+        amplification)."""
+        return {
+            k[len(self._PENDING):]
+            for k in self._kv.list_prefix(self._PENDING + prefix)
+        }
+
+    @staticmethod
+    def _masked_by(path: str, base: str, markers: set[str]) -> bool:
+        """True iff ``path`` or an ancestor STRICTLY below ``base`` is
+        in ``markers`` (the caller has already cleared ``base`` and its
+        ancestors with one :meth:`_masked` walk)."""
+        if not markers:
+            return False
+        parts = path.split("/")
+        for i in range(1, len(parts) + 1):
+            pre = "/".join(parts[:i])
+            if len(pre) > len(base) and pre in markers:
+                return True
+        return False
+
     def glob(self, pattern: str) -> list[str]:
-        rx = _glob_regex(self._norm(pattern))
+        pattern = self._norm(pattern)
+        rx = _glob_regex(pattern)
+        fixed = self._fixed_prefix(pattern)
         names: set[str] = set()
-        for key in self._kv.list_prefix(self._PATH):
+        # prefix-bounded: list only keys under the pattern's fixed
+        # prefix — O(result namespace), not O(catalog)
+        for key in self._kv.list_prefix(self._PATH + fixed):
             names.add(key[len(self._PATH):])
         if self._phys(pattern):
             names |= set(_glob.glob(pattern))
-        return sorted(
-            p for p in names if rx.match(p) and not self._masked(p)
-        )
+        candidates = sorted(p for p in names if rx.match(p))
+        if not candidates:
+            return []
+        # shared ancestors (everything at or above the fixed prefix's
+        # directory) are checked ONCE; every candidate's remaining
+        # ancestors start with the fixed prefix, so one marker listing
+        # under it covers them all
+        base = fixed.rsplit("/", 1)[0] if "/" in fixed else ""
+        if base and self._masked(base):
+            return []
+        markers = self._pending_under(fixed)
+        return [p for p in candidates if not self._masked_by(p, base, markers)]
 
     def has_files(self, path: str, suffix: str) -> bool:
         path = self._norm(path)
         if self._masked(path):
             return False
         prefix = self._PATH + path + "/"
+        markers: set[str] | None = None  # fetched once, on first hit
         for key in self._kv.list_prefix(prefix):
             p = key[len(self._PATH):]
-            if p.endswith(suffix) and not self._masked(p):
+            if p.endswith(suffix):
+                if markers is None:
+                    markers = self._pending_under(path + "/")
+                if self._masked_by(p, path, markers):
+                    continue
                 got = self._rec(p)
                 if got is not None and got[0]["k"] == "f":
                     return True
@@ -959,21 +1073,36 @@ class CASStoreIO(StoreIO):
         for key in self._kv.list_prefix(self._PATH + path + "/"):
             self._kv.delete_if(key, ANY)
         self._kv.delete_if(self._PATH + path, ANY)
-        for key in self._kv.list_prefix(self._PENDING + path + "/"):
-            self._kv.delete_if(key, ANY)
         if self._phys(path):
             shutil.rmtree(path, ignore_errors=True)
+        for key in self._kv.list_prefix(self._PENDING + path + "/"):
+            self._kv.delete_if(key, ANY)
+        # the marker on ``path`` ITSELF dies too (r14 advice: a crashed
+        # publish destination later rmtree'd — e.g. an unpointed gen
+        # dir GC — left its own marker in the catalog forever, and
+        # ``_masked`` then permanently hid any future entry at that
+        # exact path). Deleted LAST: a crash mid-rmtree leaves the
+        # half-deleted tree still masked.
+        self._kv.delete_if(self._PENDING + path, ANY)
 
     def touch(self, path: str) -> None:
         path = self._norm(path)
-        got = self._rec(path)
-        if got is not None:
-            rec, _tok = got
+        while True:
+            got = self._rec(path)
+            if got is None:
+                break
+            rec, tok = got
             rec["m"] = self._now()
-            # unconditional: heartbeats must refresh even if the content
-            # was concurrently re-put (matches os.utime semantics)
-            self._put_rec(path, rec, ANY)
-            return
+            # token-conditional (r14 advice): an unconditional put here
+            # was a get→put read-modify-write that could resurrect
+            # STALE content — a lock broken and re-created by a new
+            # holder between our read and write got overwritten with
+            # the old holder's content plus a fresh mtime, making both
+            # holders look live. On precondition failure re-read and
+            # retry against the CURRENT file (os.utime refreshes
+            # whatever the path holds now — by-path semantics).
+            if self._put_rec(path, rec, tok) is not None:
+                return
         if self._phys(path) and os.path.exists(path):
             os.utime(path, None)
             return
@@ -1029,11 +1158,17 @@ class CASStoreIO(StoreIO):
                 raise IsADirectoryError(dst)
             if src_got is not None:
                 rec, tok = src_got
-                # exactly-one-winner: the conditional delete claims the
-                # exact version; a raced rename loses cleanly
+                # dst FIRST, then the conditional delete of src (r14
+                # advice): POSIX rename leaves src or dst, never
+                # neither — the old delete-then-put order lost the file
+                # outright on a crash between the two ops (and this is
+                # the per-segment stats-row publish path). Racers read
+                # the same (rec, tok) and put identical content at dst;
+                # exactly one wins the delete, the loser raises exactly
+                # as a second rename of a vanished src would.
+                self._put_rec(dst, rec, ANY)  # replace-if-exists (POSIX)
                 if not self._kv.delete_if(self._PATH + src, tok):
                     raise FileNotFoundError(src)
-                self._put_rec(dst, rec, ANY)  # replace-if-exists (POSIX)
             else:
                 with open(src, "rb") as rf:
                     data = rf.read()

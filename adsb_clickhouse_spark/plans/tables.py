@@ -273,6 +273,16 @@ class _WriterLock:
                 self.lock_path, f"{os.getpid()}|{uuid.uuid4().hex}"
             )
             if won:
+                # age-gated GC of crashed breakers' claim leftovers
+                # (r14 advice; see storeio.sweep_stale_claims) — one
+                # listdir per acquisition, noise next to the batch
+                from .storeio import sweep_stale_claims
+
+                sweep_stale_claims(
+                    self.lock_path,
+                    max_age_s=max(self.timeout_s * 10, 300.0),
+                    io=self._io,
+                )
                 self._hb_stop = threading.Event()
                 threading.Thread(
                     target=self._heartbeat,

@@ -691,3 +691,215 @@ def test_touch_refreshes_stat_token(tmp_path, mem):
         assert io.stat_token(p) != t1
         with pytest.raises(OSError):
             io.touch(os.path.join(root, "absent"))
+
+
+# -- r15: CAS scale + crash-window fixes ---------------------------------
+
+
+class _CountingBackend(MemCASBackend):
+    """Records every backend round-trip — the cost model of a real
+    conditional-put service (each get / list is a billable request)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.gets = 0
+        self.list_prefixes: list[str] = []
+
+    def get(self, key):
+        self.gets += 1
+        return super().get(key)
+
+    def list_prefix(self, prefix):
+        self.list_prefixes.append(prefix)
+        return super().list_prefix(prefix)
+
+    def reset(self):
+        self.gets = 0
+        self.list_prefixes = []
+
+
+def test_cas_glob_lists_prefix_bounded_not_whole_catalog():
+    """r14 verdict item 1: the replay-leftover GC globs
+    ``<table>/scrape_date=*/batch_id=bN`` on EVERY history micro-batch
+    append — it must list only the pattern's wildcard-free prefix, not
+    the entire catalog namespace (O(total keys) and one full
+    ListObjects per batch on a real backend)."""
+    kv = _CountingBackend()
+    io = CASStoreIO(kv)
+    table = "cas-test://warehouse/history"
+    io.makedirs(table)
+    for d in range(3):
+        for b in range(3):
+            io.makedirs(f"{table}/scrape_date=2026-01-0{d}/batch_id=b{b}")
+    # 300 unrelated keys elsewhere in the same catalog: a bounded glob
+    # never touches them
+    for j in range(300):
+        io.makedirs(f"cas-test://warehouse/other{j:03d}")
+    kv.reset()
+    hits = io.glob(f"{table}/scrape_date=*/batch_id=b1")
+    assert len(hits) == 3 and all(h.endswith("batch_id=b1") for h in hits)
+    # every listing is bounded to the pattern's fixed prefix — never
+    # the bare path or pending namespaces
+    for pre in kv.list_prefixes:
+        assert pre.startswith(("p:" + table, "x:" + table)), pre
+    # per-call round-trips are O(pattern depth + results), independent
+    # of the 300-key rest of the catalog
+    assert kv.gets <= 8, kv.gets
+    assert len(kv.list_prefixes) <= 2, kv.list_prefixes
+
+
+def test_cas_listdir_mask_checks_are_one_listing_not_per_child():
+    """r14 verdict item 1 (second-order): ``listdir`` of N entries was
+    O(N * depth) backend gets via per-child ``_masked`` walks — now one
+    pending-marker listing covers all children."""
+    kv = _CountingBackend()
+    io = CASStoreIO(kv)
+    root = "cas-test://store/segments"
+    io.makedirs(root)
+    for j in range(50):
+        io.makedirs(f"{root}/seg-{j:03d}")
+    # one mid-publish entry stays invisible
+    kv.put_if("x:" + root + "/seg-pending", "pending", ANY)
+    kv.reset()
+    names = io.listdir(root)
+    assert len(names) == 50 and "seg-pending" not in names
+    # gets: the path's own record + its ancestor mask walk — NOT 50×depth
+    assert kv.gets <= 8, kv.gets
+    assert len(kv.list_prefixes) <= 3, kv.list_prefixes
+
+
+def test_cas_file_rename_crash_between_put_and_delete_loses_nothing():
+    """r14 advice (medium): the file-branch rename must put dst BEFORE
+    conditionally deleting src — a crash between the two ops leaves
+    src or dst (or briefly both), never neither. This is the publish
+    path of the per-segment stats row."""
+    kv = _FlakyCASBackend()
+    io = CASStoreIO(kv)
+    io.makedirs("cas-test://s/d")
+    crash_step = 0
+    while True:
+        io.write_atomic("cas-test://s/d/.tmp-stats", "stats-v1")
+        kv.countdown = crash_step
+        crashed = False
+        try:
+            io.rename("cas-test://s/d/.tmp-stats", "cas-test://s/d/stats")
+        except OSError:
+            crashed = True
+        kv.countdown = None
+        # the invariant POSIX rename gives: the content survives at one
+        # of the two names at EVERY crash point
+        assert (
+            io.exists("cas-test://s/d/.tmp-stats")
+            or io.read_text("cas-test://s/d/stats") == "stats-v1"
+        ), f"content lost at crash step {crash_step}"
+        # recovery: a replayed publish (stage again + rename) converges
+        if crashed:
+            if io.exists("cas-test://s/d/.tmp-stats"):
+                io.unlink("cas-test://s/d/.tmp-stats")
+            crash_step += 1
+            continue
+        assert io.read_text("cas-test://s/d/stats") == "stats-v1"
+        break
+    assert crash_step >= 1  # the protocol has a real crash window
+
+
+class _SwapOnTouchBackend(MemCASBackend):
+    """Injects a lock takeover INSIDE a read-modify-write: the first
+    token-conditional put_if finds the key already replaced."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.swap_key: str | None = None
+        self.swap_value: str | None = None
+
+    def put_if(self, key, value, expected):
+        if self.swap_key == key:
+            k, self.swap_key = self.swap_key, None
+            super().put_if(k, self.swap_value, ANY)
+        return super().put_if(key, value, expected)
+
+
+def test_cas_touch_never_resurrects_stale_content():
+    """r14 advice (low): touch was get -> put(ANY) — a lock broken and
+    re-created by a NEW holder between the two got overwritten with the
+    stale holder's content. Token-conditional now: the retry refreshes
+    the CURRENT content (os.utime by-path semantics), never the stale
+    snapshot."""
+    import json
+
+    kv = _SwapOnTouchBackend()
+    io = CASStoreIO(kv)
+    io.makedirs("cas-test://s")
+    io.write_atomic("cas-test://s/lock", "old-holder|aaaa")
+    new_rec = json.dumps({"k": "f", "t": "new-holder|bbbb", "m": 1.0})
+    kv.swap_key = "p:cas-test://s/lock"
+    kv.swap_value = new_rec
+    io.touch("cas-test://s/lock")
+    assert kv.swap_key is None  # the takeover fired mid-touch
+    assert io.read_text("cas-test://s/lock") == "new-holder|bbbb"
+    assert io.mtime("cas-test://s/lock") > 1.0  # refreshed, not stale
+
+
+def test_cas_rmtree_clears_own_pending_marker():
+    """r14 advice (low): rmtree of a crashed publish destination (e.g.
+    gc_orphan_generations on an unpointed gen dir) must clear the
+    marker on the path ITSELF, or the orphaned marker permanently
+    masks any future entry at that exact path."""
+    io = CASStoreIO(MemCASBackend())
+    io.makedirs("cas-test://s")
+    dst = "cas-test://s/gen-dead"
+    # crashed publish: marker + partial content
+    io._kv.put_if(io._PENDING + dst, "pending", ANY)
+    io._put_rec(dst + "/f", {"k": "f", "t": "torn", "m": 0.0}, ANY)
+    io.rmtree(dst)
+    assert io._kv.get(io._PENDING + dst) is None
+    # the path is usable again
+    io.makedirs(dst)
+    io.write_atomic(dst + "/f", "reborn")
+    assert io.read_text(dst + "/f") == "reborn"
+    assert "gen-dead" in io.listdir("cas-test://s")
+
+
+def test_local_unlink_if_restores_fresh_lock_without_hard_links(
+    tmp_path, monkeypatch
+):
+    """r14 advice (low): on filesystems without hard-link support the
+    fresh-lock restore must fall back to a non-clobbering O_EXCL
+    create, not silently discard the fresh contender's lock."""
+    io = LocalStoreIO()
+    p = str(tmp_path / ".lock")
+    io.write_atomic(p, "dead-holder|aaaa")
+    stale = io.stat_token(p)
+    io.unlink(p)
+    won, _ = io.create_exclusive(p, "live-holder|bbbb")
+    assert won
+
+    def no_link(*a, **k):
+        raise OSError("hard links not supported on this mount")
+
+    monkeypatch.setattr(os, "link", no_link)
+    assert io.unlink_if(p, stale) is False
+    assert io.read_text(p) == "live-holder|bbbb"  # restored, not lost
+    # no claim leftovers
+    assert [e for e in os.listdir(tmp_path) if ".claim." in e] == []
+
+
+def test_sweep_stale_claims_age_gated(tmp_path):
+    """r14 advice (low): crashed breakers leak the displaced lock under
+    ``<lock>.claim.*``; the acquisition-path sweep GCs old claims and
+    leaves live (young) ones alone."""
+    from adsb_clickhouse_spark.plans.storeio import sweep_stale_claims
+
+    io = LocalStoreIO()
+    lock = str(tmp_path / ".writer_lock")
+    old = lock + ".claim.deadbeef"
+    young = lock + ".claim.cafebabe"
+    io.write_atomic(old, "displaced")
+    io.write_atomic(young, "in-flight")
+    import time as _t
+
+    past = _t.time() - 7200
+    os.utime(old, (past, past))
+    sweep_stale_claims(lock, max_age_s=3600.0, io=io)
+    assert not os.path.exists(old)
+    assert os.path.exists(young)
