@@ -150,21 +150,27 @@ def publish_segment(
     compaction. ``build`` returning ``False`` skips the publish (an
     empty batch: nothing becomes visible at all — cleaner than the old
     in-place _SUCCESS-only directory every reader had to special-case).
-    Returns the committed segment path, or None when skipped."""
+    Returns the committed segment path, or None when skipped.
+
+    r14 verdict item 2: the stage+commit goes through the StoreIO
+    publish seam (``begin_publish``/``commit_publish``) instead of a
+    literal directory rename — identical dot-staging + atomic-rename
+    protocol on POSIX, but a CAS namespace stages IN PLACE under a
+    pending marker and commits by one marker delete, so no payload
+    ever moves through the driver on the per-batch path."""
     io = io or storeio_for(path)
     seg_root = os.path.join(path, "segments")
-    staging = os.path.join(
-        seg_root, f".staging-{segment}-{uuid.uuid4().hex[:8]}"
-    )
     final = os.path.join(seg_root, segment)
+    overwrite = io.exists(final)  # replay (name-keyed overwrite contract)
+    staging = io.begin_publish(final, overwrite=overwrite)
     try:
         if build(staging) is False:
+            io.abort_publish(final, staging)
             return None
-        if io.exists(final):
-            io.rmtree(final)  # replay overwrite (name-keyed contract)
-        io.rename(staging, final)
-    finally:
-        io.rmtree(staging)
+        io.commit_publish(final, staging, overwrite=overwrite)
+    except BaseException:
+        io.abort_publish(final, staging)
+        raise
     return final
 
 
@@ -365,29 +371,32 @@ def fold_into_segment(
     io = io or storeio_for(dir_path)
     # GC staging leftovers of a prior CRASHED fold first (a finally
     # block can't cover kill -9): unpointed, unreferenced by any
-    # reader, and safe under the single-concurrent-maintainer contract
+    # reader, and safe under the single-concurrent-maintainer contract.
+    # Two generations of staging names: the pre-seam `.fold-staging.*`
+    # and the publish seam's `.staging-*` (CAS stages in place under a
+    # pending marker instead — begin_publish GCs its own garbage).
     if io.isdir(dir_path):
         for e in io.listdir(dir_path):
-            if e.startswith(".fold-staging."):
+            if e.startswith((".fold-staging.", ".staging-")):
                 io.rmtree(os.path.join(dir_path, e))
     # inherit the unswept retirees of the inputs this fold consumes
     # (their manifests die with them when the grace window closes)
     inherited: list[tuple[float, str]] = []
     for p in gc_paths:
         inherited += read_retire_manifest(p, io)
-    staging = os.path.join(dir_path, f".fold-staging.{uuid.uuid4().hex[:8]}")
-    out = os.path.join(staging, seg_entry)
     committed = os.path.join(dir_path, seg_entry)
+    staging = io.begin_publish(committed)
     try:
-        build(out)
-        write_manifest(out, folded, io=io)
+        build(staging)
+        write_manifest(staging, folded, io=io)
         now = time.time()
         write_retire_manifest(
-            out, inherited + [(now, p) for p in gc_paths], io
+            staging, inherited + [(now, p) for p in gc_paths], io
         )
-        io.rename(out, committed)
-    finally:
-        io.rmtree(staging)
+        io.commit_publish(committed, staging)
+    except BaseException:
+        io.abort_publish(committed, staging)
+        raise
     sweep_retired(dir_path, grace_s=grace_s, io=io, part_dir=committed)
 
 

@@ -163,6 +163,60 @@ class StoreIO:
         ``suffix`` (guards reads of possibly-empty segment writes)."""
         raise NotImplementedError
 
+    # -- atomic directory publish (r14 verdict item 2) -------------------
+    #
+    # The one rename-shaped commit left on the per-batch path was the
+    # staged-segment publish (genstore.publish_segment /
+    # fold_into_segment): stage a directory invisibly, commit it
+    # atomically at ``final``. Expressed as its own seam operation, each
+    # implementation commits the way its namespace is good at:
+    #
+    # - POSIX/Mem (this default): stage in a dot-prefixed sibling dir,
+    #   commit by ONE atomic os.rename — free, and exactly the protocol
+    #   the engine always used;
+    # - CAS (override below): mask ``final`` with a pending marker and
+    #   stage IN PLACE at the final name — the commit is one atomic
+    #   marker DELETE and **no payload ever moves**, where routing the
+    #   same staging through ``rename`` cost a driver-side copy of
+    #   every object in every micro-batch's segment.
+    #
+    # Contract: nothing is visible at ``final`` to any OTHER reader
+    # between begin and commit (the publishing thread may read its own
+    # staging); commit is atomic (readers see nothing, or the complete
+    # tree); a crash at any point leaves ``final`` either absent/old or
+    # complete, and a retried begin_publish at the same ``final`` GCs
+    # the garbage. With ``overwrite=True`` (replay of a crashed batch —
+    # callers only pass it under the name-keyed overwrite contract,
+    # where the half-written target has no committed readers) the old
+    # content at ``final`` is dropped: at commit time here, at begin
+    # time on CAS (in-place staging needs the slot) — so an aborted
+    # overwrite-publish restores the old content here but leaves
+    # ``final`` absent on CAS, both states a replay converges from.
+
+    def begin_publish(self, final: str, *, overwrite: bool = False) -> str:
+        """Start an atomic directory publish at ``final``; returns the
+        STAGING path the caller writes the full tree into."""
+        final = final.rstrip("/")
+        if not overwrite and self.exists(final):
+            raise OSError(f"publish target exists: {final}")
+        parent, name = os.path.split(final)
+        return os.path.join(parent, f".staging-{name}-{uuid.uuid4().hex[:8]}")
+
+    def commit_publish(
+        self, final: str, staging: str, *, overwrite: bool = False
+    ) -> None:
+        """Atomically make the staged tree THE content of ``final``."""
+        final = final.rstrip("/")
+        if overwrite and self.exists(final):
+            self.rmtree(final)  # replay overwrite (name-keyed contract)
+        self.rename(staging, final)
+
+    def abort_publish(self, final: str, staging: str) -> None:
+        """Drop the staged tree; ``final`` is untouched (or absent on
+        implementations that stage in place)."""
+        if staging.rstrip("/") != final.rstrip("/"):
+            self.rmtree(staging)
+
 
 class LocalStoreIO(StoreIO):
     """POSIX implementation — the current default everywhere.
@@ -675,6 +729,17 @@ class CASBackend:
         """All keys starting with ``prefix`` (consistent listing)."""
         raise NotImplementedError
 
+    def copy_object(self, src_key: str, dst_key: str):
+        """OPTIONAL server-side copy (S3 CopyObject / DynamoDB
+        transactional read+write inside the service): duplicate
+        ``src_key``'s value at ``dst_key`` without the bytes passing
+        through the caller (r14 verdict item 5 — the directory-rename
+        catalog move read every record to the driver and re-put it).
+        Returns ``dst_key``'s new token, or ``None`` if ``src_key`` is
+        absent. Backends without a native copy may leave this
+        unimplemented; callers must fall back to get+put."""
+        raise NotImplementedError
+
 
 class MemCASBackend(CASBackend):
     """In-memory CAS service for tests: a lock makes each conditional
@@ -716,6 +781,15 @@ class MemCASBackend(CASBackend):
         with self._lock:
             return sorted(k for k in self._kv if k.startswith(prefix))
 
+    def copy_object(self, src_key: str, dst_key: str):
+        # routed through get/put_if (NOT one step under the lock) so
+        # the crash-injection subclasses see the same mutation points a
+        # real service's copy exposes
+        got = self.get(src_key)
+        if got is None:
+            return None
+        return self.put_if(dst_key, got[0], ANY)
+
 
 import json as _json
 
@@ -742,17 +816,24 @@ class CASStoreIO(StoreIO):
       it; the catalog only governs VISIBILITY. ``listdir``/``exists``/
       ``glob`` answer from catalog ∪ physical listing, minus anything
       under a PENDING marker.
-    - Directory ``rename`` — the staged-segment publish — is the one
-      primitive object stores lack, so it becomes: set a pending
-      marker on dst (PUT), copy payloads (GET+PUT per object; a real
-      port uses server-side CopyObject), move the catalog subtree,
-      delete src, then DELETE THE PENDING MARKER — that delete is the
-      atomic commit: until it, every seam reader un-sees dst
-      (engine readers discover segments/generations through the seam
-      before Spark-reading them, so a half-copied dst is invisible);
-      after it, dst is fully populated. A crash mid-copy leaves the
-      marker, and the next rename attempt GCs the garbage first —
-      same crash discipline as the genstore fold loop.
+    - The staged-segment publish is RENAME-FREE (r14 verdict item 2):
+      ``begin_publish`` masks the final name with a pending marker and
+      the caller stages IN PLACE; ``commit_publish`` is one atomic
+      marker DELETE — no payload ever moves. Every per-batch append
+      and every maintain fold commits this way.
+    - Directory ``rename`` remains for legacy callers (the history
+      day-partition swap, whose compaction must read the old tree
+      while writing the new): set a pending marker on dst (PUT), copy
+      payloads (``CASBackend.copy_object`` server-side where the
+      backend provides it; :meth:`_copy_payloads` GET+PUT fallback),
+      move the catalog subtree, delete src, then DELETE THE PENDING
+      MARKER — that delete is the atomic commit: until it, every seam
+      reader un-sees dst (engine readers discover
+      segments/generations through the seam before Spark-reading
+      them, so a half-copied dst is invisible); after it, dst is
+      fully populated. A crash mid-copy leaves the marker, and the
+      next rename attempt GCs the garbage first — same crash
+      discipline as the genstore fold loop.
 
     Scheme paths (``cas-test://…``) run catalog-only; plain local
     paths registered via :func:`register_prefix` run hybrid (catalog
@@ -764,6 +845,26 @@ class CASStoreIO(StoreIO):
 
     def __init__(self, backend: CASBackend) -> None:
         self._kv = backend
+        # paths THIS THREAD is mid-publishing in place (begin_publish):
+        # the publisher must read/list its own staged tree through the
+        # seam (manifest writes, the stats-row publish), while the
+        # pending marker keeps it invisible to every other thread and
+        # process. Thread-local, so concurrent probe threads in the
+        # same process still un-see the staging — the r14
+        # probe-under-maintenance guarantee.
+        self._publishing = threading.local()
+
+    def _own_publish_roots(self) -> tuple:
+        return getattr(self._publishing, "roots", ())
+
+    def _push_publish_root(self, final: str) -> None:
+        self._publishing.roots = self._own_publish_roots() + (final,)
+
+    def _pop_publish_root(self, final: str) -> None:
+        roots = list(self._own_publish_roots())
+        if final in roots:
+            roots.remove(final)
+        self._publishing.roots = tuple(roots)
 
     # -- key/record helpers ----------------------------------------------
     @staticmethod
@@ -782,11 +883,15 @@ class CASStoreIO(StoreIO):
 
     def _masked(self, path: str) -> bool:
         """True iff ``path`` or any ancestor has a pending-rename
-        marker — mid-publish trees are invisible to every reader."""
+        marker — mid-publish trees are invisible to every reader,
+        except the publishing thread's own in-flight roots."""
+        own = self._own_publish_roots()
         parts = path.split("/")
         for i in range(1, len(parts) + 1):
             pre = "/".join(parts[:i])
-            if pre and self._kv.get(self._PENDING + pre) is not None:
+            if pre and pre not in own and (
+                self._kv.get(self._PENDING + pre) is not None
+            ):
                 return True
         return False
 
@@ -912,11 +1017,13 @@ class CASStoreIO(StoreIO):
         given string prefix — ONE backend listing, so per-candidate
         mask checks become set lookups instead of one ``get`` per
         ancestor per name (the r14-verdict ``_masked`` round-trip
-        amplification)."""
+        amplification). The calling thread's own in-flight publish
+        roots are excluded, matching :meth:`_masked`."""
+        own = self._own_publish_roots()
         return {
             k[len(self._PENDING):]
             for k in self._kv.list_prefix(self._PENDING + prefix)
-        }
+        } - set(own)
 
     @staticmethod
     def _masked_by(path: str, base: str, markers: set[str]) -> bool:
@@ -980,11 +1087,24 @@ class CASStoreIO(StoreIO):
 
     # -- writes --------------------------------------------------------------
     def _require_parent(self, path: str) -> None:
+        # MASK-BLIND on purpose: masking is a reader-visibility concept;
+        # a writer staging under its own pending marker (in-place
+        # publish) must be able to create files there, and the
+        # single-maintainer contract means nobody else writes under a
+        # foreign mid-publish tree anyway
         parent = path.rsplit("/", 1)[0] if "/" in path else ""
         if not parent or parent.endswith(":/"):
             return
-        if not self.isdir(parent):
-            raise FileNotFoundError(parent)
+        got = self._rec(parent)
+        if got is not None:
+            if got[0]["k"] == "f":
+                raise NotADirectoryError(parent)
+            return
+        if self._children(parent):
+            return
+        if self._phys(parent) and os.path.isdir(parent):
+            return
+        raise FileNotFoundError(parent)
 
     def write_atomic(self, path: str, text: str) -> None:
         path = self._norm(path)
@@ -1109,11 +1229,18 @@ class CASStoreIO(StoreIO):
         raise FileNotFoundError(path)
 
     def _copy_payloads(self, src: str, dst: str) -> None:
-        """Physical tree copy with GET/PUT-shaped calls only (a real
-        port would use server-side CopyObject). Local writes go direct
-        to the final name — standing in for an atomic object PUT; the
-        pending marker on ``dst`` keeps the half-copied tree invisible
-        to every seam reader until the commit."""
+        """Physical tree copy with GET/PUT-shaped calls only — the
+        documented FALLBACK for directory ``rename`` of hybrid-mode
+        payload trees (a real port uses server-side CopyObject;
+        catalog records already copy via ``CASBackend.copy_object``).
+        UNREACHABLE from the streaming ingest + maintain cycle since
+        the publish seam landed (r14 verdict item 2 — pinned by
+        tests/test_cas_port.py::test_cas_cycle_moves_zero_payload_bytes_through_driver);
+        only legacy direct renames (the history day-partition swap)
+        can reach it. Local writes go direct to the final name —
+        standing in for an atomic object PUT; the pending marker on
+        ``dst`` keeps the half-copied tree invisible to every seam
+        reader until the commit."""
         os.makedirs(dst, exist_ok=True)
         for root, dirs, files in os.walk(src):
             rel = os.path.relpath(root, src)
@@ -1198,9 +1325,13 @@ class CASStoreIO(StoreIO):
             p = key[len(self._PATH):]
             moves.append((p, dst + p[len(src):]))
         for sp, dp in moves:
-            got = self._rec(sp)
-            if got is not None:
-                self._put_rec(dp, got[0], ANY)
+            try:
+                # server-side: the record's bytes never cross the driver
+                self._kv.copy_object(self._PATH + sp, self._PATH + dp)
+            except NotImplementedError:
+                got = self._rec(sp)
+                if got is not None:
+                    self._put_rec(dp, got[0], ANY)
         if self._rec(dst) is None:
             self._put_rec(dst, {"k": "d", "m": self._now()}, ANY)
         for sp, _dp in moves:
@@ -1214,6 +1345,53 @@ class CASStoreIO(StoreIO):
         # very failure the marker exists to cover — caught by the
         # crash-injection test before it could ship)
         self._kv.delete_if(self._PENDING + dst, ANY)
+
+    # -- atomic directory publish: the rename-free commit ---------------
+    def begin_publish(self, final: str, *, overwrite: bool = False) -> str:
+        """Stage IN PLACE at ``final`` under a pending marker (r14
+        verdict item 2): the staging path IS the final path, the marker
+        keeps the half-built tree invisible to every other reader, and
+        :meth:`commit_publish` is one atomic marker DELETE — **zero
+        payload movement**, where routing the staged-segment commit
+        through :meth:`rename` copied every object of every
+        micro-batch's segment through the driver
+        (:meth:`_copy_payloads`). Same masking protocol the directory
+        ``rename`` already proved under exhaustive crash injection:
+        a crash at any point leaves the marker, so ``final`` stays
+        invisible and the next ``begin_publish`` GCs the garbage."""
+        final = self._norm(final)
+        pending = self._kv.get(self._PENDING + final) is not None
+        if not pending and not overwrite and self.exists(final):
+            raise OSError(f"publish target exists: {final}")
+        self._kv.put_if(self._PENDING + final, "pending", ANY)
+        # clear crashed-publish garbage / the replayed batch's old
+        # content while masked. rmtree drops the path's own marker LAST,
+        # so a crash mid-clear leaves the tree still masked; the brief
+        # marker-absent instant after a completed clear exposes only an
+        # already-empty path (the same absent state a POSIX replay's
+        # rmtree-then-rename crash window leaves).
+        if pending or overwrite:
+            self.rmtree(final)
+        self._kv.put_if(self._PENDING + final, "pending", ANY)
+        self._push_publish_root(final)
+        return final
+
+    def commit_publish(
+        self, final: str, staging: str, *, overwrite: bool = False
+    ) -> None:
+        final = self._norm(final)
+        self._pop_publish_root(final)
+        # THE COMMIT: one atomic conditional-put-backend DELETE — until
+        # it, every seam reader un-sees final; after it, the tree is
+        # fully staged (the caller wrote it in place)
+        self._kv.delete_if(self._PENDING + final, ANY)
+
+    def abort_publish(self, final: str, staging: str) -> None:
+        final = self._norm(final)
+        self._pop_publish_root(final)
+        # content first, marker last (inside rmtree) — a crash mid-abort
+        # leaves the partial tree still masked
+        self.rmtree(final)
 
 
 _LOCAL = LocalStoreIO()

@@ -454,7 +454,15 @@ def compact_partition(spark: SparkSession, path: str, partition: str, *, key: st
     transiently and should retry — the generational stores avoid this
     with pointer indirection, which the history table deliberately
     lacks (its readers resolve plain ``scrape_date=`` paths so
-    partition pruning stays Spark-native)."""
+    partition pruning stays Spark-native).
+
+    CAS-namespace caveat: this is the one directory rename left
+    outside the publish seam, because the compaction READS the old day
+    while writing the new (a lazy scan — in-place staging would delete
+    its own input). Under a CAS store the swap therefore pays one
+    catalog-subtree copy per CLOSED day (``CASBackend.copy_object``,
+    server-side) — maintenance cadence, never the per-batch path,
+    which commits rename-free via ``StoreIO.begin_publish``."""
     part_path = os.path.join(path, partition)
     if not storeio_for(path).isdir(part_path):
         raise FileNotFoundError(part_path)

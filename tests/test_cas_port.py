@@ -177,3 +177,50 @@ def test_cas_port_replay_idempotence(spark, cas_base):
     )
     kept = {r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()}
     assert kept == {0, 1}
+
+
+def test_cas_cycle_moves_zero_payload_bytes_through_driver(
+    spark, cas_base, monkeypatch
+):
+    """r14 verdict items 2+5: with the publish seam (in-place staging
+    under a pending marker, commit = one marker delete) and the
+    backend's server-side ``copy_object``, NO payload bytes cross the
+    driver during ingest or maintenance — ``_copy_payloads`` (the
+    driver-side GET+PUT tree copy) must be unreachable from the whole
+    cycle."""
+    from adsb_clickhouse_spark.plans.storeio import CASStoreIO
+    from adsb_clickhouse_spark.streaming.curation import CurationIngest
+
+    base, _backend = cas_base
+
+    def forbidden(self, src, dst):
+        raise AssertionError(
+            f"driver-side payload copy on the per-batch path: {src} -> {dst}"
+        )
+
+    monkeypatch.setattr(CASStoreIO, "_copy_payloads", forbidden)
+    ing = CurationIngest(
+        base, run_id="r1", text_near_dedup=True,
+        text_index=True, vector_index=True, vector_n_lists=2,
+        embed_dim=8,
+    )
+    mk = lambda lo, n: spark.createDataFrame(  # noqa: E731
+        [(j, f"doc {j} " + " ".join(f"w{j}x{w}" for w in range(10)))
+         for j in range(lo, lo + n)],
+        "doc_id long, text string",
+    )
+    ing.process_batch(mk(0, 30), batch_id=0)
+    ing.process_batch(mk(30, 30), batch_id=1)
+    with ing.maintenance_lease(timeout_s=30.0) as lease:
+        ing.compact_fingerprints(spark, lease=lease)
+        ing.compact_text_bands(spark, assume_quiesced=True, lease=lease)
+        ing.compact_text_index(spark, lease=lease)
+        ing.compact_vector_index(spark, assume_quiesced=True, lease=lease)
+        ing.compact_curated(spark, assume_quiesced=True, lease=lease)
+    # another batch after maintenance still appends copy-free
+    ing.process_batch(mk(60, 10), batch_id=2)
+    assert ing.curated(spark).count() == 70
+    assert ing.search(spark, "doc w5x3", k=3).count() >= 1
+    for tbl in (ing._store_table_name(), ing._text_band_table_name()):
+        if tbl:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
