@@ -120,6 +120,11 @@ def cmd_curate_maintain(args) -> int:
         host_rank_iterations=args.host_rank_iterations,
         media_max_band_freq=args.media_max_band_freq,
         text_max_band_freq=args.text_max_band_freq,
+        # the CLI takes the lease below and threads it through every
+        # job, so strictness costs nothing here and catches any future
+        # lease-less call path loudly (r14 verdict item 6); the
+        # programmatic default stays warn-only for ad-hoc notebook use
+        strict_lease=True,
         **law_kwargs,
     )
     # the single-maintainer lease: a second curate-maintain (or a

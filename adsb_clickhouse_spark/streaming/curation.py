@@ -367,6 +367,11 @@ class CurationIngest:
         host_min_rank_pct: float | None = None,
         ingest_stats: bool = True,
         parallel_appends: bool = True,
+        # lease discipline for the maintenance jobs: False warns on a
+        # lease-less maintain against a leased store (ad-hoc /
+        # notebook-friendly); True raises. The curate-maintain CLI runs
+        # under True — it holds the lease anyway, so strictness is free
+        # there (r14 verdict item 6).
         strict_lease: bool = False,
     ):
         # the commit-metadata seam (plans/storeio.py): resolves the
