@@ -13,6 +13,18 @@ prune projection-only work — the round-1 advisor flagged exactly that).
 against the LATEST recorded BENCH_r*.json for the queries that existed
 then (negative = faster now).
 
+BENCH EPOCH — r14 and later only (r14 verdict item 3): round 14
+switched the estimator from back-to-back warm-cache runs to three
+INTERLEAVED passes minutes apart, so each row's median now samples
+cold-cache states. Totals and per-row numbers from BENCH_r01..r13 are
+NOT comparable to r14+; `delta_vs_r13` inside BENCH_r14.json overstates
+for exactly this reason. From r15 on, deltas are apples-to-apples
+again, on two axes: `delta_vs_r{N}` (median vs median) and
+`delta_min_vs_r{N}` (per-row minimum vs minimum, read from the
+round-stamped BENCH_DELTA_r{N}.json snapshot) — a row whose median
+moved but whose min did not is cache/sandbox weather, not a
+regression.
+
 Drift adjudication (r11, anchor fixed r12, py axis added r13): the
 environment canary is re-run every 10 registry rows; BENCH_DELTA.json
 records the track, each row's min/max run spread, and canary-normalized
@@ -345,6 +357,29 @@ def main() -> None:
         except (OSError, ValueError, AttributeError):
             pass
 
+    # second delta axis (r14 verdict item 3): per-row MINIMA vs the
+    # prior round's minima, from the round-stamped BENCH_DELTA_r{N}.json
+    # snapshot. The min is the classic one-sided-noise estimator — a
+    # row whose median moved but whose min didn't is weather, not a
+    # regression — so r15+ verdicts need no cold-cache adjudication.
+    delta_min: dict[str, float] = {}
+    delta_min_key = "delta_min_vs_prev"
+    if delta_key.startswith("delta_vs_r"):
+        snap = os.path.join(
+            here, f"BENCH_DELTA_{delta_key.removeprefix('delta_vs_')}.json"
+        )
+        try:
+            with open(snap) as fh:
+                prev_min = json.load(fh).get("queries_min", {})
+            delta_min = {
+                n: round(min_timings[n] - prev_min[n], 3)
+                for n in min_timings
+                if n in prev_min
+            }
+            delta_min_key = delta_key.replace("delta_vs", "delta_min_vs")
+        except (OSError, ValueError, TypeError, KeyError):
+            pass
+
     # streaming-funnel plan fingerprints (r12 verdict item 3): the
     # CurationIngest per-stage plans — where the last three rounds'
     # real bugs lived — join the registry rows in PLANS_r{N}.json under
@@ -413,6 +448,9 @@ def main() -> None:
         "headline_20_total": headline_total,
         "dashboard_max_sec": dashboard_max,
         delta_key.replace("delta_vs", "delta_total_vs"): round(sum(delta.values()), 2),
+        delta_min_key.replace("delta_min_vs", "delta_min_total_vs"): round(
+            sum(delta_min.values()), 2
+        ),
         "ingest_rows_per_sec": ingest_rate,
         "ingest_rows": n_rows,
         "env_canary_sec": env_canary,
@@ -442,6 +480,7 @@ def main() -> None:
                 "canary_track": canary_track,
                 "branches": branch_timings,
                 delta_key: delta,
+                delta_min_key: delta_min,
                 "total": total,
                 "dashboard_max_sec": dashboard_max,
                 "dashboard_rows": dash_rows,
@@ -453,6 +492,15 @@ def main() -> None:
             fh,
             indent=1,
         )
+    # round-stamped snapshot (r14 verdict item 3): BENCH_DELTA.json is
+    # overwritten by every run, so the NEXT round's min-axis delta needs
+    # this copy to find THIS round's per-row minima
+    import shutil as _shutil
+
+    _shutil.copyfile(
+        os.path.join(here, "BENCH_DELTA.json"),
+        os.path.join(here, f"BENCH_DELTA_r{cur_round}.json"),
+    )
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1950:  # never hand the driver an unparseable line again
         # branch detail lives in BENCH_DELTA.json; drop it first, then
