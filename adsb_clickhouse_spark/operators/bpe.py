@@ -51,6 +51,65 @@ from ..functions.texttools import tokens
 EOW = "_"
 _CHECKPOINT_EVERY = 8
 
+# bpe_learn collects the (word, freq) table to the driver below this
+# vocabulary size and learns the merges in pure Python — identical
+# output (same greedy argmax + tie-break; parity pinned in
+# tests/test_bpe.py), zero per-merge Spark jobs. Mirrors
+# dedup.connected_components' driver_threshold pattern.
+DRIVER_VOCAB_THRESHOLD = 100_000
+
+
+def _symbols_py(word: str) -> tuple[str, ...]:
+    """Pure-Python twin of :func:`_symbols_col` (same EOW law)."""
+    chars = list(word)
+    if not chars:
+        return (EOW,)
+    chars[-1] = chars[-1] + EOW
+    return tuple(chars)
+
+
+def _apply_merge_py(
+    syms: tuple[str, ...], a: str, b: str
+) -> tuple[str, ...]:
+    """Pure-Python twin of :func:`_apply_merge` — the same greedy
+    leftmost non-re-merging scan."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return tuple(out)
+
+
+def bpe_learn_py(
+    word_freqs: dict[str, int],
+    *,
+    n_merges: int,
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn BPE merges from a word-frequency dict in pure Python —
+    the bounded-vocabulary twin of the distributed loop in
+    :func:`bpe_learn`: identical pair counting (per distinct word ×
+    freq), identical argmax (count desc, pair asc), identical stop
+    conditions."""
+    vocab = [(_symbols_py(w), int(f)) for w, f in word_freqs.items()]
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_freq:
+            break
+        merges.append((a, b))
+        vocab = [(_apply_merge_py(s, a, b), f) for s, f in vocab]
+    return merges
+
 
 def word_counts(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """(word, freq): the one corpus-sized aggregation. Map-side partial
@@ -99,6 +158,7 @@ def bpe_learn(
     n_merges: int = 100,
     text_col: str = "text",
     min_pair_freq: int = 2,
+    driver_vocab_threshold: int = DRIVER_VOCAB_THRESHOLD,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules over a corpus. Returns the
     ordered merge list [(a, b), ...]; stops early when no pair reaches
@@ -106,48 +166,53 @@ def bpe_learn(
     two runs over the same corpus give identical vocabularies.
 
     Driver-side state is one (pair, count) row per iteration plus the
-    merge list — never corpus- or vocab-sized."""
-    vocab = (
-        word_counts(docs, text_col=text_col)
-        .select(_symbols_col(F.col("word")).alias("syms"), "freq")
-        .persist()
-    )
-    n_vocab = vocab.count()
+    merge list — never corpus- or vocab-sized... except on the
+    size-adaptive fast path: at or below ``driver_vocab_threshold``
+    distinct words the (word, freq) table — already materialized for
+    the size check — is collected and the merges learned by
+    :func:`bpe_learn_py`, identical output for 2 Spark jobs instead of
+    2 + ~2·n_merges. The corpus-sized tokenize+count pass is paid
+    either way; only the vocab-sized iteration moves to the driver."""
+    wc = word_counts(docs, text_col=text_col).localCheckpoint(eager=True)
+    n_vocab = wc.count()
+    if n_vocab <= int(driver_vocab_threshold):
+        word_freqs = {r["word"]: r["freq"] for r in wc.collect()}
+        return bpe_learn_py(
+            word_freqs, n_merges=n_merges, min_pair_freq=min_pair_freq
+        )
+    vocab = wc.select(_symbols_col(F.col("word")).alias("syms"), "freq")
     # iteration partitioning tracks VOCAB size, not corpus size: a 100 TB
     # corpus with a 10M-word vocabulary wants ~50 partitions per merge
     # job, and the local small-vocab case collapses to 1 instead of
     # paying 32 near-empty tasks × n_merges of scheduling overhead
     parts = max(1, min(1024, n_vocab // 200_000 + 1))
     merges: list[tuple[str, str]] = []
-    try:
-        cur = vocab.coalesce(parts)
-        for i in range(int(n_merges)):
-            pairs = (
-                cur.filter(F.size("syms") >= 2)
-                .select(
-                    F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("p"),
-                    "syms",
-                    "freq",
-                )
-                .select(
-                    F.element_at("syms", F.col("p")).alias("a"),
-                    F.element_at("syms", F.col("p") + 1).alias("b"),
-                    "freq",
-                )
-                .groupBy("a", "b")
-                .agg(F.sum("freq").alias("c"))
+    cur = vocab.coalesce(parts)
+    for i in range(int(n_merges)):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("p"),
+                "syms",
+                "freq",
             )
-            top = pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).limit(1).collect()
-            if not top or top[0]["c"] < min_pair_freq:
-                break
-            a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
-            nxt = cur.select(_apply_merge(F.col("syms"), a, b).alias("syms"), "freq")
-            if (i + 1) % _CHECKPOINT_EVERY == 0:
-                nxt = nxt.localCheckpoint(eager=True)
-            cur = nxt
-    finally:
-        vocab.unpersist()
+            .select(
+                F.element_at("syms", F.col("p")).alias("a"),
+                F.element_at("syms", F.col("p") + 1).alias("b"),
+                "freq",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top or top[0]["c"] < min_pair_freq:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        nxt = cur.select(_apply_merge(F.col("syms"), a, b).alias("syms"), "freq")
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        cur = nxt
     return merges
 
 

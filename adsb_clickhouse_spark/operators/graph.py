@@ -64,6 +64,7 @@ def pagerank(
     checkpoint: bool = True,
     seeds: list | None = None,
     weight_col: str | None = None,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over ``edges``: returns (``node``,
     ``rank_fp``) where ``rank_fp`` is the rank in integer
@@ -115,7 +116,15 @@ def pagerank(
         scale=scale,
         checkpoint=checkpoint,
         weight_col=weight_col,
+        **(
+            {"driver_threshold": driver_threshold}
+            if driver_threshold is not None
+            else {}
+        ),
     )
+
+
+DRIVER_EDGE_THRESHOLD = 100_000
 
 
 def pagerank_multi(
@@ -128,6 +137,7 @@ def pagerank_multi(
     scale: int = PAGERANK_SCALE,
     checkpoint: bool = True,
     weight_col: str | None = None,
+    driver_threshold: int = DRIVER_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Run SEVERAL teleport distributions through ONE rank propagation:
     ``teleports`` maps an output column name to its seed list (None =
@@ -148,6 +158,21 @@ def pagerank_multi(
     Weights must lie in [1, ``MAX_EDGE_WEIGHT``] — validated with one
     bounded aggregate — because 17 · scale · w must stay inside int64
     for the exact integer law to hold.
+
+    Size-adaptive, mirroring dedup.connected_components: the edge table
+    is materialized ONCE (``localCheckpoint``) and counted; at or below
+    ``driver_threshold`` edges the ranks come from the pure-Python
+    integer twin :func:`pagerank_py` on the collected edge list — the
+    SAME integer law, bit-identical output (pinned by
+    tests/test_graph.py), for 3 bounded Spark jobs instead of
+    ~4 + 2·T·k. Host graphs are node/edge-bounded dimension data (the
+    web host graph is ~10⁸ hosts — far above the cap — but per-batch
+    and per-tenant graphs routinely aren't), so the driver path is the
+    common case for small graphs and the distributed iteration engages
+    automatically past the cap. The up-front checkpoint also serves the
+    distributed path: nodes/outdeg/eo previously re-evaluated the
+    caller's edge plan three times; now each derives from the
+    materialized blocks.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -173,9 +198,14 @@ def pagerank_multi(
     wcols = (
         [F.col(weight_col).cast("long").alias("_w")] if weight_col else []
     )
+    # materialize the edge table once: the count decides driver-vs-
+    # distributed, the weight validation reads the same blocks, and the
+    # distributed path's three derived tables (nodes/outdeg/eo) no
+    # longer re-evaluate the caller's edge plan each
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), *wcols
-    )
+    ).localCheckpoint(eager=True)
+    n_edges = e.count()
     if weight_col:
         lim = e.agg(
             F.min("_w").alias("lo"),
@@ -200,6 +230,53 @@ def pagerank_multi(
                 f"[{lim['lo']}, {lim['hi']}] — the int64 overflow bound "
                 "of the exact integer law"
             )
+    if n_edges <= int(driver_threshold):
+        # bounded-graph fast path: the labels come from the pure-Python
+        # integer twin on the collected edge list — identical output
+        # (same integer law; parity pinned in tests/test_graph.py),
+        # zero iteration jobs
+        rows = e.collect()
+        tri = (
+            [(r["src"], r["dst"], r["_w"]) for r in rows]
+            if weight_col
+            else [(r["src"], r["dst"]) for r in rows]
+        )
+        node_set = {t[0] for t in tri} | {t[1] for t in tri}
+        for name in names:
+            sl = seed_lists[name]
+            if sl is not None:
+                n_missing = sum(1 for s in sl if s not in node_set)
+                if n_missing:
+                    raise ValueError(
+                        f"{n_missing} seed(s) for {name!r} are "
+                        "not nodes of the graph"
+                    )
+        per_name = {
+            name: pagerank_py(
+                tri,
+                iterations=int(iterations),
+                scale=scale,
+                seeds=seed_lists[name],
+            )
+            for name in names
+        }
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        # node type = the union-coerced src/dst type (plan-time only)
+        node_field = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .schema["node"]
+        )
+        out_schema = StructType(
+            [node_field] + [StructField(name, LongType()) for name in names]
+        )
+        data = [
+            tuple([nd] + [per_name[name].get(nd, 0) for name in names])
+            for nd in sorted(node_set)
+        ]
+        return edges.sparkSession.createDataFrame(data, out_schema)
+
     # loop-invariant tables are pinned ONCE regardless of `checkpoint`
     # (which governs only the per-round rank lineage): without this, the
     # dangling-mass branch re-derives outdeg — and through it the

@@ -117,6 +117,17 @@ def test_bpe_segment_corpus_counts(spark):
     assert "BroadcastHashJoin" in plan and "EvalPython" not in plan
 
 
+def test_bpe_driver_and_distributed_paths_agree(spark):
+    """r15 size-adaptive split: the collected-vocab pure-Python learner
+    (default below DRIVER_VOCAB_THRESHOLD) and the distributed merge
+    loop (forced via driver_vocab_threshold=0) must produce the same
+    merge list — and both must match the reference implementation."""
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    drv = bpe_learn(docs, n_merges=10)
+    dist = bpe_learn(docs, n_merges=10, driver_vocab_threshold=0)
+    assert drv == dist == _ref_bpe(_word_freqs(CORPUS), 10)
+
+
 def test_bpe_early_stop_on_tiny_corpus(spark):
     docs = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
     merges = bpe_learn(docs, n_merges=50)

@@ -73,12 +73,58 @@ def test_pagerank_rejects_zero_iterations(spark):
 def test_pagerank_per_iteration_exchange_is_rank_sized(spark):
     """Plan contract: with checkpointing off, the edge-side scan feeds
     the per-iteration join through its pinned repartition("src") —
-    ranks move, edges don't re-shuffle per round."""
+    ranks move, edges don't re-shuffle per round. driver_threshold=0
+    forces the DISTRIBUTED path (r15: small graphs take the driver
+    twin by default)."""
     df = spark.createDataFrame(
         [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string"
     )
-    plan = pagerank(df, iterations=2, checkpoint=False)._jdf.queryExecution().executedPlan().toString()
+    plan = pagerank(
+        df, iterations=2, checkpoint=False, driver_threshold=0
+    )._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """r15 size-adaptive split: the driver twin (default for small
+    graphs) and the distributed iteration (forced via
+    driver_threshold=0) must be bit-identical — unweighted, seeded,
+    and weighted modes, all also equal to pagerank_py."""
+    from adsb_clickhouse_spark.operators.graph import pagerank_multi
+
+    edges = [
+        ("seed", "a"), ("a", "b"), ("b", "seed"), ("a", "sink"),
+        ("x", "y"), ("y", "x"), ("b", "x"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    kwargs = dict(teleports={"pr": None, "tr": ["seed"]}, iterations=4)
+    drv = {
+        r["node"]: (r["pr"], r["tr"])
+        for r in pagerank_multi(df, **kwargs).collect()
+    }
+    dist = {
+        r["node"]: (r["pr"], r["tr"])
+        for r in pagerank_multi(df, driver_threshold=0, **kwargs).collect()
+    }
+    assert drv == dist
+    assert {k: v[0] for k, v in drv.items()} == pagerank_py(edges, iterations=4)
+    assert {k: v[1] for k, v in drv.items()} == pagerank_py(
+        edges, iterations=4, seeds=["seed"]
+    )
+
+    wedges = [("a", "b", 3), ("b", "a", 2), ("a", "c", 1), ("c", "b", 5)]
+    wdf = spark.createDataFrame(wedges, "src string, dst string, w long")
+    got_drv = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(wdf, iterations=3, weight_col="w").collect()
+    }
+    got_dist = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(
+            wdf, iterations=3, weight_col="w", driver_threshold=0
+        ).collect()
+    }
+    assert got_drv == got_dist == pagerank_py(wedges, iterations=3)
 
 
 # ---------------------------------------------------------------- trustrank
