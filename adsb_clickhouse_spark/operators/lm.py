@@ -216,14 +216,20 @@ def lm_perplexity_filter(
     smoothing: float = 1.0,
 ) -> DataFrame:
     """(doc_id, n_bigrams, ce, bucket): the full CCNet perplexity
-    split — score under the reference LM, then tercile-bucket."""
-    return perplexity_buckets(
-        lm_cross_entropy(
-            raw,
-            ref,
-            text_col=text_col,
-            id_col=id_col,
-            n_buckets=n_buckets,
-            smoothing=smoothing,
-        )
-    )
+    split — score under the reference LM, then tercile-bucket.
+
+    The scored frame is materialized ONCE (lazy localCheckpoint): the
+    threshold pass collects its ce histogram and the caller's result
+    reads it again — without the pin the whole scoring pipeline
+    (corpus bigram projection + LM broadcast joins + doc-keyed sum)
+    ran twice (r15; the frame is doc-sized — one row per document —
+    strictly smaller than re-running the corpus-sized scoring)."""
+    scored = lm_cross_entropy(
+        raw,
+        ref,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        smoothing=smoothing,
+    ).localCheckpoint(eager=False)
+    return perplexity_buckets(scored)

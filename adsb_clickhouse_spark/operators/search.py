@@ -81,6 +81,21 @@ def _query_terms(query: str) -> list[str]:
     return list(seen)
 
 
+def tokenize_docs(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, toks): the corpus token law applied once. Callers that
+    run SEVERAL retrieval operators over the same corpus (the
+    search_retrieval union row) compute this once, ``localCheckpoint``
+    it, and pass it via each operator's ``tokenized=`` parameter — the
+    tokenize projection is the dominant per-branch cost and is
+    byte-identical across branches, so sharing it changes no result
+    (r15 optimization: 4 branches re-tokenized the corpus 6×)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+
+
 def doc_term_freqs(
     docs: DataFrame,
     *,
@@ -89,6 +104,7 @@ def doc_term_freqs(
     terms: list[str] | None = None,
     with_positions: bool = False,
     stats_obs=None,
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, term, tf, dl[, positions]): term frequencies per
     document, with the document token length denormalized onto every
@@ -104,10 +120,18 @@ def doc_term_freqs(
     yields its stats row for free (r12 verdict floor item: the old
     per-append stats job RE-READ the just-written postings). Placed
     before the explode because ``observe`` forbids distinct aggregates
-    and post-explode rows repeat ``dl`` per term."""
-    d = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
-    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    and post-explode rows repeat ``dl`` per term.
+
+    ``tokenized`` (from :func:`tokenize_docs`) skips the tokenize
+    projection — same law, shared subtree."""
+    base = (
+        tokenized
+        if tokenized is not None
+        else docs.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+        )
+    )
+    d = base.select("doc_id", "toks", F.size("toks").alias("dl"))
     d = d.filter(F.col("dl") > 0)
     if stats_obs is not None:
         d = d.observe(
@@ -136,34 +160,43 @@ def _bm25_score_col(k1: float, b: float):
     )
 
 
-def bm25_search(
+def bm25_scores(
     docs: DataFrame,
     query: str,
     *,
-    k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-``k`` documents for ``query`` by BM25: (doc_id,
-    n_terms_matched, score), ordered by (score desc, doc_id).
+    """The FULL BM25 candidate scoring for ``query`` — (doc_id,
+    n_terms_matched, score), unordered and unlimited. Callers that need
+    several top-k cuts of the same (corpus, query) pair (the bm25 and
+    hybrid branches of search_retrieval) compute this once and apply
+    their own ``orderBy().limit()`` — identical rows by construction.
 
     Plan: corpus stats (N, avgdl) are one aggregation broadcast as a
     single row; df per query term aggregates over the TERM-FILTERED
     posting rows (query-bounded); scoring joins those rows against the
-    broadcast idf table and reduces per doc; the top-k is a distributed
-    TakeOrderedAndProject."""
+    broadcast idf table and reduces per doc."""
     terms = _query_terms(query)
     if not terms:
         raise ValueError("query has no tokens under the corpus token law")
-    d = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
-    ).select("doc_id", F.size("toks").alias("dl"))
+    base = (
+        tokenized
+        if tokenized is not None
+        else docs.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+        )
+    )
+    d = base.select("doc_id", F.size("toks").alias("dl"))
     stats = d.filter(F.col("dl") > 0).agg(
         F.count("*").alias("N"), (F.sum("dl") / F.count("*")).alias("avgdl")
     )
-    tfs = doc_term_freqs(docs, text_col=text_col, id_col=id_col, terms=terms)
+    tfs = doc_term_freqs(
+        docs, text_col=text_col, id_col=id_col, terms=terms, tokenized=tokenized
+    )
     df_tab = tfs.groupBy("term").agg(F.count("*").alias("df"))
     idf = df_tab.crossJoin(F.broadcast(stats)).select(
         "term",
@@ -180,9 +213,37 @@ def bm25_search(
             F.count("*").alias("n_terms_matched"),
             F.round(F.sum(_bm25_score_col(k1, b)), 4).alias("score"),
         )
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(int(k))
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    *,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    tokenized: DataFrame | None = None,
+    scored: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` documents for ``query`` by BM25: (doc_id,
+    n_terms_matched, score), ordered by (score desc, doc_id). The
+    scoring is :func:`bm25_scores`; the top-k is a distributed
+    TakeOrderedAndProject. ``scored`` reuses a precomputed
+    :func:`bm25_scores` frame (shared-subtree path)."""
+    if scored is None:
+        scored = bm25_scores(
+            docs,
+            query,
+            text_col=text_col,
+            id_col=id_col,
+            k1=k1,
+            b=b,
+            tokenized=tokenized,
+        )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
 
 
 # ---------------------------------------------------------------- stored index
@@ -742,6 +803,8 @@ def hybrid_search_rrf(
     ka: int = 20,
     k: int = 10,
     c: int = 60,
+    tokenized: DataFrame | None = None,
+    bm25_scored: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid keyword+vector retrieval: BM25 top-``kb`` for
     ``text_query`` fused with exact cosine top-``ka`` neighbors of
@@ -757,7 +820,9 @@ def hybrid_search_rrf(
 
     from .similarity import knn_bruteforce
 
-    b = bm25_search(docs, text_query, k=kb)
+    b = bm25_search(
+        docs, text_query, k=kb, tokenized=tokenized, scored=bm25_scored
+    )
     # rank over the ≤kb-row shortlist (bounded window by construction);
     # the constant pmod partition key declares the intended single
     # partition so WindowExec doesn't warn about it in driver logs
@@ -782,6 +847,7 @@ def phrase_search(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-phrase match: (doc_id, n_matches) for documents containing
     the token sequence of ``phrase``, ordered by (matches desc, doc_id),
@@ -804,9 +870,15 @@ def phrase_search(
     ph = spark.createDataFrame(
         [(i, t) for i, t in enumerate(terms)], "i int, term string"
     )
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    tok = (
+        tokenized.select(
+            "doc_id", F.posexplode("toks").alias("pos", "term")
+        )
+        if tokenized is not None
+        else docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+        )
     )
     return (
         tok.join(F.broadcast(ph), "term")
@@ -1033,6 +1105,7 @@ def retrieval_eval(
     id_col: str = "doc_id",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Retrieval quality metrics per query — (``query_id``, ``n_rel``,
     ``recall_at_k``, ``mrr``, ``ndcg``) — for a QUERY SET ranked by the
@@ -1083,13 +1156,24 @@ def retrieval_eval(
     qt = spark.createDataFrame(qt_rows, "query_id string, term string")
     all_terms = sorted({t for _, t in qt_rows})
 
-    d = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
-    ).select("doc_id", F.size("toks").alias("dl"))
+    base = (
+        tokenized
+        if tokenized is not None
+        else docs.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+        )
+    )
+    d = base.select("doc_id", F.size("toks").alias("dl"))
     stats = d.filter(F.col("dl") > 0).agg(
         F.count("*").alias("N"), (F.sum("dl") / F.count("*")).alias("avgdl")
     )
-    tfs = doc_term_freqs(docs, text_col=text_col, id_col=id_col, terms=all_terms)
+    tfs = doc_term_freqs(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        terms=all_terms,
+        tokenized=tokenized,
+    )
     idf = (
         tfs.groupBy("term")
         .agg(F.count("*").alias("df"))

@@ -112,9 +112,14 @@ def dsir_importance_weights(
     )
     cr = gr.groupBy("bucket").agg(F.count("*").alias("cr"))
     ct = gt.groupBy("bucket").agg(F.count("*").alias("ct"))
+    # R and T are EXACTLY the sums of the bucket counts — deriving them
+    # from cr/ct removes two full gram passes over the corpora (r15;
+    # was gr.count() + gt.count(), each re-running tokenize + explode +
+    # hash). coalesce: an empty corpus has no bucket rows, sum → NULL,
+    # where count() returned 0.
     totals = (
-        gr.agg(F.count("*").alias("R"))
-        .crossJoin(gt.agg(F.count("*").alias("T")))
+        cr.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("R"))
+        .crossJoin(ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("T")))
     )
     # association order mirrors the DuckDB oracle text EXACTLY
     lr = (

@@ -624,6 +624,21 @@ def ivf_build(
     return assignments, cent
 
 
+def collect_query_rows(
+    queries: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """Collect the probe-query rows once — (query_id, qv) Rows, the
+    exact frame every ANN probe collects internally. Callers probing
+    several indexes with the SAME query set (the sim_ann_lsh union row)
+    pass the result via each probe's ``qrows=`` so the bench path runs
+    one collect job instead of one per probe (r15; queries are
+    probe-sized by contract, so this is always a bounded collect)."""
+    return queries.select(
+        _id_as_long(queries, id_col, "query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).collect()
+
+
 def ivf_search(
     corpus: DataFrame,
     assignments: DataFrame,
@@ -634,6 +649,7 @@ def ivf_search(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    qrows=None,
 ) -> DataFrame:
     """IVF probe: each query scores only the nprobe nearest inverted
     lists, exactly like the LSH probe but with learned (k-means) cells —
@@ -650,9 +666,8 @@ def ivf_search(
 
     spark = corpus.sparkSession
     cent = np.asarray(centroids, dtype=np.float64)
-    qrows = queries.select(
-        _id_as_long(queries, id_col, "query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).collect()
+    if qrows is None:
+        qrows = collect_query_rows(queries, id_col=id_col, vec_col=vec_col)
     probe_rows = []
     for r in qrows:
         qv = np.asarray(r["qv"], dtype=np.float64)
@@ -915,6 +930,7 @@ def pq_search(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    qrows=None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) probe over PQ codes: each query
     precomputes one (m × ksub) lookup table of subspace dot products
@@ -937,9 +953,8 @@ def pq_search(
     cent = np.asarray(centroids, dtype=np.float64)
     m, ksub, dsub = cent.shape
 
-    qrows = queries.select(
-        _id_as_long(queries, id_col, "query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).collect()
+    if qrows is None:
+        qrows = collect_query_rows(queries, id_col=id_col, vec_col=vec_col)
     lookups, qnorms = _adc_lookup_rows(cent, qrows, m, ksub, dsub)
     # the j=0 lookup fans the corpus out per query (every query scores
     # every code row); j>0 lookups then pin to that query
@@ -1107,6 +1122,7 @@ def ivfpq_search(
     rerank: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    qrows=None,
 ) -> DataFrame:
     """IVF-ADC probe over the composed index from :func:`ivfpq_build`:
     each query selects its nprobe nearest inverted lists (candidate
@@ -1132,9 +1148,8 @@ def ivfpq_search(
             "ivfpq_search(rerank>0) needs raw vectors in the index — "
             "build with ivfpq_build(keep_vectors=True)"
         )
-    qrows = queries.select(
-        _id_as_long(queries, id_col, "query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).collect()
+    if qrows is None:
+        qrows = collect_query_rows(queries, id_col=id_col, vec_col=vec_col)
     probe_rows, lookups, qnorms, m = _ivfpq_query_state(
         coarse, pq_cents, qrows, nprobe=nprobe
     )

@@ -242,14 +242,26 @@ def _duck_retrieval_sql() -> str:
 )
 def search_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import (
+        bm25_scores,
         bm25_search,
         hybrid_search_rrf,
         phrase_search,
         retrieval_eval,
+        tokenize_docs,
     )
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
+    # r15 (guide §2.4): all four branches run the SAME corpus tokenize
+    # projection — compute it once and share it (lazy localCheckpoint:
+    # materialized by the first branch, reused by the rest); likewise
+    # the bm25 branch and the hybrid leg score the SAME (corpus, query)
+    # pair — one bm25_scores frame feeds both top-k cuts. Identical
+    # rows by construction (same expressions over the same subtree).
+    tok = tokenize_docs(d).localCheckpoint(eager=False)
+    scored = bm25_scores(d, _BM25_QUERY, tokenized=tok).localCheckpoint(
+        eager=False
+    )
     nul_l = F.lit(None).cast("long")
     nul_d = F.lit(None).cast("double")
     nul_s = F.lit(None).cast("string")
@@ -260,7 +272,7 @@ def search_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_d.alias("mrr"),
         nul_d.alias("ndcg"),
     ]
-    b = bm25_search(d, _BM25_QUERY, k=_BM25_K).select(
+    b = bm25_search(d, _BM25_QUERY, k=_BM25_K, scored=scored).select(
         F.lit("bm25").alias("branch"),
         "doc_id",
         "n_terms_matched",
@@ -272,7 +284,15 @@ def search_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         *eval_nulls,
     )
     h = hybrid_search_rrf(
-        d, e, _BM25_QUERY, _RRF_VEC, kb=_RRF_KB, ka=_RRF_KA, k=_RRF_K, c=_RRF_C
+        d,
+        e,
+        _BM25_QUERY,
+        _RRF_VEC,
+        kb=_RRF_KB,
+        ka=_RRF_KA,
+        k=_RRF_K,
+        c=_RRF_C,
+        bm25_scored=scored,
     ).select(
         F.lit("hybrid").alias("branch"),
         "doc_id",
@@ -284,7 +304,7 @@ def search_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_l.alias("n_matches"),
         *eval_nulls,
     )
-    p = phrase_search(d, _PHRASE, k=_PHRASE_K).select(
+    p = phrase_search(d, _PHRASE, k=_PHRASE_K, tokenized=tok).select(
         F.lit("phrase").alias("branch"),
         "doc_id",
         nul_l.alias("n_terms_matched"),
@@ -296,7 +316,12 @@ def search_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         *eval_nulls,
     )
     ev = retrieval_eval(
-        d, _EVAL_QUERIES, k=_EVAL_K, rel_threshold=_EVAL_THR, rel_cap=_EVAL_CAP
+        d,
+        _EVAL_QUERIES,
+        k=_EVAL_K,
+        rel_threshold=_EVAL_THR,
+        rel_cap=_EVAL_CAP,
+        tokenized=tok,
     ).select(
         F.lit("eval").alias("branch"),
         nul_l.alias("doc_id"),

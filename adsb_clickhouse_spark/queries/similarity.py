@@ -300,28 +300,41 @@ def _duck_ann_union_sql(
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
+    # r15: the 5 probe vectors are collected ONCE and shared by the
+    # ivf/pq/ivfpq probes (was one bounded collect job per probe); the
+    # assignment mapInPandas pass feeds the ivf branch AND the composed
+    # ivfpq index — materialized once via lazy localCheckpoint (was
+    # re-evaluated, Python workers included, per consumer). An eager
+    # thread-pooled build variant was A/B-measured SLOWER (concurrent
+    # mapInPandas passes storm Python worker startup; min 9.35 s vs
+    # 7.19 s lazy at sf0.1), so the checkpoints stay lazy.
+    qrows = S.collect_query_rows(q)
     # one stored index, probed two ways — hash the corpus once (the
     # bucketized corpus IS the stored table at scale; see hash_corpus)
     ch = S.hash_corpus(e).localCheckpoint(eager=False)
+    assignments, cents = S.ivf_build(e, n_lists=16, iters=0)
+    assignments = assignments.localCheckpoint(eager=False)
+    codes, pq_cents = S.pq_build(e, m=4, ksub=8, iters=0)
+    codes = codes.localCheckpoint(eager=False)
     lsh = S.ann_lsh(e, q, k=3, hashed_corpus=ch).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
     mp = S.ann_lsh(e, q, k=3, n_probes=9, hashed_corpus=ch).select(
         F.lit("mp").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
-    assignments, cents = S.ivf_build(e, n_lists=16, iters=0)
-    ivf = S.ivf_search(e, assignments, cents, q, k=3, nprobe=4).select(
+    ivf = S.ivf_search(e, assignments, cents, q, k=3, nprobe=4, qrows=qrows).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
-    codes, pq_cents = S.pq_build(e, m=4, ksub=8, iters=0)
-    # one encode pass feeds both the flat-PQ branch and the composed
-    # IVF-ADC branch (codes ⋈ list assignments = the stored index table)
-    codes = codes.localCheckpoint(eager=False)
-    pq = S.pq_search(codes, pq_cents, q, k=3).select(
+    # the one encode pass (codes) feeds both the flat-PQ branch and the
+    # composed IVF-ADC branch (codes ⋈ list assignments = the stored
+    # index table)
+    pq = S.pq_search(codes, pq_cents, q, k=3, qrows=qrows).select(
         F.lit("pq").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
     indexed = codes.join(assignments, "id")
-    ivfpq = S.ivfpq_search(indexed, cents, pq_cents, q, k=3, nprobe=4).select(
+    ivfpq = S.ivfpq_search(
+        indexed, cents, pq_cents, q, k=3, nprobe=4, qrows=qrows
+    ).select(
         F.lit("ivfpq").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
     return (
