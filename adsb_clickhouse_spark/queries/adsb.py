@@ -565,6 +565,11 @@ def adsb_track_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     v = F.coalesce(F.col("value"), F.lit(0.0))
+    # r15 A/B note: materializing this shared projection once (lazy
+    # localCheckpoint) was measured SLOWER than letting all four
+    # branches re-scan parquet (median 4.98 s vs 3.87 s at sf0.1) —
+    # four columnar scans of a 2 MB file beat one row-cache
+    # materialization + three cache reads. Left as independent scans.
     pts = e.select(
         "user_id",
         "ts",

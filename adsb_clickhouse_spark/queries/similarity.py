@@ -309,17 +309,21 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas passes storm Python worker startup; min 9.35 s vs
     # 7.19 s lazy at sf0.1), so the checkpoints stay lazy.
     qrows = S.collect_query_rows(q)
+    # vector width comes free from the collected probe rows — passing it
+    # down saves the one-row _infer_dim job each of hash_corpus and the
+    # two ann_lsh probes would otherwise run at plan-build (r15)
+    dim = len(qrows[0]["qv"]) if qrows else None
     # one stored index, probed two ways — hash the corpus once (the
     # bucketized corpus IS the stored table at scale; see hash_corpus)
-    ch = S.hash_corpus(e).localCheckpoint(eager=False)
+    ch = S.hash_corpus(e, dim=dim).localCheckpoint(eager=False)
     assignments, cents = S.ivf_build(e, n_lists=16, iters=0)
     assignments = assignments.localCheckpoint(eager=False)
     codes, pq_cents = S.pq_build(e, m=4, ksub=8, iters=0)
     codes = codes.localCheckpoint(eager=False)
-    lsh = S.ann_lsh(e, q, k=3, hashed_corpus=ch).select(
+    lsh = S.ann_lsh(e, q, k=3, dim=dim, hashed_corpus=ch).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
-    mp = S.ann_lsh(e, q, k=3, n_probes=9, hashed_corpus=ch).select(
+    mp = S.ann_lsh(e, q, k=3, n_probes=9, dim=dim, hashed_corpus=ch).select(
         F.lit("mp").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
     ivf = S.ivf_search(e, assignments, cents, q, k=3, nprobe=4, qrows=qrows).select(

@@ -428,10 +428,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("src"),
         (salted_md5_long(fp, _PR_EDGE_SALT) % _PR_DST_MOD).cast("string"),
     )
+    # r15: the edge derivation (corpus scan + md5 + distinct shuffle) is
+    # consumed twice — the seeds collect below and pagerank_multi — so
+    # it is materialized once; host-graph edges are node-bounded (≤
+    # |sources| × _PR_DST_MOD distinct pairs), a bounded checkpoint at
+    # any corpus size.
     edges = (
         d.select(F.col("source").alias("src"), dst.alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
     )
     def _rank_branch(tag: str, ranks: DataFrame) -> DataFrame:
         return ranks.select(

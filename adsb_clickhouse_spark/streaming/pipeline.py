@@ -143,27 +143,56 @@ class IngestPipeline:
         # multiple sinks consume the cleansed batch — materialize it once
         clean.persist()
         try:
-            # MV 1: history append (schema-local.sql:199-293 → 183-187);
-            # batch-keyed → replay overwrites instead of duplicating
-            tables.append_history(
-                clean, self.history_path, batch_id=self._scoped_batch(batch_id)
-            )
-            # MV 2: current-state upsert (schema-local.sql:384-446 → 370-372)
-            tables.upsert_state(
-                clean,
-                self.state_path,
-                ttl=self.cfg.state_ttl,
-                now=self.now,
-            )
-            # MV 3: combined projection upsert (schema-global-combined.sql:42-108)
+            # The three MVs are mutually independent — different target
+            # paths, separate writer locks, each replay-convergent on
+            # its own — so their jobs OVERLAP from a small thread pool
+            # (guide §2.6): each sink's tail leaves executors idle that
+            # the next sink's tasks back-fill; serial execution paid
+            # three full job latencies per micro-batch. Crash semantics
+            # are unchanged: any sink failing fails the batch, and a
+            # foreachBatch redelivery converges per sink exactly as
+            # before (batch-keyed history segment, idempotent upserts).
+            # Calls go through the module attribute so test
+            # crash-injection monkeypatching still intercepts them.
+            from concurrent.futures import ThreadPoolExecutor
+
             now_col = F.lit(self.now).cast("timestamp") if self.now else None
             combined = to_combined(clean, now=now_col)
-            tables.upsert_state(
-                combined,
-                self.combined_path,
-                ttl="1 hour",
-                now=self.now,
-            )
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                sinks = [
+                    # MV 1: history append (schema-local.sql:199-293 →
+                    # 183-187); batch-keyed → replay overwrites instead
+                    # of duplicating
+                    pool.submit(
+                        tables.append_history,
+                        clean,
+                        self.history_path,
+                        batch_id=self._scoped_batch(batch_id),
+                    ),
+                    # MV 2: current-state upsert (schema-local.sql:384-446
+                    # → 370-372)
+                    pool.submit(
+                        tables.upsert_state,
+                        clean,
+                        self.state_path,
+                        ttl=self.cfg.state_ttl,
+                        now=self.now,
+                    ),
+                    # MV 3: combined projection upsert
+                    # (schema-global-combined.sql:42-108)
+                    pool.submit(
+                        tables.upsert_state,
+                        combined,
+                        self.combined_path,
+                        ttl="1 hour",
+                        now=self.now,
+                    ),
+                ]
+                # surface the FIRST failure (after letting all finish —
+                # the pool's __exit__ joins anyway) so a crashed sink
+                # fails the batch exactly like the serial cascade did
+                for f in sinks:
+                    f.result()
             # derived live view: conflicts among CURRENT positions. Runs
             # after the state upsert so the batch's own reports are in
             # play; cost is bounded by the active-aircraft count (the
