@@ -1297,3 +1297,31 @@ def test_hembed_ngram_one_is_the_frozen_unigram_law(spark):
     assert d == e
     with pytest.raises(ValueError, match="ngram"):
         S.hashed_text_embeddings(docs, dim=16, ngram=(2, 3)).collect()
+
+
+def test_precollected_qrows_paths_agree(spark, vectors):
+    """r15 optimization contract: ivf/pq/ivfpq probes taking a
+    precollected ``qrows=`` (collect_query_rows) must return exactly
+    the rows of their self-collecting form."""
+    q = vectors.filter(F.col("vec_id") < 3)
+    qrows = S.collect_query_rows(q)
+
+    assignments, cents = S.ivf_build(vectors, n_lists=4, iters=0)
+    a = sorted(map(tuple, S.ivf_search(
+        vectors, assignments, cents, q, k=3, nprobe=2).collect()))
+    b = sorted(map(tuple, S.ivf_search(
+        vectors, assignments, cents, q, k=3, nprobe=2, qrows=qrows).collect()))
+    assert a == b and a
+
+    codes, pq_cents = S.pq_build(vectors, m=4, ksub=4, iters=0)
+    codes = codes.localCheckpoint(eager=True)
+    a = sorted(map(tuple, S.pq_search(codes, pq_cents, q, k=3).collect()))
+    b = sorted(map(tuple, S.pq_search(codes, pq_cents, q, k=3, qrows=qrows).collect()))
+    assert a == b and a
+
+    indexed = codes.join(assignments, "id")
+    a = sorted(map(tuple, S.ivfpq_search(
+        indexed, cents, pq_cents, q, k=3, nprobe=2).collect()))
+    b = sorted(map(tuple, S.ivfpq_search(
+        indexed, cents, pq_cents, q, k=3, nprobe=2, qrows=qrows).collect()))
+    assert a == b and a

@@ -569,3 +569,45 @@ def test_replayed_segment_with_legacy_stats_file_does_not_double_count(
     # scores are sane (idf computed from N=20, not 40)
     hits = bm25_probe_stored(spark, path, "alpha w3", k=1).collect()
     assert hits and hits[0]["doc_id"] == 3
+
+
+# ------------------------------------------------- r15 shared-subtree parity
+
+
+def test_shared_tokenized_and_scored_paths_agree(spark):
+    """r15 optimization contract: every operator that grew a
+    ``tokenized=``/``scored=`` fast path must return EXACTLY the rows
+    of its self-tokenizing form — the shared frame is the same
+    expression over the same subtree, so any divergence is a bug."""
+    from adsb_clickhouse_spark.operators.search import (
+        bm25_scores,
+        phrase_search,
+        retrieval_eval,
+        tokenize_docs,
+    )
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    tok = tokenize_docs(docs).localCheckpoint(eager=False)
+
+    plain = {r["doc_id"]: (r["n_terms_matched"], r["score"])
+             for r in bm25_search(docs, QUERY, k=20).collect()}
+    shared = {r["doc_id"]: (r["n_terms_matched"], r["score"])
+              for r in bm25_search(docs, QUERY, k=20, tokenized=tok).collect()}
+    scored = bm25_scores(docs, QUERY, tokenized=tok)
+    precomputed = {r["doc_id"]: (r["n_terms_matched"], r["score"])
+                   for r in bm25_search(docs, QUERY, k=20, scored=scored).collect()}
+    assert plain == shared == precomputed
+
+    ph = "join hash"
+    p_plain = {r["doc_id"]: r["n_matches"]
+               for r in phrase_search(docs, ph, k=20).collect()}
+    p_shared = {r["doc_id"]: r["n_matches"]
+                for r in phrase_search(docs, ph, k=20, tokenized=tok).collect()}
+    assert p_plain == p_shared
+
+    queries = {"q1": QUERY, "q2": "hash table probe"}
+    e_plain = {r["query_id"]: (r["n_rel"], r["recall_at_k"], r["mrr"], r["ndcg"])
+               for r in retrieval_eval(docs, queries, k=5).collect()}
+    e_shared = {r["query_id"]: (r["n_rel"], r["recall_at_k"], r["mrr"], r["ndcg"])
+                for r in retrieval_eval(docs, queries, k=5, tokenized=tok).collect()}
+    assert e_plain == e_shared

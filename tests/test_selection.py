@@ -91,3 +91,21 @@ def test_gram_buckets_deterministic_and_bounded(spark, corpora):
     rows = g1.collect()
     assert all(0 <= r["bucket"] < 64 for r in rows)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, g1.collect()))
+
+
+def test_empty_corpora_totals_coalesce(spark):
+    """r15: R/T are derived as sums of the bucket counts (was two extra
+    full gram passes); an EMPTY corpus must still yield the count()
+    semantics (0, not NULL) so the smoothed log-ratio stays finite."""
+    raw = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "")],
+        "doc_id long, text string",
+    )
+    empty = raw.filter(F.col("doc_id") < 0)
+    # empty TARGET: every bucket unseen, weights finite, all raw docs out
+    w = {r["doc_id"]: r["log_w"]
+         for r in dsir_importance_weights(raw, empty).collect()}
+    assert set(w) == {0, 1}
+    assert all(v == v and abs(v) < 1e6 for v in w.values())  # finite, not NaN
+    # empty RAW: no rows, no crash
+    assert dsir_importance_weights(empty, raw).collect() == []
