@@ -169,6 +169,7 @@ def bm25_scores(
     k1: float = BM25_K1,
     b: float = BM25_B,
     tokenized: DataFrame | None = None,
+    tfs: DataFrame | None = None,
 ) -> DataFrame:
     """The FULL BM25 candidate scoring for ``query`` — (doc_id,
     n_terms_matched, score), unordered and unlimited. Callers that need
@@ -179,7 +180,14 @@ def bm25_scores(
     Plan: corpus stats (N, avgdl) are one aggregation broadcast as a
     single row; df per query term aggregates over the TERM-FILTERED
     posting rows (query-bounded); scoring joins those rows against the
-    broadcast idf table and reduces per doc."""
+    broadcast idf table and reduces per doc.
+
+    ``tfs`` reuses a precomputed :func:`doc_term_freqs` frame covering
+    at least this query's terms (a SUPERSET term filter is fine — the
+    term filter commutes with the (doc, term)-keyed aggregation, so
+    restricting the wider frame to this query's terms yields exactly
+    the rows the narrow build would; r15 shared-subtree path for
+    callers scoring several query sets over one corpus)."""
     terms = _query_terms(query)
     if not terms:
         raise ValueError("query has no tokens under the corpus token law")
@@ -194,9 +202,12 @@ def bm25_scores(
     stats = d.filter(F.col("dl") > 0).agg(
         F.count("*").alias("N"), (F.sum("dl") / F.count("*")).alias("avgdl")
     )
-    tfs = doc_term_freqs(
-        docs, text_col=text_col, id_col=id_col, terms=terms, tokenized=tokenized
-    )
+    if tfs is not None:
+        tfs = tfs.filter(F.col("term").isin(terms))
+    else:
+        tfs = doc_term_freqs(
+            docs, text_col=text_col, id_col=id_col, terms=terms, tokenized=tokenized
+        )
     df_tab = tfs.groupBy("term").agg(F.count("*").alias("df"))
     idf = df_tab.crossJoin(F.broadcast(stats)).select(
         "term",
@@ -1106,6 +1117,7 @@ def retrieval_eval(
     k1: float = BM25_K1,
     b: float = BM25_B,
     tokenized: DataFrame | None = None,
+    tfs: DataFrame | None = None,
 ) -> DataFrame:
     """Retrieval quality metrics per query — (``query_id``, ``n_rel``,
     ``recall_at_k``, ``mrr``, ``ndcg``) — for a QUERY SET ranked by the
@@ -1167,13 +1179,20 @@ def retrieval_eval(
     stats = d.filter(F.col("dl") > 0).agg(
         F.count("*").alias("N"), (F.sum("dl") / F.count("*")).alias("avgdl")
     )
-    tfs = doc_term_freqs(
-        docs,
-        text_col=text_col,
-        id_col=id_col,
-        terms=all_terms,
-        tokenized=tokenized,
-    )
+    # shared-subtree path (r15): a caller-supplied superset tfs frame is
+    # restricted to this query set's terms — identical rows to the
+    # narrow build because the term filter commutes with the
+    # (doc, term)-keyed aggregation (term is a group key)
+    if tfs is not None:
+        tfs = tfs.filter(F.col("term").isin(all_terms))
+    else:
+        tfs = doc_term_freqs(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            terms=all_terms,
+            tokenized=tokenized,
+        )
     idf = (
         tfs.groupBy("term")
         .agg(F.count("*").alias("df"))

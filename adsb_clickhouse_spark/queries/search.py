@@ -242,8 +242,10 @@ def _duck_retrieval_sql() -> str:
 )
 def search_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import (
+        _query_terms,
         bm25_scores,
         bm25_search,
+        doc_term_freqs,
         hybrid_search_rrf,
         phrase_search,
         retrieval_eval,
@@ -259,9 +261,23 @@ def search_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair — one bm25_scores frame feeds both top-k cuts. Identical
     # rows by construction (same expressions over the same subtree).
     tok = tokenize_docs(d).localCheckpoint(eager=False)
-    scored = bm25_scores(d, _BM25_QUERY, tokenized=tok).localCheckpoint(
-        eager=False
+    # r15b: the bm25/hybrid scoring and the eval branch each built their
+    # own term-filtered (doc, term, tf, dl) frame from tok — two full
+    # explode+aggregate passes whose term sets overlap (the bm25 query
+    # IS eval's q_join). One tfs over the UNION term set feeds both;
+    # each consumer re-filters to its own terms, which commutes with
+    # the (doc, term)-keyed aggregation, so rows are identical by
+    # construction (pinned by test_shared_union_tfs_paths_agree).
+    union_terms = sorted(
+        set(_query_terms(_BM25_QUERY))
+        | {t for q in _EVAL_QUERIES.values() for t in _query_terms(q)}
     )
+    tfs_all = doc_term_freqs(
+        d, terms=union_terms, tokenized=tok
+    ).localCheckpoint(eager=False)
+    scored = bm25_scores(
+        d, _BM25_QUERY, tokenized=tok, tfs=tfs_all
+    ).localCheckpoint(eager=False)
     nul_l = F.lit(None).cast("long")
     nul_d = F.lit(None).cast("double")
     nul_s = F.lit(None).cast("string")
@@ -322,6 +338,7 @@ def search_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel_threshold=_EVAL_THR,
         rel_cap=_EVAL_CAP,
         tokenized=tok,
+        tfs=tfs_all,
     ).select(
         F.lit("eval").alias("branch"),
         nul_l.alias("doc_id"),

@@ -611,3 +611,40 @@ def test_shared_tokenized_and_scored_paths_agree(spark):
     e_shared = {r["query_id"]: (r["n_rel"], r["recall_at_k"], r["mrr"], r["ndcg"])
                 for r in retrieval_eval(docs, queries, k=5, tokenized=tok).collect()}
     assert e_plain == e_shared
+
+
+def test_shared_union_tfs_paths_agree(spark):
+    """r15 optimization contract (the tfs= fast path): bm25_scores and
+    retrieval_eval restricted to their own terms from ONE superset
+    doc_term_freqs frame must return EXACTLY the rows of their
+    self-building forms — the term filter commutes with the
+    (doc, term)-keyed aggregation, so any divergence is a bug."""
+    from adsb_clickhouse_spark.operators.search import (
+        _query_terms,
+        bm25_scores,
+        doc_term_freqs,
+        retrieval_eval,
+        tokenize_docs,
+    )
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    tok = tokenize_docs(docs).localCheckpoint(eager=False)
+    queries = {"q1": QUERY, "q2": "hash table probe", "q3": "fox rank"}
+    union_terms = sorted(
+        set(_query_terms(QUERY))
+        | {t for q in queries.values() for t in _query_terms(q)}
+    )
+    tfs_all = doc_term_freqs(docs, terms=union_terms, tokenized=tok)
+
+    plain = {r["doc_id"]: (r["n_terms_matched"], r["score"])
+             for r in bm25_scores(docs, QUERY).collect()}
+    shared = {r["doc_id"]: (r["n_terms_matched"], r["score"])
+              for r in bm25_scores(docs, QUERY, tokenized=tok, tfs=tfs_all).collect()}
+    assert plain == shared
+
+    e_plain = {r["query_id"]: (r["n_rel"], r["recall_at_k"], r["mrr"], r["ndcg"])
+               for r in retrieval_eval(docs, queries, k=5).collect()}
+    e_shared = {r["query_id"]: (r["n_rel"], r["recall_at_k"], r["mrr"], r["ndcg"])
+                for r in retrieval_eval(docs, queries, k=5, tokenized=tok,
+                                        tfs=tfs_all).collect()}
+    assert e_plain == e_shared
