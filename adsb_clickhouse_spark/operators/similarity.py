@@ -895,6 +895,49 @@ def _adc_lookup_rows(centroids, qrows, m, ksub, dsub):
     return lookups, qnorms
 
 
+def _adc_query_frame(spark, lookups, qnorms, m: int) -> DataFrame:
+    """ONE broadcastable row per (non-zero-norm) query carrying qn plus
+    the m per-subspace ADC lookup tables as code-indexed arrays:
+    ``pda_j[c]`` = dot(q_sub_j, centroid_c), ``cna_j[c]`` =
+    |centroid_c|². Replaces the m per-subspace broadcast lookup joins
+    plus the qnorm join (5 broadcast exchanges per probe at m=4) with a
+    SINGLE broadcast and codegen array lookups (r15, guide §2.4/§3.1):
+    the exact same doubles land in the same pd_j/cn2_j columns, so the
+    fixed-order score assembly in :func:`_adc_score_topk` is
+    bit-identical to the join form."""
+    ksub = 1 + max((c for rows in lookups for (_, c, _, _) in rows), default=-1)
+    pd_by_q: list[dict] = [{} for _ in range(m)]
+    cn_by_q: list[dict] = [{} for _ in range(m)]
+    for j in range(m):
+        for qid, c, pd, cn2 in lookups[j]:
+            pd_by_q[j].setdefault(qid, [0.0] * ksub)[c] = pd
+            cn_by_q[j].setdefault(qid, [0.0] * ksub)[c] = cn2
+    rows = []
+    for qid, qn in qnorms:
+        row: list = [qid, qn]
+        for j in range(m):
+            row.append(pd_by_q[j][qid])
+            row.append(cn_by_q[j][qid])
+        rows.append(tuple(row))
+    schema = "query_id long, qn double, " + ", ".join(
+        f"pda_{j} array<double>, cna_{j} array<double>" for j in range(m)
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _adc_attach_lookups(cand: DataFrame, m: int) -> DataFrame:
+    """Project the per-subspace lookup columns out of the broadcast
+    arrays: pd_j/cn2_j = the code_j-th entry (0-based GetArrayItem —
+    codes are 0..ksub-1 by construction, so the access never strays)."""
+    cols = {}
+    for j in range(m):
+        idx = F.col(f"code_{j}")
+        cols[f"pd_{j}"] = F.col(f"pda_{j}").getItem(idx)
+        cols[f"cn2_{j}"] = F.col(f"cna_{j}").getItem(idx)
+    drop = [f"pda_{j}" for j in range(m)] + [f"cna_{j}" for j in range(m)]
+    return cand.withColumns(cols).drop(*drop)
+
+
 def _adc_score_topk(scored, m: int, k: int) -> DataFrame:
     """Fixed-order ADC score assembly + per-query top-k, shared by the
     PQ family: ``scored`` carries query_id, neighbor_id, qn and the
@@ -956,26 +999,16 @@ def pq_search(
     if qrows is None:
         qrows = collect_query_rows(queries, id_col=id_col, vec_col=vec_col)
     lookups, qnorms = _adc_lookup_rows(cent, qrows, m, ksub, dsub)
-    # the j=0 lookup fans the corpus out per query (every query scores
-    # every code row); j>0 lookups then pin to that query
-    scored = codes.withColumnsRenamed({"id": "neighbor_id"})
-    for j in range(m):
-        lk = spark.createDataFrame(
-            lookups[j], f"qid_{j} long, c_{j} int, pd_{j} double, cn2_{j} double"
-        )
-        cond = F.col(f"code_{j}") == F.col(f"c_{j}")
-        if j > 0:
-            cond = cond & (F.col("qid_0") == F.col(f"qid_{j}"))
-        scored = scored.join(F.broadcast(lk), cond).drop(f"c_{j}")
-        if j > 0:
-            scored = scored.drop(f"qid_{j}")
-    qn_df = spark.createDataFrame(qnorms, "qid_qn long, qn double")
+    # one broadcast fans the corpus out per query (every query scores
+    # every code row); the per-subspace lookups are code-indexed array
+    # reads in codegen — was m broadcast lookup joins + a qnorm join
+    # (r15: 5 broadcast exchanges → 1, see _adc_query_frame)
+    qf = _adc_query_frame(spark, lookups, qnorms, m)
     scored = (
-        scored.join(F.broadcast(qn_df), F.col("qid_0") == F.col("qid_qn"))
-        .drop("qid_qn")
-        .withColumnRenamed("qid_0", "query_id")
+        codes.withColumnsRenamed({"id": "neighbor_id"})
+        .crossJoin(F.broadcast(qf))
     )
-    return _adc_score_topk(scored, m, k)
+    return _adc_score_topk(_adc_attach_lookups(scored, m), m, k)
 
 
 def ivfpq_build(
@@ -1052,22 +1085,15 @@ def _ivfpq_query_state(coarse, pq_cents, qrows, *, nprobe: int):
 
 def _adc_join_score(spark, cand: DataFrame, lookups, qnorms, m: int, k: int) -> DataFrame:
     """ADC scoring for candidates that already carry query_id (the
-    IVF-ADC path — candidates came from a probes join): every lookup
-    join pins both the code and the query, then the shared fixed-order
-    score assembly ranks."""
-    for j in range(m):
-        lk = spark.createDataFrame(
-            lookups[j], f"qid_{j} long, c_{j} int, pd_{j} double, cn2_{j} double"
-        )
-        cond = (F.col(f"code_{j}") == F.col(f"c_{j}")) & (
-            F.col("query_id") == F.col(f"qid_{j}")
-        )
-        cand = cand.join(F.broadcast(lk), cond).drop(f"c_{j}", f"qid_{j}")
-    qn_df = spark.createDataFrame(qnorms, "qid_qn long, qn double")
-    cand = cand.join(F.broadcast(qn_df), F.col("query_id") == F.col("qid_qn")).drop(
-        "qid_qn"
-    )
-    return _adc_score_topk(cand, m, k)
+    IVF-ADC path — candidates came from a probes join): ONE broadcast
+    join on query_id attaches the code-indexed lookup arrays (was m
+    per-subspace lookup joins + a qnorm join — r15, _adc_query_frame),
+    then the shared fixed-order score assembly ranks. The inner join
+    drops zero-norm queries exactly as the lookup joins did (they are
+    absent from the frame, as they were from every lookup table)."""
+    qf = _adc_query_frame(spark, lookups, qnorms, m)
+    cand = cand.join(F.broadcast(qf), "query_id")
+    return _adc_score_topk(_adc_attach_lookups(cand, m), m, k)
 
 
 def _exact_rerank(

@@ -1325,3 +1325,22 @@ def test_precollected_qrows_paths_agree(spark, vectors):
     b = sorted(map(tuple, S.ivfpq_search(
         indexed, cents, pq_cents, q, k=3, nprobe=2, qrows=qrows).collect()))
     assert a == b and a
+
+
+def test_pq_probe_single_broadcast_plan(spark):
+    """r15 optimization contract: the ADC probe attaches its per-query
+    lookup state via ONE broadcast (code-indexed arrays + GetArrayItem),
+    not one broadcast lookup join per subspace — a pq_search plan must
+    contain exactly one BroadcastExchange (was m+1 = 5 at m=4)."""
+    from pyspark.sql import functions as F
+
+    from adsb_clickhouse_spark.operators.similarity import pq_build, pq_search
+    from tools.bench_ivf_scale import make_clustered_vectors
+
+    corpus = make_clustered_vectors(spark, 500, 16, 4, seed=3)
+    q = corpus.filter(F.col("vec_id") < 3)
+    codes, pq_cents = pq_build(corpus, m=4, ksub=8, iters=0)
+    plan = pq_search(codes, pq_cents, q, k=5)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert plan.count("BroadcastExchange") == 1, plan
