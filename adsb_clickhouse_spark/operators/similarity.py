@@ -217,6 +217,37 @@ def _bucketize(
     return df.mapInPandas(assign, schema)
 
 
+def _bucketize_rows(qrows, planes):
+    """Driver-side twin of :func:`_bucketize` for an already-collected
+    probe-sized row set (``collect_query_rows`` output): the SAME numpy
+    per-dimension accumulation over the same doubles, so buckets and
+    norms are bit-identical to the worker pass — probe sets are bounded
+    by contract, this is never a data collect. Returns (query_id, qv,
+    bucket, qn) tuples for ``createDataFrame`` (r15: replaces one
+    5-row mapInPandas Python stage per LSH probe with a local
+    relation, the shape the ivf/pq probes already use)."""
+    import numpy as np
+
+    if not qrows:
+        return []
+    p_mat = np.asarray(planes, dtype=np.float64)
+    mat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    bucket = np.zeros(len(mat), dtype=np.int64)
+    for p in range(p_mat.shape[0]):
+        acc = mat[:, 0] * p_mat[p, 0]
+        for i in range(1, mat.shape[1]):
+            acc = acc + mat[:, i] * p_mat[p, i]
+        bucket += (acc >= 0).astype(np.int64) << p
+    nacc = mat[:, 0] * mat[:, 0]
+    for i in range(1, mat.shape[1]):
+        nacc = nacc + mat[:, i] * mat[:, i]
+    norms = np.sqrt(nacc)
+    return [
+        (r["query_id"], [float(x) for x in r["qv"]], int(b), float(n))
+        for r, b, n in zip(qrows, bucket, norms)
+    ]
+
+
 def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     """Bucket id: bit p = (dot(vec, plane_p) >= 0).
 
@@ -277,6 +308,7 @@ def ann_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hashed_corpus: DataFrame | None = None,
+    qrows=None,
 ) -> DataFrame:
     """Approximate top-k: candidates share one of the query's probed
     hyperplane buckets.
@@ -295,6 +327,11 @@ def ann_lsh(
     one index several ways (single- and multi-probe, different k) hash
     the corpus once and share it, exactly how the 100 TB layout works
     (the bucketized corpus is the stored table; queries only probe).
+
+    ``qrows`` (from :func:`collect_query_rows`) bucketizes the probe
+    rows DRIVER-SIDE with the identical numpy fold instead of a 5-row
+    mapInPandas Python stage per probe — the shape the ivf/pq probes
+    already use; bit-identical buckets/norms (r15).
     """
     from pyspark.sql import Window
 
@@ -305,16 +342,22 @@ def ann_lsh(
         if hashed_corpus is not None
         else hash_corpus(corpus, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col)
     )
-    q = _bucketize(
-        queries.select(
-            _id_as_long(queries, id_col, "query_id"),
-            as_double(F.col(vec_col)).alias("qv"),
-        ),
-        planes,
-        vec="qv",
-        with_norm=True,
-        norm_col="qn",
-    )
+    if qrows is not None:
+        q = corpus.sparkSession.createDataFrame(
+            _bucketize_rows(qrows, planes),
+            "query_id long, qv array<double>, bucket long, qn double",
+        )
+    else:
+        q = _bucketize(
+            queries.select(
+                _id_as_long(queries, id_col, "query_id"),
+                as_double(F.col(vec_col)).alias("qv"),
+            ),
+            planes,
+            vec="qv",
+            with_norm=True,
+            norm_col="qn",
+        )
     if n_probes > 1:
         # probe bucket + its Hamming-1 neighbors (one flipped plane bit
         # each). Probe buckets are distinct values, so a candidate can

@@ -320,10 +320,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments = assignments.localCheckpoint(eager=False)
     codes, pq_cents = S.pq_build(e, m=4, ksub=8, iters=0)
     codes = codes.localCheckpoint(eager=False)
-    lsh = S.ann_lsh(e, q, k=3, dim=dim, hashed_corpus=ch).select(
+    lsh = S.ann_lsh(e, q, k=3, dim=dim, hashed_corpus=ch, qrows=qrows).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
-    mp = S.ann_lsh(e, q, k=3, n_probes=9, dim=dim, hashed_corpus=ch).select(
+    mp = S.ann_lsh(
+        e, q, k=3, n_probes=9, dim=dim, hashed_corpus=ch, qrows=qrows
+    ).select(
         F.lit("mp").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
     ivf = S.ivf_search(e, assignments, cents, q, k=3, nprobe=4, qrows=qrows).select(

@@ -1326,6 +1326,16 @@ def test_precollected_qrows_paths_agree(spark, vectors):
         indexed, cents, pq_cents, q, k=3, nprobe=2, qrows=qrows).collect()))
     assert a == b and a
 
+    # ann_lsh's qrows= path (r15 session 2): the driver-side numpy
+    # bucketize must give bit-identical buckets/norms to the worker
+    # pass — single- AND multi-probe
+    for probes in (1, 3):
+        a = sorted(map(tuple, S.ann_lsh(
+            vectors, q, k=3, n_probes=probes).collect()))
+        b = sorted(map(tuple, S.ann_lsh(
+            vectors, q, k=3, n_probes=probes, qrows=qrows).collect()))
+        assert a == b and a
+
 
 def test_pq_probe_single_broadcast_plan(spark):
     """r15 optimization contract: the ADC probe attaches its per-query
