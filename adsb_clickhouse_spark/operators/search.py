@@ -859,10 +859,19 @@ def phrase_search(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokenized: DataFrame | None = None,
+    tfs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-phrase match: (doc_id, n_matches) for documents containing
     the token sequence of ``phrase``, ordered by (matches desc, doc_id),
     top-``k``.
+
+    ``tfs`` reuses a POSITIONAL :func:`doc_term_freqs` frame
+    (``with_positions=True``) covering at least the phrase's terms:
+    exploding each term row's sorted positions reproduces exactly the
+    (doc, pos) rows the token-stream path emits for those terms — one
+    row per source occurrence — so the slot join is fed identical
+    candidates without a second corpus-wide explode (r15 shared-subtree
+    path; callers sharing one frame across bm25/eval/phrase).
 
     Slot-join formulation: broadcast the tiny (slot i, term) phrase
     table onto the position-exploded token stream (term-filtered BY the
@@ -881,16 +890,24 @@ def phrase_search(
     ph = spark.createDataFrame(
         [(i, t) for i, t in enumerate(terms)], "i int, term string"
     )
-    tok = (
-        tokenized.select(
+    if tfs is not None:
+        if "positions" not in tfs.columns:
+            raise ValueError(
+                "phrase_search(tfs=...) needs a positional frame — build "
+                "it with doc_term_freqs(with_positions=True)"
+            )
+        tok = tfs.filter(F.col("term").isin(terms)).select(
+            "doc_id", "term", F.explode("positions").alias("pos")
+        )
+    elif tokenized is not None:
+        tok = tokenized.select(
             "doc_id", F.posexplode("toks").alias("pos", "term")
         )
-        if tokenized is not None
-        else docs.select(
+    else:
+        tok = docs.select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
         )
-    )
     return (
         tok.join(F.broadcast(ph), "term")
         .select("doc_id", (F.col("pos") - F.col("i")).alias("start"), "i")
