@@ -1087,7 +1087,29 @@ def ivfpq_build(
     ``v``, array<double>) through to ``indexed`` — required for the
     exact re-ranking stage (IVFADC+R, ibid. §V): the stored layout then
     holds codes AND vectors per list, so a probe can rescore its ADC
-    shortlist exactly from the same pruned scan."""
+    shortlist exactly from the same pruned scan.
+
+    r15: at ``iters=0`` (the deterministic/oracled configuration) the
+    build is FUSED — one seeds collect and one Arrow pass emit
+    (id[, v], list_id, code_*) directly. Bit-identical to the composed
+    form because both halves seed from the SAME md5-of-id order (the
+    ksub pq seeds are a prefix of the n_lists ivf seeds when
+    ksub ≤ n_lists, each sliced exactly as before) and the two argmins
+    are independent functions of the same row; the composed form's
+    2 seed jobs + 2 corpus Python passes + codes ⋈ assignments join
+    (+ the keep_vectors join) collapse into 1 + 1 + 0. Parity pinned by
+    test_ivfpq_fused_build_matches_composed; Lloyd refinement
+    (iters>0) keeps the composed path unchanged."""
+    if iters == 0:
+        return _ivfpq_build_fused(
+            vectors,
+            n_lists=n_lists,
+            m=m,
+            ksub=ksub,
+            keep_vectors=keep_vectors,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     assignments, coarse = ivf_build(
         vectors, n_lists=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
     )
@@ -1101,6 +1123,75 @@ def ivfpq_build(
         )
         indexed = indexed.join(vecs, "id")
     return indexed, coarse, pq_cents
+
+
+def _ivfpq_build_fused(
+    vectors: DataFrame,
+    *,
+    n_lists: int,
+    m: int,
+    ksub: int,
+    keep_vectors: bool,
+    id_col: str,
+    vec_col: str,
+):
+    """iters=0 fused IVF-ADC build (see :func:`ivfpq_build`): one
+    TakeOrdered seeds collect covering BOTH codebooks (the md5-of-id
+    order is shared law — ivf takes the first n_lists seeds, pq the
+    first ksub, exactly the rows the separate ``limit()`` collects
+    returned) and one mapInPandas pass computing both argmins per row
+    with the same :func:`_d2_fold` association. Clamping laws preserved:
+    a corpus smaller than either codebook clamps that codebook alone."""
+    import numpy as np
+    import pandas as pd
+
+    src = vectors.select(
+        _id_as_long(vectors, id_col, "id"), as_double(F.col(vec_col)).alias("v")
+    ).filter(_nonzero_norm(F.col("v")))
+    seeds = (
+        src.withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h")
+        .limit(max(int(n_lists), int(ksub)))
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("ivfpq_build: empty corpus — nothing to quantize")
+    n_lists = min(int(n_lists), len(seeds))  # clamp like ivf_build
+    ksub = min(int(ksub), len(seeds))  # clamp like pq_build
+    dim = len(seeds[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"pq_build: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    full = np.stack([np.asarray(r["v"], dtype=np.float64) for r in seeds])
+    coarse = full[:n_lists].copy()
+    pq_cents = np.stack(
+        [full[:ksub, j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+    bc = src.sparkSession.sparkContext.broadcast((coarse, pq_cents))
+
+    def assign_and_encode(batches):
+        c, pq = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["v"].to_numpy())
+            out = {"id": pdf["id"].to_numpy()}
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                out[f"code_{j}"] = _d2_fold(sub, pq[j]).argmin(axis=1).astype("int32")
+            out["list_id"] = _d2_fold(mat, c).argmin(axis=1).astype("int32")
+            if keep_vectors:
+                out["v"] = pdf["v"]
+            yield pd.DataFrame(out)
+
+    # column order matches the composed join form: (id, code_*, list_id[, v])
+    schema = (
+        "id long, "
+        + ", ".join(f"code_{j} int" for j in range(m))
+        + ", list_id int"
+        + (", v array<double>" if keep_vectors else "")
+    )
+    return src.mapInPandas(assign_and_encode, schema), coarse, pq_cents
 
 
 def _ivfpq_query_state(coarse, pq_cents, qrows, *, nprobe: int):

@@ -316,10 +316,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one stored index, probed two ways — hash the corpus once (the
     # bucketized corpus IS the stored table at scale; see hash_corpus)
     ch = S.hash_corpus(e, dim=dim).localCheckpoint(eager=False)
-    assignments, cents = S.ivf_build(e, n_lists=16, iters=0)
-    assignments = assignments.localCheckpoint(eager=False)
-    codes, pq_cents = S.pq_build(e, m=4, ksub=8, iters=0)
-    codes = codes.localCheckpoint(eager=False)
+    # r15b: ONE fused iters=0 build (one seeds job, one Arrow pass)
+    # yields the stored-index table directly; the ivf and pq branches
+    # read their columns out of it — was two seed collects, two corpus
+    # Python passes, and a codes ⋈ assignments join (bit-identical by
+    # the shared md5 seeding law; see ivfpq_build / parity test)
+    indexed, cents, pq_cents = S.ivfpq_build(e, n_lists=16, m=4, ksub=8, iters=0)
+    indexed = indexed.localCheckpoint(eager=False)
+    assignments = indexed.select("id", "list_id")
+    codes = indexed.select("id", *[f"code_{j}" for j in range(4)])
     lsh = S.ann_lsh(e, q, k=3, dim=dim, hashed_corpus=ch, qrows=qrows).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
@@ -331,13 +336,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = S.ivf_search(e, assignments, cents, q, k=3, nprobe=4, qrows=qrows).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
-    # the one encode pass (codes) feeds both the flat-PQ branch and the
-    # composed IVF-ADC branch (codes ⋈ list assignments = the stored
-    # index table)
+    # the one fused build pass feeds the flat-PQ branch (its code
+    # columns) and the composed IVF-ADC branch (the whole indexed
+    # table — codes + list assignments, the stored-index layout)
     pq = S.pq_search(codes, pq_cents, q, k=3, qrows=qrows).select(
         F.lit("pq").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
-    indexed = codes.join(assignments, "id")
     ivfpq = S.ivfpq_search(
         indexed, cents, pq_cents, q, k=3, nprobe=4, qrows=qrows
     ).select(

@@ -1354,3 +1354,43 @@ def test_pq_probe_single_broadcast_plan(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert plan.count("BroadcastExchange") == 1, plan
+
+
+def test_ivfpq_fused_build_matches_composed(spark):
+    """r15 optimization contract: the iters=0 fused build (one seeds
+    collect + one Arrow pass) must produce EXACTLY the composed
+    ivf_build + pq_build + join result — same assignments, same codes,
+    same centroid matrices — including when a codebook clamps, and with
+    keep_vectors."""
+    import numpy as np
+
+    from adsb_clickhouse_spark.operators.similarity import (
+        _ivfpq_build_fused,
+        ivf_build,
+        pq_build,
+    )
+    from tools.bench_ivf_scale import make_clustered_vectors
+
+    corpus = make_clustered_vectors(spark, 600, 16, 4, seed=5).persist()
+    corpus.count()
+    try:
+        for n_lists, ksub, keep in ((8, 4, False), (4, 8, True), (2000, 8, False)):
+            fused, fc, fpq = _ivfpq_build_fused(
+                corpus, n_lists=n_lists, m=4, ksub=ksub,
+                keep_vectors=keep, id_col="vec_id", vec_col="embedding",
+            )
+            a, cc = ivf_build(corpus, n_lists=n_lists, iters=0)
+            codes, pc = pq_build(corpus, m=4, ksub=ksub, iters=0)
+            composed = codes.join(a, "id")
+            assert np.array_equal(fc, cc) and np.array_equal(fpq, pc)
+            cols = ["id", "code_0", "code_1", "code_2", "code_3", "list_id"]
+            f_rows = sorted(map(tuple, fused.select(*cols).collect()))
+            c_rows = sorted(map(tuple, composed.select(*cols).collect()))
+            assert f_rows == c_rows and f_rows
+            if keep:
+                vmap = {r["id"]: r["v"] for r in fused.select("id", "v").collect()}
+                src = {r["vec_id"]: [float(x) for x in r["embedding"]]
+                       for r in corpus.collect()}
+                assert all(vmap[i] == src[i] for i in vmap)
+    finally:
+        corpus.unpersist()
