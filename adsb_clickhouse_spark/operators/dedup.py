@@ -732,6 +732,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     w: int = 4,
+    kernel: str = "window",
 ) -> DataFrame:
     """(doc_id, fingerprint): winnowing document fingerprints
     (Schleimer et al., SIGMOD 2003) — rolling character k-gram hashes,
@@ -744,15 +745,36 @@ def winnow_fingerprints(
     can't see when a long quote sits inside two otherwise-unrelated
     pages.
 
-    Plan (the `text_winnow_fingerprint` driver row delegates here; its
-    docstring carries the A/B measurements): explode gram positions →
-    codegen md5 → frame-bounded window min → collect_set on the
-    window's existing doc_id partitioning. Both alternatives (doc-level
-    pre-repartition; window-position explode + two-level groupBy)
-    measured slower at sf0.1."""
+    Two kernels, identical rows (pinned by
+    tests/test_dataops.py::test_winnow_kernels_agree):
+
+    - ``kernel="window"``: explode gram positions → codegen md5 →
+      frame-bounded window min → collect_set on the window's existing
+      doc_id partitioning. The window's ``partitionBy(doc_id)`` hashes
+      and sorts EVERY GRAM ROW (~n_chars per doc) through one corpus-
+      sized exchange.
+    - ``kernel="arrow"`` (r15): the whole computation is per-doc-local,
+      so one ``mapInPandas`` pass computes each doc's fingerprints
+      in-task (hashlib md5 — bytewise the md5_long law — and a
+      vectorized numpy w-window min) and the gram rows NEVER exist as
+      Spark rows: zero exchanges before the caller's own ordering, and
+      the Python boundary carries (doc_id, text) in / the winnowed
+      (doc_id, fingerprint) set out (~2/(w+1) of the gram count).
+      Guide §2.4/§4.2/§8: the shuffle that disappears is the corpus-
+      sized one; per-core Python md5 is ~4× JVM codegen md5, the
+      standard trade of hash throughput for the removed exchange+sort.
+
+    Earlier JVM-shape alternatives (doc-level pre-repartition;
+    window-position explode + two-level groupBy) measured slower at
+    sf0.1 than the window kernel; the A/B numbers live in the
+    `text_winnow_fingerprint` row docstring."""
     from pyspark.sql import Window
 
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if kernel == "arrow":
+        return _winnow_fingerprints_arrow(d, k=k, w=w)
+    if kernel != "window":
+        raise ValueError(f"unknown winnow kernel {kernel!r}")
     g = d.select(
         "doc_id",
         F.explode(
@@ -772,6 +794,84 @@ def winnow_fingerprints(
         .agg(F.collect_set("m").alias("fps"))
         .select("doc_id", F.explode("fps").alias("fingerprint"))
     )
+
+
+def _winnow_fps_py(text: str | None, k: int, w: int) -> "object":
+    """One document's winnowing fingerprint set, bit-identical to the
+    window kernel's rows: md5_long (= int(md5hex[:15], 16), 60-bit) of
+    every character k-gram (the whole text when shorter than k — the
+    substr(text, pos, k) law), numpy w-window minima over the first
+    max(n_grams − w + 1, 1) positions, distinct. NULL text hashes to
+    NULL on the window path (md5(NULL)) and its minima vanish in
+    collect_set — here: an empty set. Returns a sorted int64 ndarray."""
+    import hashlib
+
+    import numpy as np
+
+    if not isinstance(text, str):  # NULL arrives as None (or NaN)
+        return np.empty(0, dtype=np.int64)
+    n_g = max(len(text) - (k - 1), 1)
+    md5 = hashlib.md5
+    hs = np.fromiter(
+        (
+            int(md5(text[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+            for i in range(n_g)
+        ),
+        dtype=np.int64,
+        count=n_g,
+    )
+    lim = max(n_g - (w - 1), 1)
+    m = hs[:lim].copy()
+    for j in range(1, w):
+        upper = min(j + lim, n_g)
+        if upper > j:
+            np.minimum(m[: upper - j], hs[j:upper], out=m[: upper - j])
+    return np.unique(m)
+
+
+def _winnow_fingerprints_arrow(d: DataFrame, *, k: int, w: int) -> DataFrame:
+    """mapInPandas winnowing kernel over (doc_id, text): per-doc-local
+    by construction, so no gram row ever crosses an exchange. See
+    :func:`winnow_fingerprints` (kernel="arrow").
+
+    Fan-out guard: a small corpus often scans as ONE split (a single
+    parquet file under maxPartitionBytes), which would serialize the
+    whole kernel on one Python worker — the window kernel gets its
+    parallelism for free from the window exchange. When the scan has
+    fewer partitions than the session's parallelism, round-robin the
+    DOC rows (text moves once, ~gram_count/n_chars the bytes of the
+    gram exchange) up to it; at scale the scan already has more splits
+    than cores and no repartition happens."""
+    par = int(
+        d.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions",
+            str(d.sparkSession.sparkContext.defaultParallelism),
+        )
+    )
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                out = _winnow_fps_py(text, k, w)
+                if len(out):
+                    ids.append(np.full(len(out), doc_id, dtype=np.int64))
+                    fps.append(out)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "fingerprint": np.concatenate(fps),
+                    }
+                )
+
+    return d.mapInPandas(compute, "doc_id long, fingerprint long")
 
 
 def winnow_near_dup_pairs(

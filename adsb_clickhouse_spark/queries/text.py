@@ -552,36 +552,35 @@ def _duck_winnow_sql(
     ),
 )
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark plan note: grams are EXPLODED to rows so the md5 runs as a
-    whole-stage-codegen column function — a `transform` lambda evaluates
-    interpreted per array element (~10M grams at sf0.1 cost 15 s; this
-    shape runs in ~3 s). The w-window minima become a frame-bounded
-    window min over pos; rows past len-w+1 are dropped to match the
-    oracle's slice semantics. The explode→project pipeline never
-    materializes the duplicated text column — only (doc_id, pos, h, lim)
-    reaches the window shuffle. The window-count pass and the distinct
-    shuffle were both eliminated: the last valid window position is
-    derivable from length(text) before the explode (no unbounded count
-    frame buffering whole partitions), and per-doc dedup runs as a
-    collect_set groupBy on the window's existing doc_id partitioning
-    (partial agg, zero extra exchange) instead of a full
-    (doc_id, fingerprint) distinct shuffle.
+    """Spark plan note (r15 session 3): the winnow branch runs the
+    ARROW kernel — the whole computation is per-doc-local, so one
+    mapInPandas pass (hashlib md5 = the md5_long law, numpy w-window
+    minima) computes each doc's fingerprint set in-task and the ~10M
+    gram rows never exist as Spark rows; the corpus-sized
+    Exchange+sort the window kernel paid (hash every gram row by
+    doc_id) is gone, and the only exchange left before the contract
+    ORDER BY is the doc-row fan-out guard (text moves once; at scale
+    the scan already has more splits than cores and even that
+    disappears). Same-box interleaved A/B at sf0.1 (6 runs each, full
+    row): arrow median 4.28 s / min 3.95 vs window median 8.55 / min
+    6.30 — and bit-identical rows (test_winnow_kernels_agree + the
+    oracle gate). Guide §2.4/§4.2/§8: ship the 10 MB of doc text to
+    the kernel instead of shuffling 10M gram rows.
 
-    Two rejected alternatives, A/B-measured at sf0.1 (median of 3):
-    repartitioning documents by doc_id BEFORE the explode (to shuffle
-    ~5k docs instead of ~10M gram rows) measured 10.6 s vs 6.2 s — in
-    one JVM the row-level exchange is cheaper than the extra stage, and
-    the window's sort remains either way; replacing the window with a
-    window-position explode → two-level groupBy (map-side partial min,
-    no sort) measured 7.9 s — the w-fold row blowup into the partial
-    aggregate costs more than the frame-bounded min saves. The
-    exploded-window shape stays the measured winner."""
+    History of JVM-shape A/Bs that led here (all at sf0.1): exploded
+    grams + codegen md5 + frame-bounded window min was the round-6
+    winner (~6.2 s); a `transform` lambda evaluates interpreted per
+    element (~15 s); doc-level pre-repartition before the explode
+    10.6 s; window-position explode + two-level groupBy 7.9 s. The
+    window kernel remains the operator default
+    (operators/dedup.winnow_fingerprints) for callers that want a
+    Python-free plan."""
     from ..functions.texttools import md5_long
     from ..operators.dedup import winnow_fingerprints
     from ..operators.packing import chunk_documents
 
     d = load_table(spark, sf_dir, "documents")
-    win = winnow_fingerprints(d, k=8, w=4).select(
+    win = winnow_fingerprints(d, k=8, w=4, kernel="arrow").select(
         F.lit("winnow").alias("method"), "doc_id", "fingerprint"
     )
     ch = (

@@ -846,6 +846,44 @@ def test_winnow_shared_substring_guarantee(spark):
     assert common >= 1
 
 
+def test_winnow_kernels_agree(spark):
+    """The arrow kernel (per-doc mapInPandas, r15) and the window
+    kernel emit IDENTICAL (doc_id, fingerprint) rows — including the
+    contract edge cases: NULL text (no rows), empty text (one
+    fingerprint of md5('')), text shorter than k (whole-text gram),
+    exactly k, k+w-1, repeated chars (distinct collapses the minima),
+    and multi-byte code points (substr and Python slicing both count
+    code points)."""
+    from adsb_clickhouse_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "ab"),
+            (4, "abcdefgh"),
+            (5, "abcdefghijk"),
+            (6, "héllo wörld \U0001f600\U0001f600 漢字テスト abcdefghij"),
+            (7, "a" * 40),
+            (8, "the quick brown fox jumps over the lazy dog " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    for k, w in ((8, 4), (3, 2), (5, 5)):
+        a = sorted(map(tuple, winnow_fingerprints(docs, k=k, w=w).collect()))
+        b = sorted(
+            map(
+                tuple,
+                winnow_fingerprints(docs, k=k, w=w, kernel="arrow").collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(docs, kernel="nope")
+
+
 def test_winnow_near_dup_hot_fingerprint_cap(spark):
     """A fingerprint present in every doc is dropped by max_fp_freq —
     template boilerplate can't quadratically inflate the join."""
