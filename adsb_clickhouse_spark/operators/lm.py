@@ -102,7 +102,13 @@ def lm_train(
         ref, text_col=text_col, id_col=id_col, n_buckets=n_buckets
     )
     pairs = g.groupBy("bc", "bw").agg(F.count("*").alias("cp"))
-    ctx = g.groupBy("bc").agg(F.count("*").alias("cc"))
+    # context counts are EXACTLY the pair counts re-aggregated — both
+    # count the same bigram rows, so Σ_bw cp(bc, bw) = cc(bc) (integer
+    # sums, no float). Deriving ctx from pairs removes the second
+    # reference-corpus tokenize+explode pass; what remains is a
+    # pair-table-bounded aggregation (≤ distinct observed bigram
+    # buckets), free at any corpus size (r15, guide §2.4).
+    ctx = pairs.groupBy("bc").agg(F.sum("cp").alias("cc"))
     return pairs, ctx
 
 
