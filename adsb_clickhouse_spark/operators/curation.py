@@ -203,20 +203,73 @@ def langid_signals(
     )
 
 
+def _bigram_rep_arrow(tk_frame: DataFrame) -> DataFrame:
+    """(doc_id, top_c, dup_c) from (doc_id, tk): the Gopher repetition
+    counts, computed per-doc-locally in one mapInPandas pass — bigram
+    counting is a pure function of one document's token array, so the
+    bigram rows never exist as Spark rows and the two corpus-bigram-
+    sized exchanges of the groupBy kernel disappear (r15, guide
+    §2.4/§4.2; same move as the winnow arrow kernel). Bigram law
+    matches the groupBy kernel exactly: ``concat_ws(' ', tk[i-1],
+    tk[i])`` = ``' '.join`` — integer counts, no float anywhere. Docs
+    with <2 tokens emit nothing (the groupBy kernel filters them), so
+    the caller's left join fills their counts with 0."""
+    from . import fanout
+
+    def compute(batches):
+        import collections
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            tops: list = []
+            dups: list = []
+            for doc_id, tk in zip(pdf["doc_id"], pdf["tk"]):
+                if tk is None or len(tk) < 2:
+                    continue
+                counts = collections.Counter(
+                    tk[i - 1] + " " + tk[i] for i in range(1, len(tk))
+                )
+                ids.append(doc_id)
+                tops.append(max(counts.values()))
+                dups.append(sum(c for c in counts.values() if c > 1))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "top_c": tops, "dup_c": dups}
+                )
+
+    return fanout(tk_frame).mapInPandas(
+        compute, "doc_id long, top_c long, dup_c long"
+    )
+
+
 def quality_signals(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rep_kernel: str = "groupby",
 ) -> DataFrame:
     """(doc_id, stopword_ratio, unique_ratio, mean_token_len,
     top_bigram_frac, dup_bigram_frac, quality_score, bag_fingerprint,
     exact_fingerprint): quality + Gopher repetition + fingerprints.
 
     Plan: one codegen projection pass for the ratio/score/fingerprint
-    columns; the repetition signals run as position-explode →
-    element_at bigram rows → two-level groupBy (partial agg; a
-    `transform`-built bigram array evaluates interpreted per element,
-    measured ~4× slower at sf0.1), then one doc_id join back. Total
-    bigram count is derived as n_tokens-1 in the projection — not
-    aggregated (see the text_quality driver row's doc)."""
+    columns; the repetition signals come from one of two kernels with
+    identical rows (pinned by tests/test_curation.py::
+    test_quality_rep_kernels_agree), joined back on doc_id:
+
+    - ``rep_kernel="groupby"``: position-explode → element_at bigram
+      rows → two-level groupBy (partial agg; a `transform`-built
+      bigram array evaluates interpreted per element, measured ~4×
+      slower at sf0.1). Pays two corpus-bigram-sized exchanges.
+    - ``rep_kernel="arrow"`` (r15): per-doc mapInPandas counting —
+      see :func:`_bigram_rep_arrow`; the join back becomes doc-count
+      sized on both sides and no bigram row ever shuffles.
+
+    Total bigram count is derived as n_tokens-1 in the projection —
+    not aggregated (see the text_quality driver row's doc)."""
     toks = tokens(F.col(text_col))
     en = _lang_array(STOPWORDS["en"])
     m = docs.select(
@@ -228,26 +281,37 @@ def quality_signals(
         F.size(F.filter(toks, lambda x: F.array_contains(en, x))).alias("n_stop"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
     )
-    rep = (
-        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk"))
-        .filter(F.size("tk") >= 2)
-        .select("doc_id", "tk", F.explode(F.sequence(F.lit(2), F.size("tk"))).alias("i"))
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", F.element_at("tk", F.col("i") - 1), F.element_at("tk", F.col("i"))
-            ).alias("bg"),
-        )
-        .groupBy("doc_id", "bg")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.max("count").alias("top_c"),
-            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(F.lit(0))).alias(
-                "dup_c"
-            ),
-        )
+    tk_frame = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
     )
+    if rep_kernel == "arrow":
+        rep = _bigram_rep_arrow(tk_frame)
+    elif rep_kernel != "groupby":
+        raise ValueError(f"unknown rep kernel {rep_kernel!r}")
+    else:
+        rep = (
+            tk_frame.filter(F.size("tk") >= 2)
+            .select(
+                "doc_id", "tk", F.explode(F.sequence(F.lit(2), F.size("tk"))).alias("i")
+            )
+            .select(
+                "doc_id",
+                F.concat_ws(
+                    " ",
+                    F.element_at("tk", F.col("i") - 1),
+                    F.element_at("tk", F.col("i")),
+                ).alias("bg"),
+            )
+            .groupBy("doc_id", "bg")
+            .count()
+            .groupBy("doc_id")
+            .agg(
+                F.max("count").alias("top_c"),
+                F.sum(
+                    F.when(F.col("count") > 1, F.col("count")).otherwise(F.lit(0))
+                ).alias("dup_c"),
+            )
+        )
     nt = F.greatest(F.col("n_tokens"), F.lit(1))
     nbg = F.greatest(F.col("n_tokens") - 1, F.lit(1))
     return m.join(rep, "doc_id", "left").select(

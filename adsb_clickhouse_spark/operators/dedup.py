@@ -834,22 +834,14 @@ def _winnow_fingerprints_arrow(d: DataFrame, *, k: int, w: int) -> DataFrame:
     by construction, so no gram row ever crosses an exchange. See
     :func:`winnow_fingerprints` (kernel="arrow").
 
-    Fan-out guard: a small corpus often scans as ONE split (a single
-    parquet file under maxPartitionBytes), which would serialize the
-    whole kernel on one Python worker — the window kernel gets its
-    parallelism for free from the window exchange. When the scan has
-    fewer partitions than the session's parallelism, round-robin the
-    DOC rows (text moves once, ~gram_count/n_chars the bytes of the
-    gram exchange) up to it; at scale the scan already has more splits
-    than cores and no repartition happens."""
-    par = int(
-        d.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions",
-            str(d.sparkSession.sparkContext.defaultParallelism),
-        )
-    )
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    Fan-out guard: :func:`..operators.fanout` — the window kernel got
+    its parallelism for free from the window exchange; here the DOC
+    rows round-robin (text moves once, ~gram_count/n_chars the bytes
+    of the gram exchange) only when the scan has fewer splits than the
+    session's parallelism."""
+    from . import fanout
+
+    d = fanout(d)
 
     def compute(batches):
         import numpy as np
