@@ -1378,7 +1378,14 @@ def test_batch_checkpoint_blocks_freed_at_batch_end(spark, tmp_path):
     checkpoint blocks (the r11 finally block relied on it), so a
     long-lived driver loop accumulated blocks until the ContextCleaner
     happened to GC them — the fix unpersists the backing RDD through
-    the LogicalRDD plan node."""
+    the LogicalRDD plan node.
+
+    The invariant is NO NET GROWTH (a leak shows as count > before) —
+    asserted one-sided because in a shared full-suite session the
+    asynchronous ContextCleaner may GC an EARLIER test's leftover
+    blocks between the `before` snapshot and the final count, which
+    can only shrink it (observed: 41 < 42 under a 38-minute suite
+    run; green in isolation)."""
 
     def n_persistent():
         return spark._jsc.sc().getPersistentRDDs().size()
@@ -1387,7 +1394,7 @@ def test_batch_checkpoint_blocks_freed_at_batch_end(spark, tmp_path):
     before = n_persistent()
     ing.process_batch(_docs(spark, [(0, _NEAR_A), (1, _OTHER)]), batch_id=0)
     ing.process_batch(_docs(spark, [(2, _NEAR_A2), (3, _OTHER)]), batch_id=1)
-    assert n_persistent() == before
+    assert n_persistent() <= before
 
 
 def test_curate_maintain_adopts_stored_band_law(spark, tmp_path, capsys):
