@@ -277,6 +277,7 @@ from ..plans.genstore import (
     gc_stale_staging as _gc_stale_staging,
     live_segments as _live_segments,
     publish_segment as _publish_segment,
+    snapshot_view as _snapshot_view,
 )
 
 
@@ -699,11 +700,14 @@ def bm25_probe_stored(
     terms = _query_terms(query)
     if not terms:
         raise ValueError("query has no tokens under the corpus token law")
-    gen = _gen_name(path)
+    # (gen, segments) read as ONE consistent view — a fold between
+    # the two metadata reads would drop the folded rows from the probe
+    # (plans/genstore.snapshot_view)
+    gen, live = _snapshot_view(path)
     if gen is None:
         raise RuntimeError(f"no text index at {path}")
     parts = [os.path.join(path, gen)] + [
-        os.path.join(path, "segments", e) for e in _live_segments(path)
+        os.path.join(path, "segments", e) for e in live
     ]
     # all parts' one-row stats in ONE job (a per-part collect loop
     # would pay one driver round-trip per accreted segment)
@@ -949,11 +953,12 @@ def phrase_probe_stored(
     m = len(terms)
     if m == 0:
         raise ValueError("phrase has no tokens under the corpus token law")
-    gen = _gen_name(path)
+    # consistent (gen, segments) view — see bm25_probe_stored
+    gen, live = _snapshot_view(path)
     if gen is None:
         raise RuntimeError(f"no text index at {path}")
     parts = [os.path.join(path, gen)] + [
-        os.path.join(path, "segments", e) for e in _live_segments(path)
+        os.path.join(path, "segments", e) for e in live
     ]
     uniq = sorted(set(terms))
     s = (

@@ -64,6 +64,7 @@ from ..plans.genstore import (
     gen_name as _gen_name,
     live_segments as _live_segments,
     publish_segment as _publish_segment,
+    snapshot_view as _snapshot_view,
 )
 from ..plans.storeio import storeio_for
 from .similarity import _d2_fold, _id_as_long, _nonzero_norm, as_double, cosine
@@ -299,7 +300,12 @@ def knn_probe_stored(
 
     from pyspark.sql import Window
 
-    gen = _gen_name(path)
+    # (gen, segments) must be ONE consistent view: a fold landing
+    # between the two metadata reads hands the probe the pre-fold
+    # generation with the post-fold segment list — the folded rows are
+    # in neither (plans/genstore.snapshot_view; the
+    # probe-under-maintenance soak caught this as a zero-result probe)
+    gen, live = _snapshot_view(path)
     if gen is None:
         raise RuntimeError(f"no vector index at {path}")
     cent = _read_centroids(spark, path, gen)
@@ -328,7 +334,7 @@ def knn_probe_stored(
     # are batch-sized by contract, so the unpruned scan is cheap, and
     # the next compaction folds/re-assigns them.
     pruned_parts, stale_parts = [os.path.join(path, gen)], []
-    for s in _live_segments(path):
+    for s in live:
         seg_dir = os.path.join(path, "segments", s)
         (pruned_parts if _segment_gen(seg_dir) == gen else stale_parts).append(seg_dir)
 

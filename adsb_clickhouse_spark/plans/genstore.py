@@ -115,20 +115,61 @@ def write_manifest(
     )
 
 
-def live_segments(path: str, *, io: StoreIO | None = None) -> list[str]:
+_UNSET = object()
+
+
+def live_segments(
+    path: str, *, io: StoreIO | None = None, gen=_UNSET
+) -> list[str]:
     """Named segment appends not yet folded by the current generation
     (underscore entries are markers, dot entries are in-flight append
-    staging — never segments)."""
+    staging — never segments). ``gen`` pins the generation whose folded
+    manifest masks the listing (callers holding a consistent view —
+    :func:`snapshot_view`); by default the pointer is read here."""
     io = io or storeio_for(path)
     seg_root = os.path.join(path, "segments")
     if not io.isdir(seg_root):
         return []
-    folded = folded_set(path, gen_name(path, io=io), io=io)
+    if gen is _UNSET:
+        gen = gen_name(path, io=io)
+    folded = folded_set(path, gen, io=io)
     return sorted(
         e
         for e in io.listdir(seg_root)
         if not e.startswith(("_", ".")) and e not in folded
     )
+
+
+def snapshot_view(
+    path: str, *, io: StoreIO | None = None
+) -> tuple[str | None, list[str]]:
+    """(generation, live segment names) as ONE consistent view — the
+    prober-side read discipline.
+
+    ``gen_name`` and ``live_segments`` are two separate metadata reads;
+    a fold commit (pointer swap) landing BETWEEN them hands a prober
+    the PRE-fold generation paired with the POST-fold segment list —
+    the freshly folded segments' rows are in neither part, so the probe
+    silently under-reads (worst case: the pre-fold generation is the
+    empty bootstrap and the probe returns ZERO rows — the exact
+    "short probe: knn=0" the probe-under-maintenance soak caught under
+    heavy co-tenant load, where the window between the two reads
+    stretches to seconds).
+
+    Re-reading the pointer after the listing and retrying on change
+    makes the pair linearizable: generation names are unique (uuid
+    suffix, so no ABA), each generation's folded manifest is immutable
+    once published, and the only segment-list mutation that can land
+    inside an unchanged-pointer window is a new segment APPEND — which
+    is disjoint new data, so observing or missing it are both
+    consistent probe points. Folds are seconds apart by construction
+    (single leased maintainer), so the retry converges immediately."""
+    io = io or storeio_for(path)
+    while True:
+        gen = gen_name(path, io=io)
+        segs = live_segments(path, io=io, gen=gen)
+        if gen_name(path, io=io) == gen:
+            return gen, segs
 
 
 def publish_segment(

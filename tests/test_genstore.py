@@ -54,6 +54,46 @@ def test_folded_manifest_transitivity_and_live_segments(tmp_path):
     assert G.folded_set(path, None) == set()
 
 
+def test_snapshot_view_retries_across_concurrent_fold(tmp_path, monkeypatch):
+    """A fold committing between the prober's pointer read and its
+    segment listing must not hand back the pre-fold generation with
+    the post-fold segment list (the folded rows would be in NEITHER
+    part — the zero-result probe the probe-under-maintenance soak
+    caught under load). snapshot_view re-reads the pointer after the
+    listing and retries: simulate the worst interleave by swapping the
+    pointer from inside the listing itself."""
+    path = str(tmp_path)
+    segs = os.path.join(path, "segments")
+    for name in ("b0", "b1"):
+        os.makedirs(os.path.join(segs, name), exist_ok=True)
+    g1 = os.path.join(path, "gen-1")
+    os.makedirs(g1)
+    G.write_manifest(g1, set())
+    G.swap_pointer(path, "gen-1")
+
+    real_live = G.live_segments
+    state = {"folds": 0}
+
+    def racing_live(p, *, io=None, gen=G._UNSET):
+        out = real_live(p, io=io, gen=gen)
+        if state["folds"] == 0:  # the fold lands mid-read, exactly once
+            g2 = os.path.join(path, "gen-2")
+            os.makedirs(g2, exist_ok=True)
+            G.write_manifest(g2, {"b0", "b1"})
+            G.swap_pointer(path, "gen-2")
+            state["folds"] = 1
+        return out
+
+    monkeypatch.setattr(G, "live_segments", racing_live)
+    gen, live = G.snapshot_view(path)
+    # the torn pair would have been ("gen-1", ["b0", "b1"]); the retry
+    # must converge on the post-fold consistent view
+    assert gen == "gen-2" and live == []
+    # quiescent store: one pass, no retry, view matches the primitives
+    monkeypatch.setattr(G, "live_segments", real_live)
+    assert G.snapshot_view(path) == ("gen-2", [])
+
+
 def test_enforce_law_records_then_guards(tmp_path):
     path = str(tmp_path / "store")
     G.enforce_law(path, "minhash|k=16|bands=4|w=3")  # first use: records
