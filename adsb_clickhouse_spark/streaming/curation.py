@@ -367,6 +367,12 @@ class CurationIngest:
         host_min_rank_pct: float | None = None,
         ingest_stats: bool = True,
         parallel_appends: bool = True,
+        # derive ALL near-dedup drop-sets from the single
+        # valve_ckpt_funnel checkpoint instead of taking a second
+        # full-frame checkpoint between the text and media stages (r16
+        # floor cut — see the fused-valve note in process_batch); False
+        # keeps the legacy two-checkpoint form for A/B and debugging
+        fused_valves: bool = True,
         # lease discipline for the maintenance jobs: False warns on a
         # lease-less maintain against a leased store (ad-hoc /
         # notebook-friendly); True raises. The curate-maintain CLI runs
@@ -435,6 +441,7 @@ class CurationIngest:
         # driver threads (r12 floor cut — see process_batch); False
         # keeps the sequential form for A/B and debugging
         self.parallel_appends = parallel_appends
+        self.fused_valves = fused_valves
         self.ingest_log_path = os.path.join(base_dir, "ingest_log")
         # per-stage wall clock of the LAST process_batch call, stage
         # name -> seconds (see _mark in process_batch); the floor
@@ -751,8 +758,27 @@ class CurationIngest:
                     "left_anti",
                 )
         fresh = _tap(fresh, "store_dup")
-        near_stages = int(self.text_near_dedup) + int(
-            media_on and self.media_near_dedup
+        media_bands_on = media_on and self.media_near_dedup
+        near_stages = int(self.text_near_dedup) + int(media_bands_on)
+        # FUSED VALVES (r16 floor cut): every near-dedup drop-set below
+        # derives from the ONE frame the valve checkpoint materializes,
+        # so the legacy second full-frame checkpoint between the text
+        # and media stages (one extra serialized job + batch-row
+        # materialization per batch) is gone. Equivalence: band/probe
+        # rows are per-row functions of one doc (restriction-stable),
+        # a store match against an id an earlier stage already dropped
+        # is an anti-join no-op, and the media in-batch pair set over
+        # the superset restricted to pairs whose SMALLER id survived
+        # the text stages equals the pair set computed over the text
+        # survivors. The one frequency-dependent step breaks that law:
+        # phash_near_dup's max_band_freq counts band frequency over its
+        # INPUT, so with the hot-band valve configured alongside text
+        # near-dedup the pair set is not restriction-stable and the
+        # legacy checkpointed base is kept for exactly that config.
+        fused = self.fused_valves and not (
+            media_bands_on
+            and self.text_near_dedup
+            and self.media_max_band_freq is not None
         )
         if near_stages:
             # PLAN-SIZE VALVE (r11): each near-dedup stage below builds
@@ -770,6 +796,10 @@ class CurationIngest:
             fresh = fresh.localCheckpoint(eager=True)
             ckpts.append(fresh)
             _mark("valve_ckpt_funnel")
+        # the single materialized frame the fused drop-sets derive from
+        # (identical to `fresh` until the first anti-join below)
+        base = fresh
+        text_drop_sets: list[DataFrame] = []
         if self.text_near_dedup:
             # per-batch TEXT near-dedup against the stored MinHash band
             # index (r10): the text twin of the phash band store below.
@@ -788,7 +818,7 @@ class CurationIngest:
             from ..operators.dedup import minhash_band_rows, minhash_lsh_pairs
 
             self._enforce_band_law(self.text_bands_path, self._text_band_law())
-            batch_texts = fresh.select(
+            batch_texts = base.select(
                 "doc_id", F.col("clean_text").alias("text")
             )
             in_batch = (
@@ -802,15 +832,22 @@ class CurationIngest:
                 .select(F.col("id_b").alias("doc_id"))
                 .distinct()
             )
+            if fused:
+                text_drop_sets.append(in_batch)
             fresh = _tap(
                 fresh.join(in_batch, "doc_id", "left_anti"), "text_near_batch"
             )
             # probe-side band rows (lazy, over the pre-persist chain);
             # the rows APPENDED to the store are rebuilt from the
             # persisted survivors in the commit block below, so the
-            # write does not re-evaluate this whole funnel chain
+            # write does not re-evaluate this whole funnel chain. Fused:
+            # built from the flat `base` (a probe row for an id the
+            # in-batch stage already dropped can only re-drop it), so
+            # the probe tree references the checkpoint, not the chain.
             probe_text_bands = minhash_band_rows(
-                fresh.select("doc_id", F.col("clean_text").alias("text")),
+                (base if fused else fresh).select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
                 id_col="doc_id",
                 k=self.text_minhash_k,
                 bands=self.text_bands,
@@ -836,13 +873,15 @@ class CurationIngest:
                 # ids matched against a later part may include ones an
                 # earlier part already dropped — the anti-join is
                 # idempotent, so no probe-side pruning bookkeeping
+                if fused:
+                    text_drop_sets.append(near)
                 fresh = fresh.join(near, "doc_id", "left_anti")
             fresh = _tap(fresh, "text_near_store")
-        media_bands_on = media_on and self.media_near_dedup
-        if media_bands_on and self.text_near_dedup:
-            # second valve: the media stage re-references `fresh` three
-            # ways (hash pass, in-batch pairs, band probes) — flatten
-            # the text stage's joins out of its base first
+        if media_bands_on and self.text_near_dedup and not fused:
+            # legacy second valve (media hot-band valve configured, or
+            # fused_valves=False): the media stage re-references `fresh`
+            # three ways (hash pass, in-batch pairs, band probes) —
+            # flatten the text stage's joins out of its base first
             fresh = fresh.localCheckpoint(eager=True)
             ckpts.append(fresh)
             _mark("valve_ckpt_text_probe")
@@ -864,9 +903,9 @@ class CurationIngest:
 
             self._enforce_band_law(self.phash_bands_path, self._phash_band_law())
             hashes = perceptual_hash(
-                fresh.filter(F.col(self.media_col).isNotNull()).select(
-                    F.col("doc_id").alias("media_id"), self.media_col
-                ),
+                (base if fused else fresh)
+                .filter(F.col(self.media_col).isNotNull())
+                .select(F.col("doc_id").alias("media_id"), self.media_col),
                 backend=self.media_backend,
             )
             # within-batch: drop any media with a SMALLER-id near-dup in
@@ -874,20 +913,41 @@ class CurationIngest:
             # collapses chains to their smallest member — slightly more
             # aggressive than the compaction's connected-components
             # retention on transitive chains, deterministically so)
-            in_batch_losers = phash_near_dup(
+            pairs = phash_near_dup(
                 hashes,
                 max_hamming=self.media_max_hamming,
                 bands=self.media_bands,
                 max_band_freq=self.media_max_band_freq,
-            ).select(F.col("id_b").alias("doc_id")).distinct()
+            )
+            if fused and text_drop_sets:
+                # the pair set was generated over `base`, which still
+                # holds the text-stage losers; legacy semantics computed
+                # it over the text SURVIVORS, so a pair whose smaller id
+                # was text-dropped must not claim its larger sibling —
+                # restrict id_a to text survivors (id_b needs no filter:
+                # dropping an already-dropped id is a no-op)
+                tdrops = text_drop_sets[0]
+                for d in text_drop_sets[1:]:
+                    tdrops = tdrops.unionByName(d)
+                pairs = pairs.join(
+                    tdrops.withColumnRenamed("doc_id", "id_a"),
+                    "id_a",
+                    "left_anti",
+                )
+            in_batch_losers = pairs.select(
+                F.col("id_b").alias("doc_id")
+            ).distinct()
             fresh = _tap(
                 fresh.join(in_batch_losers, "doc_id", "left_anti"),
                 "media_near_batch",
             )
             # probe-side band rows only (see the text twin above): the
-            # stored rows are rebuilt from the persisted survivors below
+            # stored rows are rebuilt from the persisted survivors below.
+            # Fused: built from the full batch hashes (matches on ids an
+            # earlier stage dropped are anti-join no-ops), so no
+            # chain-referencing semi-join is needed.
             probe_media_bands = phash_band_keys(
-                hashes.join(
+                hashes if fused else hashes.join(
                     fresh.select(F.col("doc_id").alias("media_id")),
                     "media_id",
                     "left_semi",

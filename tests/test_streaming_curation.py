@@ -912,6 +912,97 @@ def test_text_near_dedup_suppresses_at_ingest(spark, tmp_path):
     assert kept1 == {0, 2, 11}  # 10 suppressed by the stored band index
 
 
+def test_fused_valves_match_legacy_two_checkpoint_path(spark, tmp_path):
+    """The r16 fused-valve funnel (every near-dedup drop-set derived
+    from the single valve_ckpt_funnel checkpoint) keeps EXACTLY the
+    legacy two-checkpoint semantics, including the subtle case the id_a
+    restriction exists for: a media near-dup pair whose SMALLER id was
+    dropped by the text stage must not claim its larger sibling (legacy
+    computed media pairs over the text survivors, where that pair never
+    existed). Curated sets and every per-gate drop count must match."""
+    A, B, Bp, C = _media_payloads()
+    _NEAR_A3 = _NEAR_A.replace("market", "harbor")
+    schema = "doc_id long, text string, payload binary"
+    b0 = [
+        (4, _NEAR_A, None),            # kept
+        (5, _NEAR_A2, B),              # text in-batch near-dup of 4
+        (6, _OTHER, Bp),               # media near-dup of 5's payload —
+                                       # MUST survive (5 fell to text)
+        (7, "a separate body of text about glacier melt and the local "
+            "water table measurements collected downstream", C),
+    ]
+    b1 = [
+        (10, _NEAR_A3, None),          # text near-copy of stored 4
+        (11, "an entirely fresh report on harbor dredging schedules and "
+             "the seasonal silt budget of the estuary", B),
+        # 11's payload is within hamming of KEPT 6's (Bp) -> must fall
+        # at the stored phash band probe
+        (12, "notes on compiler testing infrastructure and reduction "
+             "of flaky integration suites over time", None),
+    ]
+    results = {}
+    for mode, fused in (("fused", True), ("legacy", False)):
+        base = tmp_path / mode
+        ing = CurationIngest(
+            str(base), run_id="r1", media_dedup=True, media_near_dedup=True,
+            text_near_dedup=True, fused_valves=fused,
+        )
+        walls = {}
+        for bid, rows in ((0, b0), (1, b1)):
+            ing.process_batch(
+                spark.createDataFrame(rows, schema), batch_id=bid
+            )
+            walls[bid] = dict(ing.last_stage_wall)
+        # the fused path takes ONE valve checkpoint, the legacy two
+        assert ("valve_ckpt_text_probe" in walls[0]) == (not fused)
+        assert "valve_ckpt_funnel" in walls[0]
+        kept = {
+            r["doc_id"] for r in ing.curated(spark).select("doc_id").collect()
+        }
+        log = {
+            r["batch_id"]: r.asDict() for r in ing.ingest_log(spark).collect()
+        }
+        results[mode] = (kept, log)
+    kept_f, log_f = results["fused"]
+    kept_l, log_l = results["legacy"]
+    assert kept_f == kept_l
+    # pin the planted expectations explicitly
+    assert kept_f == {4, 6, 7, 12}
+    for seg in ("br1-0", "br1-1"):
+        fr, lr = log_f[seg], log_l[seg]
+        for gate in ("policy", "host", "exact_text", "exact_media",
+                     "store_dup", "text_near_batch", "text_near_store",
+                     "media_near_batch", "media_near_store"):
+            assert fr[f"dropped_{gate}"] == lr[f"dropped_{gate}"], (seg, gate)
+        assert fr["admitted"] == lr["admitted"]
+    # the planted critical cases, by gate
+    assert log_f["br1-0"]["dropped_text_near_batch"] == 1      # 5
+    assert log_f["br1-0"]["dropped_media_near_batch"] == 0     # 6 survives
+    assert log_f["br1-1"]["dropped_text_near_store"] == 1      # 10
+    assert log_f["br1-1"]["dropped_media_near_store"] == 1     # 11
+
+
+def test_fused_valves_fall_back_under_media_hot_band_valve(spark, tmp_path):
+    """phash_near_dup's max_band_freq counts band frequency over its
+    INPUT, so the fused pair set (over the pre-text base) is not
+    restriction-stable — with the hot-band valve configured alongside
+    text near-dedup the funnel must keep the legacy second checkpoint
+    even when fused_valves=True."""
+    A, B, Bp, C = _media_payloads()
+    ing = CurationIngest(
+        str(tmp_path), run_id="r1", media_dedup=True, media_near_dedup=True,
+        text_near_dedup=True, media_max_band_freq=64, fused_valves=True,
+    )
+    ing.process_batch(
+        spark.createDataFrame(
+            [(0, _NEAR_A, B), (1, _OTHER, C)],
+            "doc_id long, text string, payload binary",
+        ),
+        batch_id=0,
+    )
+    assert "valve_ckpt_text_probe" in ing.last_stage_wall
+
+
 def test_text_band_store_replay_compaction_and_pointer(spark, tmp_path):
     import os
 
