@@ -405,9 +405,7 @@ def _duck_quality_sql() -> str:
     ),
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.texttools import salted_md5_long
     from ..operators.curation import dedup_aware_split, quality_signals
-    from ..operators.graph import pagerank_multi
 
     d = load_table(spark, sf_dir, "documents")
     nul_s = F.lit(None).cast("string")
@@ -423,22 +421,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul_l.alias("rank_fp"),
         )
     )
-    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
-    dst = F.concat(
-        F.lit("src"),
-        (salted_md5_long(fp, _PR_EDGE_SALT) % _PR_DST_MOD).cast("string"),
-    )
-    # r15: the edge derivation (corpus scan + md5 + distinct shuffle) is
-    # consumed twice — the seeds collect below and pagerank_multi — so
-    # it is materialized once; host-graph edges are node-bounded (≤
-    # |sources| × _PR_DST_MOD distinct pairs), a bounded checkpoint at
-    # any corpus size.
-    edges = (
-        d.select(F.col("source").alias("src"), dst.alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
-    )
+    edges = _quality_edges(d)
     def _rank_branch(tag: str, ranks: DataFrame) -> DataFrame:
         return ranks.select(
             F.lit(tag).alias("branch"),
@@ -462,9 +445,53 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_fp",
         )
 
-    # trustrank seeds = the two lexicographically-smallest nodes, derived
-    # from the data so the oracle's `ORDER BY node LIMIT 2` subquery and
-    # this bounded 2-row collect always agree on any corpus
+    both = _quality_ranks(edges)
+    pr = _rank_branch("pagerank", both.select("node", "rank_fp"))
+    tr = _rank_branch(
+        "trustrank",
+        both.select("node", F.col("_trust_fp").alias("rank_fp")),
+    )
+    return (
+        doc.unionByName(pr)
+        .unionByName(tr)
+        .orderBy("branch", "doc_id", "node")
+    )
+
+
+def _quality_edges(d: DataFrame) -> DataFrame:
+    """text_quality's host-graph edge table. r15: the edge derivation
+    (corpus scan + md5 + distinct shuffle) is consumed twice — the
+    seeds collect and pagerank_multi — so it is materialized once;
+    host-graph edges are node-bounded (≤ |sources| × _PR_DST_MOD
+    distinct pairs), a bounded checkpoint at any corpus size."""
+    from ..functions.texttools import salted_md5_long
+
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    dst = F.concat(
+        F.lit("src"),
+        (salted_md5_long(fp, _PR_EDGE_SALT) % _PR_DST_MOD).cast("string"),
+    )
+    return (
+        d.select(F.col("source").alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+
+
+def _quality_ranks(edges: DataFrame, **pagerank_kwargs) -> DataFrame:
+    """text_quality's joint PageRank/TrustRank frame (node, rank_fp,
+    _trust_fp), eagerly checkpointed. Trustrank seeds = the two
+    lexicographically-smallest nodes, derived from the data so the
+    oracle's `ORDER BY node LIMIT 2` subquery and this bounded 2-row
+    collect always agree on any corpus. ONE joint propagation carries
+    both teleport distributions as two rank columns (pagerank_multi):
+    every per-round join/aggregate runs once, not per mode. Default
+    per-round checkpointing: with the loop invariants pinned inside the
+    operator, eager rank checkpoints beat the lazy 2^T-chain plan
+    (tiny-task storms) at local[32]/32."""
+    from ..operators.graph import pagerank_multi
+
     seeds = [
         r["node"]
         for r in (
@@ -476,26 +503,37 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     ]
-    # ONE joint propagation carries both teleport distributions as two
-    # rank columns (pagerank_multi): every per-round join/aggregate runs
-    # once, not per mode. Default per-round checkpointing: with the loop
-    # invariants pinned inside the operator, eager rank checkpoints beat
-    # the lazy 2^T-chain plan (tiny-task storms) at local[32]/32.
-    both = pagerank_multi(
+    return pagerank_multi(
         edges,
         teleports={"rank_fp": None, "_trust_fp": seeds},
         iterations=_PR_ITERS,
+        **pagerank_kwargs,
     ).localCheckpoint(eager=True)
-    pr = _rank_branch("pagerank", both.select("node", "rank_fp"))
-    tr = _rank_branch(
-        "trustrank",
-        both.select("node", F.col("_trust_fp").alias("rank_fp")),
-    )
-    return (
-        doc.unionByName(pr)
-        .unionByName(tr)
-        .orderBy("branch", "doc_id", "node")
-    )
+
+
+def quality_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only twin of text_quality's rank subcomputation with the
+    size-adaptive driver fast path DISABLED (driver_threshold=0), so
+    the DISTRIBUTED PageRank iteration — the 100 TB code path, which
+    the ≤100k-edge gate keeps off the bench at test SFs — retains a
+    measured number (r15 verdict item 7). Parity of the two paths is
+    test-pinned (test_driver_and_distributed_paths_agree); this helper
+    exists purely so bench.py can time the distributed one. NOT a
+    registry row and NOT oracled — it computes the same ranks."""
+    d = load_table(spark, sf_dir, "documents")
+    return _quality_ranks(_quality_edges(d), driver_threshold=0)
+
+
+def bpe_learn_dist(spark: SparkSession, sf_dir: str) -> list:
+    """Bench-only twin of text_lm_bpe's merge learning with the
+    driver-vocab fast path DISABLED (driver_vocab_threshold=0): the
+    distributed per-merge argmax loop keeps a measured number at SFs
+    whose vocab fits the ≤100k driver gate (r15 verdict item 7).
+    Parity is test-pinned (test_bpe_driver_and_distributed_paths_agree)."""
+    from ..operators.bpe import bpe_learn
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_learn(d, n_merges=_BPE_MERGES, driver_vocab_threshold=0)
 
 
 _CHUNK_TOKENS = 32

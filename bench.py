@@ -44,6 +44,23 @@ the latest committed PLANS_r*.json; changed rows are named in
 BENCH_DELTA.json ("plan_changes") with before/after operator trees, and
 the stdout payload carries the count — a lost broadcast or unpushed
 filter is now detected deterministically, regardless of sandbox weather.
+
+Bench-window discipline (r15 verdict item 9): final BENCH/PLANS
+artifacts are committed only from a window whose START env canary is
+within ~±20% of the PRIOR round's committed start canary; the payload
+echoes that prior canary (`env_canary_prev_round_sec`) next to this
+run's, so a verdict can use raw medians without re-litigating weather.
+
+Core-scaling probe (r15 verdict item 2): at sf0.1 every registry row
+sits at the job-scheduling/collect floor, so the 8-vs-32-core suite
+ratio cannot express core scaling even though the session honors
+$SPARK_GRAFT_CPUS (master AND shuffle partitions — session.py). The
+payload therefore carries a `cpu_scale_probe` queries entry: a fixed
+16M-row JVM-codegen md5+xxhash64 fold over 4×cores tasks whose runtime
+tracks 1/cores (measured 0.78 s at 32 cores vs 1.89 s at 8, same box).
+It is a measurement row, NOT a declared query: it is excluded from
+`value`/`headline_20_total` so suite totals stay cross-round
+comparable, and it has no oracle twin.
 """
 
 from __future__ import annotations
@@ -116,6 +133,18 @@ def measure_ingest_rate(spark) -> dict:
         "ingest_rows": n_rows,
         "ingest_rates_all": [round(r, 1) for r in sorted(rates)],
     }
+
+
+def _prev_round_canary(here: str, cur_round: int) -> float | None:
+    """The prior round's committed start env canary, from its
+    round-stamped BENCH_DELTA snapshot (None if absent)."""
+    try:
+        with open(
+            os.path.join(here, f"BENCH_DELTA_r{cur_round - 1}.json")
+        ) as fh:
+            return json.load(fh).get("env_canary_sec")
+    except (OSError, ValueError):
+        return None
 
 
 def main() -> None:
@@ -257,6 +286,24 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     headline_total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
 
+    # core-scaling probe (r15 verdict item 2 — see module docstring):
+    # fixed CPU-bound work over 4×cores tasks, fresh frame per run (a
+    # re-collected AdaptiveSparkPlan reuses its executed stages, which
+    # would time nothing). Added to the queries payload AFTER the
+    # total/headline sums so `value` stays cross-round comparable.
+    def _scale_probe_frame():
+        return spark.range(
+            0, 16_000_000, 1, spark.sparkContext.defaultParallelism * 4
+        ).selectExpr("bit_xor(xxhash64(md5(concat(cast(id as string),'s')))) as s")
+
+    _scale_runs = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        _scale_probe_frame().collect()
+        _scale_runs.append(time.perf_counter() - t0)
+    timings["cpu_scale_probe"] = round(statistics.median(_scale_runs), 3)
+    min_timings["cpu_scale_probe"] = round(min(_scale_runs), 3)
+
     # dashboard-class vs analytic split (r8 verdict #7): the reference's
     # operative budget is the 5 s dashboard refresh; adsb_track_distance
     # is an analytic union row (all-pairs conflict join, output-dominated
@@ -313,6 +360,33 @@ def main() -> None:
                 len(df.collect())
                 runs.append(time.perf_counter() - t0)
             branch_timings[f"{name}:{tag}"] = round(statistics.median(runs), 3)
+
+    # distributed twins of the size-gated driver fast paths (r15 verdict
+    # item 7): at bench SFs the ≤100k driver gates in bpe_learn /
+    # pagerank_multi take the collected twin, so the DISTRIBUTED
+    # implementations — the 100 TB code paths — would otherwise have no
+    # measured number and a perf regression there would be invisible.
+    # Forced via driver(_vocab)_threshold=0; result parity is pinned by
+    # test_bpe_driver_and_distributed_paths_agree /
+    # test_driver_and_distributed_paths_agree. Not declared queries; no
+    # oracle twin; branch-entry methodology (median of BRANCH_RUNS).
+    from adsb_clickhouse_spark.queries.text import (
+        bpe_learn_dist,
+        quality_pagerank_dist,
+    )
+
+    def _time_dist(key: str, fn) -> None:
+        runs = []
+        for _ in range(BRANCH_RUNS):
+            t0 = time.perf_counter()
+            out = fn(spark, sf_dir)
+            if hasattr(out, "collect"):
+                len(out.collect())
+            runs.append(time.perf_counter() - t0)
+        branch_timings[key] = round(statistics.median(runs), 3)
+
+    _time_dist("text_quality:pagerank_dist", quality_pagerank_dist)
+    _time_dist("text_lm_bpe:bpe_dist", bpe_learn_dist)
 
     # per-query delta vs the latest recorded round bench (if present).
     # BENCH_r{N}.json may carry the timings as parsed JSON or only as the
@@ -453,6 +527,11 @@ def main() -> None:
         ),
         "ingest_rows_per_sec": ingest_rate,
         "ingest_rows": n_rows,
+        # echo of the core count the session actually ran with
+        # ($SPARK_GRAFT_CPUS via session.py) — pairs with the
+        # cpu_scale_probe queries entry to make the scaling contract
+        # checkable from the payload alone (r15 verdict item 2)
+        "cpus": spark.sparkContext.defaultParallelism,
         "env_canary_sec": env_canary,
         # the same canary AFTER the suite: r10 observed the sandbox
         # drifting WITHIN a run (0.139 -> 0.216 across back-to-back
@@ -462,6 +541,10 @@ def main() -> None:
         # driver-CPU axis: the pure-Python canary bracketing the run
         "py_canary_sec": py_canary,
         "py_canary_end_sec": _py_canary(),
+        # the PRIOR round's committed start canary (bench-window
+        # discipline, r15 verdict item 9): commit final artifacts only
+        # when env_canary_sec is within ~±20% of this
+        "env_canary_prev_round_sec": _prev_round_canary(here, cur_round),
         # rows whose normalized physical-plan hash changed vs the last
         # committed PLANS_r*.json ("+"/"-" prefixes = added/removed rows);
         # before/after operator trees are in BENCH_DELTA.json
