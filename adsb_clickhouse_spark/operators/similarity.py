@@ -1561,10 +1561,19 @@ def hashed_text_embeddings(
     than a transform-built array (quality_signals measured the lambda
     form ~4× slower — interpreted per element)."""
     from ..functions.texttools import md5_long, tokens
+    from . import fanout
 
     lo, hi = (ngram, ngram) if isinstance(ngram, int) else ngram
     if (lo, hi) not in ((1, 1), (1, 2)):
         raise ValueError(f"ngram must be 1 or (1, 2), got {ngram!r}")
+    # project early (only the two columns the embedder reads) and fan
+    # the DOC rows out to the session parallelism (r16): the heavy work
+    # is MAP-side — the gram explode plus two md5s per gram feeding the
+    # partial aggregate — and a small corpus scans as ONE split, which
+    # serialized that whole pass on one core (the winnow fan-out lesson;
+    # measured 2.4 s single-task on the sf0.1 hembed branch). At scale
+    # the scan out-splits the cores and the guard adds nothing.
+    docs = fanout(docs.select(F.col(id_col), F.col(text_col)))
     tok = docs.select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(F.col(text_col))).alias("g"),

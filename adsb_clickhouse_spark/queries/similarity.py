@@ -519,9 +519,19 @@ def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("witness").alias("id_b"),
         "cos_sim",
     )
-    hemb = S.hashed_text_embeddings(
-        load_table(spark, sf_dir, "documents"), dim=32
-    ).filter(F.exists("embedding", lambda x: x != 0))
+    # lazy checkpoint (r16): the blocked tile derivation references its
+    # input TWICE (row side ∪ column side), which re-ran the whole
+    # gram-md5 embedding aggregation — for a derived corpus the
+    # materialize-vs-rescan trade goes the other way than for the cheap
+    # columnar re-scans (adsb A/B, r15). Same-box interleaved A/B on
+    # the full row: −6% median, stacking with the embedder's fan-out.
+    hemb = (
+        S.hashed_text_embeddings(
+            load_table(spark, sf_dir, "documents"), dim=32
+        )
+        .filter(F.exists("embedding", lambda x: x != 0))
+        .localCheckpoint(eager=False)
+    )
     hp = S.cosine_near_dup_pairs_blocked(
         hemb, threshold=0.9, id_col="doc_id"
     ).select(F.lit("hembed").alias("method"), "id_a", "id_b", "cos_sim")
