@@ -159,6 +159,14 @@ def ngram_jaccard_pairs(
     only for pairs sharing at least one surviving shingle).
     """
     sh = _xx_shingle_index(docs, text_col, id_col, w)
+    # |shingle set| per doc DERIVED from the index (r16): the index is
+    # already distinct (id, h), so its per-id row count IS the set size
+    # — re-aggregating it replaces the second full corpus shingle pass
+    # (_shingle_sizes' explode + xxhash64 + count_distinct) with a
+    # doc-sized re-agg whose subtree ReuseExchange shares with the join
+    # sides. Sizes stay UNCAPPED (computed before the hot-shingle
+    # window below), matching the oracle's denominator.
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     if max_shingle_freq is not None:
         # fold the hot-shingle cap into the shuffle the self-join needs
         # anyway: a count window over h hash-partitions by h, the join
@@ -176,7 +184,6 @@ def ngram_jaccard_pairs(
     # (b) is the wrong strategy at 100 TB, where the index is corpus-sized
     # and only ever shuffle-joinable. No persist — the plan is returned
     # unexecuted, so the operator can't own an unpersist.
-    sizes = _shingle_sizes(docs, text_col, id_col, w)
     a = sh.alias("a")
     b = sh.hint("shuffle_hash").alias("b")
     common = (
@@ -292,7 +299,6 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sizes = _shingle_sizes(docs, text_col, id_col, w)
     # candidate-first verification: only candidate PAIRS touch the shingle
     # index (join index to each candidate side), instead of pair-counting
     # every id<id pair that shares a shingle. At 100 TB the full-index
@@ -303,6 +309,10 @@ def minhash_lsh_pairs(
     # ~10x cheaper than md5+conv — the md5 index above is kept only where
     # its values reach the output (the minhash signatures).
     vx = _xx_shingle_index(docs, text_col, id_col, w)
+    # |shingle set| per doc derived from the (distinct) verify index
+    # instead of a third full corpus shingle pass (r16 — same
+    # derivation as ngram_jaccard_pairs)
+    sizes = vx.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     fa = vx.withColumnsRenamed({"id": "id_a"})
     fb = vx.withColumnsRenamed({"id": "idb2", "h": "hb"})
     common = (
@@ -611,9 +621,9 @@ def decontamination_pairs(
     ev = _xx_shingle_index(evalset, text_col, id_col, w).withColumnsRenamed(
         {"id": "eval_id"}
     )
-    ev_sizes = _shingle_sizes(evalset, text_col, id_col, w).withColumnsRenamed(
-        {"id": "eval_id", "n": "n_eval"}
-    )
+    # |shingle set| per eval doc derived from the (distinct) eval index
+    # instead of a second evalset shingle pass (r16)
+    ev_sizes = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
     common = (
         tr.join(F.broadcast(ev), "h")
         .groupBy("train_id", "eval_id")
@@ -653,9 +663,9 @@ def connected_components(
     lets a DuckDB recursive CTE oracle the result (queries/dedup.py).
 
     Size-adaptive, like broadcast-vs-shuffle join selection: post-threshold
-    pair sets are usually tiny relative to the corpus, and below
-    ``driver_threshold`` edges the component labels come from a driver
-    union-find on the already-materialized edge list (one collect of a
+    pair sets are usually tiny relative to the corpus, and at or below
+    ``driver_threshold`` PAIRS the component labels come from a driver
+    union-find fed by one limit-bounded collect of the pair list (a
     provably small set, zero iteration jobs) — identical output. Past the
     cap the distributed iteration engages automatically; the 1.8M-edge
     probe in README exercises it.
@@ -663,14 +673,23 @@ def connected_components(
     Reference analogue: none (the reference keeps raw history); this is
     the training-data pipeline's dup-cluster step.
     """
-    edges = (
+    # bounded probe-collect (r16): the driver path previously built a
+    # distinct edge frame (eager checkpoint), counted it, and collected
+    # it — 4-5 fixed-latency jobs per call. ONE limit-bounded collect of
+    # the PAIR list (≤ driver_threshold+1 rows — the pair count bounds
+    # the edge count) both decides the path and feeds the union-find;
+    # duplicate and reversed edges are union-find no-ops, so the
+    # distinct pass moves to the driver for free. The size guard now
+    # counts PAIRS where it counted distinct directed edges (≤ 2×pairs)
+    # — the same "provably small" bound, and the two paths are
+    # output-identical either way (parity-pinned). Past the cap the
+    # distributed iteration below is unchanged.
+    probe = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)  # reused every round; truncate lineage once
+        .limit(int(driver_threshold) + 1)
+        .collect()
     )
-    n_edges = edges.count()  # cheap: counts the materialized blocks
-    if n_edges <= driver_threshold:
+    if len(probe) <= driver_threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -679,7 +698,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for row in edges.collect():
+        for row in probe:
             u, v = row["u"], row["v"]
             parent.setdefault(u, u)
             parent.setdefault(v, v)
@@ -690,6 +709,12 @@ def connected_components(
                 parent[hi] = lo
         rows = [(x, find(x)) for x in parent]
         return pairs.sparkSession.createDataFrame(rows or [], "id long, comp long")
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round; truncate lineage once
+    )
     labels = (
         edges.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
